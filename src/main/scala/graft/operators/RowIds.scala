@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scalable dense 0-based row-id assignment over a total order.
+  *
+  * Semantics of the reference's positional `frame_number` counter
+  * (`/root/reference/uav/frame_reader.py:102-104`): every record gets a
+  * dense, gap-free position in stream order.
+  *
+  * A naive `row_number().over(Window.orderBy(...))` funnels ALL rows
+  * through ONE task (empty `partitionBy`) — correct on 60k rows, dead at
+  * 100 TB. Instead we use the canonical two-pass scheme (the same idea as
+  * `RDD.zipWithIndex`), kept entirely in the DataFrame API:
+  *
+  *  1. range-partition + sort by the key (Spark's distributed sort);
+  *  2. count rows per physical partition (tiny aggregate, one row per
+  *     partition);
+  *  3. broadcast the per-partition cumulative offsets back and add the
+  *     within-partition `row_number` (window partitioned by partition id,
+  *     so it parallelizes across the cluster).
+  *
+  * The sorted intermediate is persisted so both passes observe the same
+  * physical partitioning (range-partitioner sampling must not re-run
+  * between the count pass and the id pass).
+  */
+object RowIds {
+
+  /** Adds `idCol` = dense 0-based rank of the row under `order`.
+    * `order` must be a total order (unique key) for deterministic output.
+    */
+  def withDenseId(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
+    val pid = "__graft_pid"
+    val off = "__graft_offset"
+    val sorted = df
+      .repartitionByRange(order.map(_.asc): _*)
+      .sortWithinPartitions(order.map(_.asc): _*)
+      .withColumn(pid, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one row per partition — broadcastable at any scale (≤ #partitions)
+    val counts = sorted.groupBy(col(pid)).count()
+    val cumW = Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn(off, coalesce(sum(col("count")).over(cumW), lit(0L)))
+      .drop("count")
+
+    val withinW = Window.partitionBy(col(pid)).orderBy(order.map(_.asc): _*)
+    sorted
+      .join(broadcast(offsets), pid)
+      .withColumn(idCol, row_number().over(withinW).cast("long") + col(off) - 1L)
+      .drop(pid, off)
+  }
+}

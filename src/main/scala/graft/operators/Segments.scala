@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Contiguous stream segmentation (the reference's video splitter,
+  * `/root/reference/uav/video_splitter.py:27-79`) re-expressed
+  * relationally and shuffle-friendly.
+  *
+  * A global `ntile(k).over(Window.orderBy(...))` single-threads the whole
+  * stream through one task. Given a dense 0-based row id (see [[RowIds]])
+  * the tile assignment is pure arithmetic — embarrassingly parallel and
+  * exactly equal to SQL `ntile` semantics (first `n % k` tiles get
+  * `n/k + 1` rows).
+  */
+object Segments {
+
+  /** `ntile(k)` computed arithmetically from a dense 0-based id column.
+    * `df` must carry `idCol`; the row count is injected via a broadcast
+    * single-row cross join so the plan stays fully distributed.
+    */
+  def ntileFromDenseId(df: DataFrame, idCol: String, k: Int, segCol: String): DataFrame = {
+    val n = "__graft_n"
+    val counts = df.agg(count(lit(1)).as(n))
+    val i = col(idCol)
+    val q = (col(n) / k).cast("long") // floor division: n, k non-negative
+    val r = col(n) % k
+    val big = q + 1L
+    val seg = when(i < big * r, (i / big).cast("long"))
+      .otherwise(r + ((i - big * r) / q).cast("long")) + 1L
+    df.crossJoin(broadcast(counts))
+      .withColumn(segCol, seg)
+      .drop(n)
+  }
+
+  /** Segment boundary table `[lo, hi)` for k contiguous, near-equal-width
+    * segments over `[0, total)` — the deterministic analog of the
+    * reference's random cut points (`video_splitter.py:48-49`), formed the
+    * same way: boundary list → `lead()` to turn boundaries into ranges.
+    */
+  def boundaries(df: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = df.agg(count(lit(1)).as("__t"))
+    val segs = df.sparkSession.range(k).toDF("segment")
+      .crossJoin(broadcast(total))
+      .withColumn("lo", (col("segment") * col("__t") / k).cast("long"))
+    // k rows — the window over them is trivially cheap
+    val w = Window.orderBy(col("segment"))
+    segs
+      .withColumn("hi", coalesce(lead(col("lo"), 1).over(w), col("__t")))
+      .drop("__t")
+  }
+}

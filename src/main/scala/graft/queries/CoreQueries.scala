@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.{Letterbox, RowIds, Segments}
+
+/** Core reference surface (SURVEY.md §2.3 q01–q16): scans, filters,
+  * letterbox math, joins, explode, JSON, windows, counters, top-k.
+  *
+  * Every query is deterministic (total-order ORDER BY; double sums routed
+  * through DECIMAL(18,2) — SURVEY.md §7.3) and mirrored 1:1 by an ANSI-SQL
+  * oracle DuckDB runs on the same parquet tables. Column names/aliases are
+  * kept identical between the Spark plan and the oracle SQL.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // O1 — positional row-id assignment (frame_reader.py:102-104), done
+    // scalably via RowIds (two-pass dense id, no single-task window).
+    "q01_ordered_scan" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val keys = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      RowIds.withDenseId(li, keys, "frame_number").orderBy("frame_number")
+    },
+
+    // O2 — keyframe sampling: every 30th positional id, frame 0 included
+    // (main.py:116). Pure column predicate → pushed to the parquet scan.
+    "q02_keyframe_sample" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 30 === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // O3 — letterbox geometry (frame_processing.py:29-39) as native
+    // Catalyst arithmetic; (w,h) derived deterministically from part keys.
+    "q03_letterbox_geometry" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      val w = (col("p_partkey") % 1920 + 1).cast("long")
+      val h = (col("p_partkey") * 7 % 1080 + 1).cast("long")
+      val g = Letterbox.geometry(w, h, 640)
+      p.select(
+        col("p_partkey"), w.as("w"), h.as("h"), g.scale.as("scale"),
+        g.newW.as("new_w"), g.newH.as("new_h"),
+        g.padTop.as("pad_top"), g.padBottom.cast("long").as("pad_bottom"),
+        g.padLeft.as("pad_left"), g.padRight.cast("long").as("pad_right")
+      ).orderBy("p_partkey")
+    },
+
+    // O4 — detection filters: confidence >= threshold AND class IN list
+    // (frame_processing.py:93,103).
+    "q04_detection_filter" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("value") >= 40 && col("event_type").isin("purchase", "error"))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // O5 — class-name→id lookup as a broadcast dimension join
+    // (frame_processing.py:82-84).
+    "q05_class_lookup_join" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      e.join(broadcast(c), e("user_id") === c("c_custkey"))
+        .select("event_id", "user_id", "c_name")
+        .orderBy("event_id")
+    },
+
+    // O4 shape — flatMap/table-generating function: one row → N rows.
+    "q06_explode_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .orderBy("doc_id", "token")
+    },
+
+    // K2 — JSON extraction (frame_processing.py:240-248 inverse).
+    "q07_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    // D1 — run counters: total frames + keyframes (main.py:90-91,117).
+    "q08_frame_counters" -> { (s, d) =>
+      Tables.events(s, d).agg(
+        count(lit(1)).as("total_frames"),
+        sum(when(col("event_id") % 30 === 0, 1L).otherwise(0L)).as("keyframes"))
+    },
+
+    // D1 — progress ticks: every 100th row by position (main.py:144).
+    "q09_progress_ticks" -> { (s, d) =>
+      val e = Tables.events(s, d).select("event_id")
+      RowIds.withDenseId(e, Seq(col("event_id")), "rn0")
+        .select(col("event_id"), (col("rn0") + 1L).as("rn"))
+        .filter(col("rn") % 100 === 0)
+        .orderBy("event_id")
+    },
+
+    // U2 — contiguous segmentation: ntile(4) via dense-id arithmetic
+    // (video_splitter.py:48), then per-segment stats.
+    "q10_segment_ntile" -> { (s, d) =>
+      val e = Tables.events(s, d).select("event_id")
+      val withId = RowIds.withDenseId(e, Seq(col("event_id")), "__id")
+      Segments.ntileFromDenseId(withId, "__id", 4, "segment")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("segment")
+    },
+
+    // S1 — numeric-in-name sort key, non-numeric last
+    // (frame_reader.py:62-66).
+    "q11_numeric_name_sort" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)").as("src_num"))
+        .orderBy(col("src_num").asc_nulls_last, col("doc_id").asc)
+    },
+
+    // K1 — fps fallback: coalesce(nullif(fps,0), 25.0)
+    // (frame_processing.py:152; fps nulling frame_reader.py:174-176).
+    "q12_fps_fallback" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(nullif(col("value"), lit(0.0)), lit(25.0)).as("fps"))
+        .orderBy("event_id")
+    },
+
+    // K1 — first-record schema bind: earliest record per group
+    // (frame_processing.py:163-165). Window partitioned by group key —
+    // parallelizes across groups, no global funnel.
+    "q13_first_frame_init" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("event_type", "event_id", "ts", "value")
+        .orderBy("event_type")
+    },
+
+    // §2.4 — tumbling time bucket (batch twin of q25). Double sum via
+    // DECIMAL(18,2) for shuffle-order determinism (SURVEY.md §7.3).
+    "q14_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("minute")
+    },
+
+    // S3 failure mode — gap detection on the sampled stream
+    // (frame_reader.py:184-190). lag() re-expressed as a dense-id
+    // self-join so no single-partition window is needed.
+    "q15_dropped_frames" -> { (s, d) =>
+      val sample = Tables.events(s, d)
+        .filter(col("event_id") % 30 === 0).select("event_id")
+      val withId = RowIds.withDenseId(sample, Seq(col("event_id")), "__rn")
+      val prev = withId.select((col("__rn") + 1L).as("__rn"), col("event_id").as("__prev"))
+      withId.join(prev, Seq("__rn"), "left")
+        .select(col("event_id"), (col("event_id") - col("__prev")).as("gap"))
+        .orderBy("event_id")
+    },
+
+    // O4 ranking — top-k by score with deterministic tiebreak.
+    "q16_topk_confidence" -> { (s, d) =>
+      Tables.events(s, d)
+        .select("event_id", "event_type", "value")
+        .orderBy(col("value").desc, col("event_id").asc)
+        .limit(10)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_ordered_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) - 1 AS frame_number
+        |FROM lineitem ORDER BY frame_number""".stripMargin,
+    "q02_keyframe_sample" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_id % 30 = 0 ORDER BY event_id",
+    "q03_letterbox_geometry" ->
+      """WITH dims AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 1920 + 1 AS BIGINT) AS w,
+        |    CAST(p_partkey * 7 % 1080 + 1 AS BIGINT) AS h
+        |  FROM part),
+        |scaled AS (
+        |  SELECT *, least(640.0 / w, 640.0 / h) AS scale FROM dims),
+        |sized AS (
+        |  SELECT *,
+        |    CAST(floor(w * scale) AS BIGINT) AS new_w,
+        |    CAST(floor(h * scale) AS BIGINT) AS new_h
+        |  FROM scaled),
+        |padded AS (
+        |  SELECT *,
+        |    CAST(floor((640 - new_h) / 2) AS BIGINT) AS pad_top,
+        |    CAST(floor((640 - new_w) / 2) AS BIGINT) AS pad_left
+        |  FROM sized)
+        |SELECT p_partkey, w, h, scale, new_w, new_h,
+        |  pad_top, 640 - new_h - pad_top AS pad_bottom,
+        |  pad_left, 640 - new_w - pad_left AS pad_right
+        |FROM padded ORDER BY p_partkey""".stripMargin,
+    "q04_detection_filter" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE value >= 40 AND event_type IN ('purchase','error') ORDER BY event_id""".stripMargin,
+    "q05_class_lookup_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey ORDER BY e.event_id""".stripMargin,
+    "q06_explode_tokens" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents ORDER BY doc_id, token",
+    "q07_json_extract" ->
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q08_frame_counters" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_frames,
+        |  CAST(sum(CASE WHEN event_id % 30 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS keyframes
+        |FROM events""".stripMargin,
+    "q09_progress_ticks" ->
+      """SELECT event_id, rn FROM (
+        |  SELECT event_id, CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) AS rn FROM events)
+        |WHERE rn % 100 = 0 ORDER BY event_id""".stripMargin,
+    "q10_segment_ntile" ->
+      """WITH t AS (
+        |  SELECT event_id, CAST(ntile(4) OVER (ORDER BY event_id) AS BIGINT) AS segment FROM events)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM t GROUP BY segment ORDER BY segment""".stripMargin,
+    "q11_numeric_name_sort" ->
+      """SELECT doc_id, source,
+        |  TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_num
+        |FROM documents ORDER BY src_num ASC NULLS LAST, doc_id ASC""".stripMargin,
+    "q12_fps_fallback" ->
+      "SELECT event_id, coalesce(nullif(value, 0.0), 25.0) AS fps FROM events ORDER BY event_id",
+    "q13_first_frame_init" ->
+      """SELECT event_type, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q14_tumbling_window" ->
+      """SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY minute ORDER BY minute""".stripMargin,
+    "q15_dropped_frames" ->
+      """WITH s AS (SELECT event_id FROM events WHERE event_id % 30 = 0)
+        |SELECT event_id, event_id - lag(event_id) OVER (ORDER BY event_id) AS gap
+        |FROM s ORDER BY event_id""".stripMargin,
+    "q16_topk_confidence" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY value DESC, event_id ASC LIMIT 10"
+  )
+}
