@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline surface: tokenization, word
+  * n-gram shingling, and a deterministic cross-engine 56-bit hash.
+  *
+  * Everything here is a pure Catalyst expression (codegen'd, shuffle-free,
+  * and expressible 1:1 in the DuckDB oracle SQL).
+  */
+object TextOps {
+
+  /** Whitespace tokens — the corpus is single-space word soup, so a plain
+    * split matches DuckDB's `string_split` exactly. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: `len - n + 1` overlapping windows joined with a
+    * space. Matches `list_transform(generate_series(1, len(tk)-n+1), i ->
+    * tk[i] || ' ' || ... )` in DuckDB. Empty array when the doc is shorter
+    * than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Deterministic 56-bit hash: the first 14 hex chars of md5, parsed as an
+    * integer. md5 is bit-identical across engines (unlike murmur/xxhash
+    * whose seeds differ), and 56 bits keeps all downstream arithmetic
+    * safely inside a signed 64-bit long even under ANSI overflow checks.
+    * DuckDB twin: `CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT)`. */
+  def hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+}

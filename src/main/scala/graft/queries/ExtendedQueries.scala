@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.{RowIds, Segments}
+import graft.streaming.StreamingTumbling
+
+/** Utility + extension surface (SURVEY.md §2.3 q17–q25): dedup, LSH
+  * near-dup, vector similarity, text stats, rollup, range join, anti join,
+  * ordered reassembly, and the Structured Streaming tumbling window.
+  */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // North-star dedup: exact duplicate groups keep the smallest id —
+    // a plain hash-shuffle groupBy, the canonical 100 TB-safe exact dedup.
+    "q17_exact_dedup" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Near-dup via MLlib MinHashLSH over 3-gram shingle sets (banding
+    // avoids the O(n²) cross join; fixed seed keeps it deterministic).
+    // Spark-only: LSH internals aren't SQL-expressible — the relational
+    // twin with a DuckDB oracle is q30/q31 in the pipeline surface.
+    "q18_neardup_minhash" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val tf = new HashingTF()
+        .setInputCol("shingles").setOutputCol("features")
+        .setBinary(true).setNumFeatures(1 << 18)
+      val fdf = tf.transform(docs)
+      val mh = new MinHashLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = mh.fit(fdf)
+      model.approxSimilarityJoin(fdf, fdf, 0.5, "dist")
+        .select(col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"),
+          round(col("dist"), 4).as("jaccard_dist"))
+        .filter(col("doc_a") < col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Vector similarity search: brute-force cosine top-k against one query
+    // vector (broadcast). The IVF scale path is q33.
+    "q19_cosine_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(VectorOps.toDoubleArray(col("embedding")).as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(VectorOps.cosine(VectorOps.toDoubleArray(col("embedding")), col("qe")), 4)
+            .as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // Text analysis: per-language corpus stats. avg stays unrounded —
+    // integer sums are exact in float64, so the division is bit-identical
+    // across engines with no rounding-mode hazard.
+    "q20_lang_text_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          avg("n_chars").as("avg_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // TPC-H Q1-shaped rollup; doubles routed through DECIMAL(18,2) before
+    // sum so shuffle order can't perturb the result (SURVEY.md §7.3).
+    "q21_rollup_revenue" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          // cast operands (exact 2-dp values, far from rounding edges)
+          // BEFORE multiplying: the 4-dp product then sums exactly in
+          // decimal with no engine-dependent rounding anywhere.
+          sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)").as("revenue"))
+        .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+    },
+
+    // U2 range join: boundary table (lead() over k rows) → non-equi join.
+    // The 4-row segment side broadcasts, so the "nested loop" is really a
+    // map-side interval test — no shuffle of the big side.
+    "q22_segment_range_join" -> { (s, d) =>
+      val e = Tables.events(s, d).select("event_id")
+      val segs = Segments.boundaries(e, 4)
+      e.join(broadcast(segs),
+          e("event_id") >= segs("lo") && e("event_id") < segs("hi"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("segment")
+    },
+
+    // Anti join: sources that never hit the expensive branch
+    // ("no detections", main.py:127-129 analog).
+    "q23_anti_join_quiet_users" -> { (s, d) =>
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase").select("user_id")
+      Tables.customer(s, d)
+        .join(purchases, col("c_custkey") === col("user_id"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // U2 inverse: the 4 contiguous segments union back to the original
+    // ordered stream, losslessly.
+    "q24_union_reassembly" -> { (s, d) =>
+      val e = Tables.events(s, d).select("event_id", "event_type")
+      val withId = RowIds.withDenseId(e, Seq(col("event_id")), "__id")
+      val tiled = Segments.ntileFromDenseId(withId, "__id", 4, "seg")
+      (1 to 4).map(i => tiled.filter(col("seg") === i).select("event_id", "event_type"))
+        .reduce(_ unionAll _)
+        .orderBy("event_id")
+    },
+
+    // Structured Streaming tumbling window; same oracle as its batch twin
+    // q14 — stream/batch parity IS the check.
+    "q25_streaming_tumbling" -> { (s, d) =>
+      StreamingTumbling.tumblingPerMinute(s, d)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q17_exact_dedup" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
+    // q18: Spark-only (MLlib LSH) — relational twin q30/q31 carries the oracle.
+    "q19_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q20_lang_text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, avg(n_chars) AS avg_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q21_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
+    "q22_segment_range_join" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+        |b AS (SELECT s.segment, CAST(s.segment * t.total // 4 AS BIGINT) AS lo
+        |      FROM (SELECT unnest(range(4)) AS segment) s, t),
+        |segs AS (SELECT segment, lo,
+        |  coalesce(lead(lo) OVER (ORDER BY segment), (SELECT total FROM t)) AS hi FROM b)
+        |SELECT s.segment, CAST(count(*) AS BIGINT) AS n,
+        |  min(e.event_id) AS min_id, max(e.event_id) AS max_id
+        |FROM events e JOIN segs s ON e.event_id >= s.lo AND e.event_id < s.hi
+        |GROUP BY s.segment ORDER BY s.segment""".stripMargin,
+    "q23_anti_join_quiet_users" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM events e
+        |                  WHERE e.event_type = 'purchase' AND e.user_id = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q24_union_reassembly" ->
+      """WITH p AS (SELECT event_id, event_type,
+        |  ntile(4) OVER (ORDER BY event_id) AS seg FROM events)
+        |SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type FROM p WHERE seg = 1
+        |  UNION ALL SELECT event_id, event_type FROM p WHERE seg = 2
+        |  UNION ALL SELECT event_id, event_type FROM p WHERE seg = 3
+        |  UNION ALL SELECT event_id, event_type FROM p WHERE seg = 4)
+        |ORDER BY event_id""".stripMargin,
+    // q25 shares q14's oracle: the stream must equal its batch twin.
+    "q25_streaming_tumbling" ->
+      """SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY minute ORDER BY minute""".stripMargin
+  )
+}
