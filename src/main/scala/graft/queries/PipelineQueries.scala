@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Signatures
+import graft.functions.{TextOps, VectorOps}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+
+/** LLM-training-data pipeline surface (first-class per the north star):
+  * token counting, quality scoring, language ID, fingerprinting, MinHash
+  * banding dedup, shingle-Jaccard verification, embedding kNN, IVF ANN,
+  * SimHash dedup, and multimodal binary plumbing.
+  *
+  * Everything except q33 (IVF) carries a 1:1 DuckDB oracle; signatures are
+  * md5-based so both engines compute bit-identical hashes.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BPE-ish pretokenizer classes: letter runs, single digits, other
+    * non-space symbols — the shape of a GPT-style pretoken split. */
+  private val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  private def tokensCol: Column = TextOps.tokens(col("text"))
+
+  /** distinct 3-gram shingle set per doc (docs shorter than 3 tokens drop
+    * out — mirrored in the oracle). */
+  private def shingleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(tokensCol, 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Shared oracle CTE prefix producing the same shingle sets. */
+  private val ShingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |       FROM toks WHERE len(tk) >= 3)""".stripMargin
+
+  /** MinHash LSH candidates, relationally: 16 hashes, 8 bands of 2.
+    * Signature rows are reduced map-side; only (band, bucket) keys
+    * shuffle, then an equi-join surfaces candidate pairs. */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val sig = Signatures.minhashBandBuckets(shingleDocs(s, d), 16)
+    val a = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  private val MinhashCandidatesSql =
+    s"""$ShingleCte,
+       |mh AS (SELECT doc_id, list_transform(generate_series(0, 15),
+       |         s -> list_min(list_transform(sh, x ->
+       |           CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || x), 1, 14)) AS BIGINT)))) AS m
+       |       FROM sh),
+       |bands AS (SELECT doc_id, b.band,
+       |         md5(CAST(m[2*b.band + 1] AS VARCHAR) || '_' || CAST(m[2*b.band + 2] AS VARCHAR)) AS bucket
+       |       FROM mh, (SELECT unnest(range(8)) AS band) b)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + BPE-ish pretoken count.
+    "q26_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokensCol).cast("long").as("n_tokens"),
+          regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword / length / symbol ratios + keep flag.
+    // All ratios are single exact IEEE divisions — no rounding hazards.
+    "q27_quality_score" -> { (s, d) =>
+      val toks = tokensCol
+      val nTok = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
+      val nSym = (length(col("text")) - length(regexp_replace(col("text"), "[a-z ]", ""))).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          (nStop.cast("double") / nTok).as("stop_ratio"),
+          ((col("n_chars") - (nTok - 1)).cast("double") / nTok).as("avg_token_len"),
+          (lit(1.0) - nSym.cast("double") / col("n_chars")).as("sym_ratio"))
+        .withColumn("quality_ok",
+          col("stop_ratio") >= 0.02 && col("stop_ratio") <= 0.6 &&
+            col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0)
+        .orderBy("doc_id")
+    },
+
+    // Language ID: stopword-marker scoring with a fixed-priority argmax —
+    // the classic n-gram/marker heuristic, fully relational.
+    "q28_langid" -> { (s, d) =>
+      def score(words: Seq[String]): Column =
+        size(filter(tokensCol, t => t.isin(words: _*))).cast("long")
+      val sEn = score(Seq("the", "of", "and", "to", "in"))
+      val sDe = score(Seq("der", "die", "das", "und", "ist"))
+      val sEs = score(Seq("el", "la", "de", "que", "y"))
+      val sFr = score(Seq("le", "la", "de", "et", "les"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: token-level rolling polynomial hash mod p —
+    // an order-sensitive signature (same bag, different order → different
+    // print), complementing the order-insensitive minhash.
+    "q29_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(tokensCol, lit(0L),
+            (h, t) => pmod(h * 31L + TextOps.hash56(t), lit(1000000007L))).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // MinHash+LSH banding, fully relational (the oracle-checked twin of
+    // q18's MLlib path).
+    "q30_minhash_banding" -> { (s, d) =>
+      minhashCandidates(s, d).orderBy("doc_a", "doc_b")
+    },
+
+    // Exact n-gram Jaccard verification of the LSH candidates — the
+    // verify stage of the canonical two-phase near-dup pipeline.
+    "q31_ngram_jaccard" -> { (s, d) =>
+      val docs = shingleDocs(s, d)
+      val cands = minhashCandidates(s, d)
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jaccard",
+          inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding near-dup / all-pairs top-1 neighbor, brute force (the
+    // exact baseline; q33 is the approximate scale path).
+    "q32_embedding_knn" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      Ann.bruteForceKnn(e, e, 1)
+        .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"), col("cos"))
+        .orderBy("vec_id")
+    },
+
+    // IVF ANN: nearest-centroid partitioning + nprobe search. Spark-only
+    // (recall vs the exact q32 is asserted in tests). Centroid codebook =
+    // the 16 lowest-id vectors, a deterministic stand-in for trained
+    // k-means centers.
+    "q33_ann_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val centroids = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 32)
+      Ann.ivfKnn(e, queries, centroids, k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // SimHash near-dup: 56-bit majority-bit signature, 14-bit-band
+    // blocking (pigeonhole-complete for Hamming <= 3), popcount verify.
+    "q34_simhash_neardup" -> { (s, d) =>
+      val sigs = Signatures.simhashBands(Signatures.simhash56(shingleDocs(s, d)))
+      val a = sigs.select(col("band"), col("bval"),
+        col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val b = sigs.select(col("band"), col("bval"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Multimodal: binary payload ingest → per-partition stub decode →
+    // every-2nd-frame sampling, through a typed Dataset boundary.
+    "q35_multimodal_frames" -> { (s, d) =>
+      val media = Multimodal.ingest(s, Tables.documents(s, d))
+      Multimodal.sampleFrames(s, media)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q26_token_count" ->
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_quality_score" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+        |    length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_chars, n_sym, len(tk) AS n_tokens,
+        |    len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','is','it'))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |  1.0 - CAST(n_sym AS DOUBLE) / n_chars AS sym_ratio,
+        |  (CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.02 AND 0.6)
+        |    AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0) AS quality_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q28_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','of','and','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(tk, x -> x IN ('le','la','de','et','les'))) AS BIGINT) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT))),
+        |    (h, x) -> (h * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_minhash_banding" ->
+      s"""$MinhashCandidatesSql
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b USING (band, bucket)
+         |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_ngram_jaccard" ->
+      s"""$MinhashCandidatesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, j AS jaccard FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id)
+         |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_embedding_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id, b.vec_id AS nn_id,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nn_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rn
+        |  FROM p)
+        |SELECT vec_id, nn_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q33: Spark-only (IVF internals; recall asserted in tests vs q32).
+    "q34_simhash_neardup" ->
+      s"""$ShingleCte,
+         |hs AS (SELECT doc_id, list_transform(sh, x ->
+         |    CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT)) AS hashes FROM sh),
+         |sim AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 55), b ->
+         |    CASE WHEN list_sum(list_transform(hashes, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM hs),
+         |bands AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band * 14)) % 16384 AS bval
+         |  FROM sim, (SELECT unnest(range(4)) AS band) b)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM bands a JOIN bands b USING (band, bval) WHERE a.doc_id < b.doc_id)
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q35_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |f AS (SELECT doc_id, n_bytes, n_bytes % 640 + 1 AS width,
+        |    n_bytes * 7 % 480 + 1 AS height, n_bytes % 16 + 1 AS n_frames FROM m)
+        |SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, width, height, n_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}
