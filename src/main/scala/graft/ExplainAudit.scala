@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries so plan
+  * regressions (lost pushdown, surprise shuffles, broadcast->SMJ flips)
+  * are visible in review. Run: sbt "runMain graft.ExplainAudit". */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "q02_keyframe_sample", "q04_detection_filter", "q05_class_lookup_join",
+      "q14_tumbling_window", "q16_topk_confidence", "q22_segment_range_join",
+      "q30_minhash_banding", "q32_embedding_knn")
+    for (name <- interesting) {
+      println(s"\n========== $name ==========")
+      println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
