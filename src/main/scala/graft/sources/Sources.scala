@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RowIds
+
+/** Source layer: the reference's reader family recast on Spark's
+  * `DataFrameReader` registry.
+  *
+  * - S1 `ImageReader` (`/root/reference/uav/frame_reader.py:55-113`):
+  *   directory scan ordered by the number embedded in the filename,
+  *   non-numeric names last — [[imageDir]] over the `binaryFile` format.
+  * - S3 `StreamReader` (`frame_reader.py:158-199`): unbounded scan —
+  *   [[stream]] via `readStream` (upgraded from the reference's
+  *   at-most-once to replayable at-least-once by checkpointing).
+  * - S4 `SourceReader` (`frame_reader.py:202-248`): URI-scheme dispatch —
+  *   [[open]].
+  *
+  * Real MP4/RTSP decode would plug in as a `DataSourceV2` TableProvider
+  * (SURVEY.md §7.4, deferred — no codec libs in this container); every
+  * downstream operator only sees the (payload, frame_number, metadata)
+  * schema, so the source swap is invisible to queries.
+  */
+object Sources {
+
+  /** Ordered binary-directory scan: each file one record, `frame_number`
+    * assigned by numeric-filename order (digits extracted from the name;
+    * names without digits sort last — `frame_reader.py:62-66`). */
+  def imageDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .withColumn("num_key",
+        expr("try_cast(regexp_extract(reverse(split(path, '/'))[0], '([0-9]+)', 1) AS BIGINT)"))
+    // nulls-last expressed as a MaxValue sentinel: RowIds keys must be
+    // plain columns (it applies the sort direction itself).
+    RowIds.withDenseId(
+      files, Seq(coalesce(col("num_key"), lit(Long.MaxValue)), col("path")), "frame_number")
+      .select("frame_number", "path", "length", "content")
+  }
+
+  /** Unbounded scan over a growing directory (the RTSP analog: records
+    * appear over time; Structured Streaming replays from checkpoints
+    * where the reference just dropped the stream on first failure). */
+  def stream(spark: SparkSession, dir: String,
+             schema: org.apache.spark.sql.types.StructType, glob: String = "*"): DataFrame =
+    spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
+
+  /** S4 dispatch: `stream://` prefix → unbounded, directory → binary
+    * image scan, file → batch columnar read. */
+  def open(spark: SparkSession, uri: String): DataFrame = {
+    if (uri.startsWith("stream://")) {
+      val dir = uri.stripPrefix("stream://")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.readStream.format("parquet")
+        .schema(spark.read.parquet(dir).schema).load(dir)
+    } else {
+      val f = new java.io.File(uri)
+      if (f.isDirectory) imageDir(spark, uri)
+      else {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(uri)
+      }
+    }
+  }
+}

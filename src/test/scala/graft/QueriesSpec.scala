@@ -15,11 +15,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs at sf0.001 and returns a schema") {
-    for ((name, fn) <- SparkEntry.queries) {
-      val df = fn(spark, sf0001)
-      assert(df.schema.nonEmpty, name)
-      assert(df.count() >= 0, name)
+  test("every query matches its committed golden hash at sf0.001") {
+    val props = new java.util.Properties()
+    val f = new java.io.File("src/test/resources/goldens.properties")
+    assert(f.exists(), "goldens missing — run: sbt \"runMain graft.GoldenGen\"")
+    props.load(new java.io.FileReader(f))
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val golden = props.getProperty(name)
+      assert(golden != null, s"$name has no golden — regenerate with GoldenGen")
+      assert(GoldenHash.hashDf(fn(spark, sf0001)) === golden, name)
     }
   }
 

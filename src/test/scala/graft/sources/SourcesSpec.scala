@@ -1,0 +1,39 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("imageDir orders by embedded number, non-numeric names last") {
+    val dir = Files.createTempDirectory("graft_imgs")
+    for ((name, bytes) <- Seq("frame_10.bin" -> "ten", "frame_2.bin" -> "two",
+        "cover.bin" -> "nan"))
+      Files.write(dir.resolve(name), bytes.getBytes("UTF-8"))
+    val got = Sources.imageDir(spark, dir.toString)
+      .selectExpr("frame_number", "reverse(split(path,'/'))[0] AS name",
+        "decode(content, 'UTF-8') AS body")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq === Seq("frame_2.bin", "frame_10.bin", "cover.bin"))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got.map(_._3).toSeq === Seq("two", "ten", "nan"))
+  }
+
+  test("open() dispatches: directory -> binary scan, file -> parquet") {
+    val viaFile = Sources.open(spark, s"$sf0001/events.parquet")
+    assert(viaFile.columns.contains("event_id"))
+    val dir = Files.createTempDirectory("graft_disp")
+    Files.write(dir.resolve("1.bin"), "x".getBytes)
+    assert(Sources.open(spark, dir.toString).columns.contains("frame_number"))
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    graft.extensions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(got === 11.0)
+  }
+}
