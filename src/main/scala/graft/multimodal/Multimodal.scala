@@ -59,4 +59,17 @@ object Multimodal {
       .flatMap(m => (0L until m.n_frames by 2L).map(i =>
         FrameSample(m.doc_id, i, m.width, m.height, m.n_bytes)))
   }
+
+  /** U1 `extract_frames` (`/root/reference/uav/video_splitter.py:6-25`):
+    * unnest a media object into per-frame files named `frame_%05d` —
+    * here a partitioned parquet write keyed by the formatted frame name,
+    * one directory per frame exactly like the reference's one file per
+    * frame. */
+  def extractFrames(spark: SparkSession, media: Dataset[MediaRecord], outDir: String): Unit = {
+    sampleFrames(spark, media)
+      .withColumn("frame_file", format_string("frame_%05d", col("frame_idx")))
+      .write.mode("overwrite")
+      .partitionBy("frame_file")
+      .parquet(outDir)
+  }
 }
