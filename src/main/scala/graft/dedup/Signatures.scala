@@ -55,20 +55,24 @@ object Signatures {
 
   /** 56-bit SimHash: bit b of the signature is set iff the majority of
     * shingle hashes have bit b set. Input: (doc_id, sh); output:
-    * (doc_id, simhash). Near-identical sets → small Hamming distance. */
+    * (doc_id, simhash). Near-identical sets → small Hamming distance.
+    *
+    * The 56 per-bit majority sums are 56 aggregate COLUMNS of one
+    * groupBy — not a 56× row explode — so the pre-shuffle row count stays
+    * at doc×shingle and partial aggregation collapses it to one row per
+    * doc. The bit weights fold back with compile-time literal shifts. */
   def simhash56(shingleDocs: DataFrame): DataFrame = {
-    shingleDocs
+    val hashed = shingleDocs
       .select(col("doc_id"), explode(col("sh")).as("x"))
       .withColumn("h", TextOps.hash56(col("x")))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(55))).as("b"))
-      // shiftright with a column-valued amount only exists in SQL form
-      .withColumn("contrib",
-        when(expr("shiftright(h, b) % 2") === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("contrib")).as("s"))
+    val bitSums = (0 until 56).map(b =>
+      sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    hashed
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("cast(pow(2, b) AS BIGINT)")).otherwise(0L))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 56).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Split a 56-bit simhash into 4 disjoint 14-bit band values. By

@@ -38,7 +38,7 @@ object ExtendedQueries {
         .filter(size(col("shingles")) > 0)
       val tf = new HashingTF()
         .setInputCol("shingles").setOutputCol("features")
-        .setBinary(true).setNumFeatures(1 << 18)
+        .setBinary(true).setNumFeatures(1 << 16)
       val fdf = tf.transform(docs)
       val mh = new MinHashLSH()
         .setInputCol("features").setOutputCol("hashes")
@@ -133,6 +133,19 @@ object ExtendedQueries {
     // q14 — stream/batch parity IS the check.
     "q25_streaming_tumbling" -> { (s, d) =>
       StreamingTumbling.tumblingPerMinute(s, d)
+    },
+
+    // Error-tolerant execution (main.py:156-159; frame_processing.py:53-57,
+    // 113-115): a failing operator yields null instead of killing the
+    // stream; downstream coalesces a fallback and counts errors — the
+    // relational form of per-record try/except.
+    "q41_tolerant_math" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          (col("value") / nullif(col("event_id") % 5, lit(0))).as("risky"))
+        .withColumn("is_error", col("risky").isNull)
+        .withColumn("safe", coalesce(col("risky"), lit(-1.0)))
+        .orderBy("event_id")
     }
   )
 
@@ -186,6 +199,11 @@ object ExtendedQueries {
     "q25_streaming_tumbling" ->
       """SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY minute ORDER BY minute""".stripMargin
+        |FROM events GROUP BY minute ORDER BY minute""".stripMargin,
+    "q41_tolerant_math" ->
+      """SELECT event_id, value / nullif(event_id % 5, 0) AS risky,
+        |  value / nullif(event_id % 5, 0) IS NULL AS is_error,
+        |  coalesce(value / nullif(event_id % 5, 0), -1.0) AS safe
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

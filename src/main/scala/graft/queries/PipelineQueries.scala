@@ -48,7 +48,10 @@ object PipelineQueries {
     * Signature rows are reduced map-side; only (band, bucket) keys
     * shuffle, then an equi-join surfaces candidate pairs. */
   private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    // persist: both sides of the band self-join read the signature
+    // relation; without it the whole explode+hash pipeline runs twice.
     val sig = Signatures.minhashBandBuckets(shingleDocs(s, d), 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bucket"))
@@ -141,6 +144,7 @@ object PipelineQueries {
     // verify stage of the canonical two-phase near-dup pipeline.
     "q31_ngram_jaccard" -> { (s, d) =>
       val docs = shingleDocs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = minhashCandidates(s, d)
       val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -179,6 +183,7 @@ object PipelineQueries {
     // blocking (pigeonhole-complete for Hamming <= 3), popcount verify.
     "q34_simhash_neardup" -> { (s, d) =>
       val sigs = Signatures.simhashBands(Signatures.simhash56(shingleDocs(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sigs.select(col("band"), col("bval"),
         col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
       val b = sigs.select(col("band"), col("bval"),
