@@ -135,6 +135,15 @@ object ExtendedQueries {
       StreamingTumbling.tumblingPerMinute(s, d)
     },
 
+    // Multi-dimensional aggregation: CUBE over event type × user cohort
+    // (rollup's sibling, SURVEY.md §2.2 grouping-sets class).
+    "q43_cube_cohorts" -> { (s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), (col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_last, col("cohort").asc_nulls_last)
+    },
+
     // Error-tolerant execution (main.py:156-159; frame_processing.py:53-57,
     // 113-115): a failing operator yields null instead of killing the
     // stream; downstream coalesces a fallback and counts errors — the
@@ -200,6 +209,10 @@ object ExtendedQueries {
       """SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY minute ORDER BY minute""".stripMargin,
+    "q43_cube_cohorts" ->
+      """SELECT event_type, user_id % 10 AS cohort, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY event_type NULLS LAST, cohort NULLS LAST""".stripMargin,
     "q41_tolerant_math" ->
       """SELECT event_id, value / nullif(event_id % 5, 0) AS risky,
         |  value / nullif(event_id % 5, 0) IS NULL AS is_error,

@@ -204,6 +204,26 @@ object PipelineQueries {
       Multimodal.sampleFrames(s, media)
         .toDF()
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // TF-IDF top terms per document. idf kept rational (N/df, exact
+    // division) rather than log-scaled: libm log differs across engines
+    // in the last ulp, a ratio does not.
+    "q42_tfidf_top_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokensCol).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+      tf.join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("token"))
     }
   )
 
@@ -289,6 +309,19 @@ object PipelineQueries {
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |  FROM bands a JOIN bands b USING (band, bval) WHERE a.doc_id < b.doc_id)
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q42_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |    tf.tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (token), n),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk FROM scored)
+        |SELECT doc_id, token, tf, score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, token""".stripMargin,
     "q35_multimodal_frames" ->
       """WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
         |f AS (SELECT doc_id, n_bytes, n_bytes % 640 + 1 AS width,

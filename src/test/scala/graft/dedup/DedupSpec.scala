@@ -37,6 +37,29 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 2L) < ham(1L, 3L))
   }
 
+  test("MLlib MinHashLSH and the relational LSH pipeline agree pair-for-pair") {
+    import graft.SparkEntry
+    val mllib = SparkEntry.queries("q18_neardup_minhash")(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val relational = SparkEntry.queries("q31_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mllib === relational,
+      "two independent near-dup implementations must find the same pairs")
+  }
+
+  test("skew-safe distinct count equals countDistinct") {
+    import graft.Tables
+    import graft.operators.Salting
+    val direct = Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Salting.skewSafeDistinctCount(
+      Tables.events(spark, sf0001), "event_type", "user_id", "n")
+      .as[(String, Long)].collect().toMap
+    assert(salted === direct)
+  }
+
   test("simhash band split covers all 56 bits disjointly") {
     val sim = Signatures.simhash56(shingleDf(corpus))
     val bands = Signatures.simhashBands(sim)
