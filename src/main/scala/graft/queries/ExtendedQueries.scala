@@ -40,9 +40,12 @@ object ExtendedQueries {
         .setInputCol("shingles").setOutputCol("features")
         .setBinary(true).setNumFeatures(1 << 16)
       val fdf = tf.transform(docs)
+      // 4 tables: on this low-diversity corpus the hot buckets (docs
+      // sharing the globally-min common shingle) dominate join fan-out
+      // linearly in table count; 4 keeps P(miss | j>=0.8) under 2%.
       val mh = new MinHashLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(4).setSeed(42L)
       val model = mh.fit(fdf)
       model.approxSimilarityJoin(fdf, fdf, 0.5, "dist")
         .select(col("datasetA.doc_id").as("doc_a"),

@@ -53,11 +53,15 @@ object Ann {
           col("best.cos").as("cos"), lit(1L).as("rank"))
         .orderBy("query_id")
     } else {
-      val rankW = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      // bounded typed Aggregator: each map task ships at most k rows per
+      // query to the shuffle (a window would shuffle every scored pair)
+      val topk = udaf(new graft.expressions.TopK(k))
       scored
-        .withColumn("rank", row_number().over(rankW).cast("long"))
-        .filter(col("rank") <= k)
+        .groupBy("query_id")
+        .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("query_id"), col("entry._2").as("neighbor_id"),
+          col("entry._1").as("cos"), (col("pos") + 1).cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }
   }
