@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.AsOfJoin
 
-/** Temporal windowing beyond the tumbling q14/q25: sliding windows and
-  * session windows (SURVEY.md §2.4 — classes the reference never
-  * exercises, mandated by the extension surface). Both run on the same
-  * logical operators in batch here and in Structured Streaming unchanged.
+/** Temporal windowing beyond the tumbling q14/q25: sliding windows,
+  * session windows, and the as-of join (SURVEY.md §2.4 — classes the
+  * reference never exercises, mandated by the extension surface). All run
+  * on the same logical operators in batch here and in Structured
+  * Streaming unchanged.
   */
 object TemporalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -37,6 +39,19 @@ object TemporalQueries {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // As-of join: each event enriched with the user's latest purchase
+    // at-or-before it (telemetry-lookup shape; operator composed in
+    // operators/AsOfJoin — union + keyed cumulative window).
+    "q44_asof_join" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val left = e.select("event_id", "user_id", "ts")
+      val right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.lastAtOrBefore(left, right, "user_id", "ts", "purchase_id")
+        .orderBy("event_id")
     }
   )
 
@@ -63,6 +78,25 @@ object TemporalQueries {
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q44_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS ord,
+        |    event_id, NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(p_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, side, ord NULLS LAST
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id,
+        |    last_value(p_val IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, side, ord NULLS LAST
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+        |  FROM tagged)
+        |SELECT event_id, user_id, ts, purchase_id, purchase_value
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
   )
 }
