@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared streaming plumbing for the events table — the single place
+  * that knows the physical schema, the TIMESTAMP(NANOS) workaround, and
+  * how to run a bounded stream to completion.
+  */
+object EventStreams {
+
+  /** Reference default sampling interval (`uav/main.py:50-54`). */
+  val KeyframeInterval = 30
+
+  /** Physical schema of events.parquet: ts is TIMESTAMP(NANOS), read as
+    * long (nanosAsLong) then truncated to µs — same as the batch path in
+    * [[graft.Tables]]. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded scan of the events table with µs TimestampType `ts`. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Runs a (bounded) streaming DataFrame to completion through a memory
+    * sink and returns the MATERIALIZED result; the sink table is dropped
+    * so repeated calls don't leak driver memory. Test/harness-scale only —
+    * a production pipeline writes to a real sink instead of collecting. */
+  def drain(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val sink = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = df.writeStream.outputMode(mode).format("memory").queryName(sink).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val table = spark.table(sink)
+    val out = spark.createDataFrame(table.collectAsList(), table.schema)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+}

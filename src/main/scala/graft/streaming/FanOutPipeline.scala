@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.operators.Letterbox
 
@@ -19,24 +18,12 @@ import graft.operators.Letterbox
   */
 object FanOutPipeline {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Runs the fan-out to completion over the bounded events stream.
     * @param keyframeInterval every-Nth sampling (reference default 30)
     * @return (rows written to sink A, rows written to sink B) */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          keyframeInterval: Int = 30): (Long, Long) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+          keyframeInterval: Int = EventStreams.KeyframeInterval): (Long, Long) = {
+    val stream = EventStreams.eventsStream(spark, sfDir)
 
     val query = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
