@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe: times a chosen subset of queries against an arbitrary
+  * data directory (e.g. a 10× events table) to check how the
+  * scale-sensitive operators behave beyond the bench SF.
+  * Run: sbt "runMain graft.ScaleProbe <dir> <q1,q2,...>". */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q01_ordered_scan", "q02_keyframe_sample", "q09_progress_ticks",
+        "q14_tumbling_window", "q22_segment_range_join", "q30_minhash_banding",
+        "q40_session_windows", "q44_asof_join")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(100000).selectExpr("sum(id)").count() // warm-up
+    for (n <- names) {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, dir).count()
+      println(f"[probe] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  $rows%10d rows")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
