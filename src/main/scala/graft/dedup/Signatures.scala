@@ -39,18 +39,19 @@ object Signatures {
     val base = shingleDocs
       .select(col("doc_id"), explode(col("sh")).as("x"))
       .withColumn("hb", TextOps.hash56(col("x")) % P)
-    val seeded = base
-      .select(col("doc_id"), col("hb"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .withColumn("h", ((col("seed") * 2 + 1) * col("hb") + col("seed")) % P)
-    // one shuffle: band = seed/2; the two per-band minima are computed as
-    // conditional mins so partial aggregation kicks in map-side.
-    seeded
-      .withColumn("band", floor(col("seed") / 2).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("_",
-        min(when(col("seed") % 2 === 0, col("h"))).cast("string"),
-        min(when(col("seed") % 2 === 1, col("h"))).cast("string"))).as("bucket"))
+    // all signature slots as aggregate COLUMNS of one groupBy (the same
+    // shape as simhash56): pre-shuffle volume stays at doc×shingle — the
+    // numHashes× expansion happens on agg expressions, not rows — and
+    // partial aggregation emits one row per doc.
+    val minCols = (0 until numHashes).map(s =>
+      min((lit(2 * s + 1) * col("hb") + s) % P).as(s"m$s"))
+    val bandCols = (0 until numHashes / 2).map(b =>
+      md5(concat_ws("_",
+        col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))))
+    base
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
   }
 
   /** 56-bit SimHash: bit b of the signature is set iff the majority of

@@ -33,6 +33,7 @@ object ExtendedQueries {
     // twin with a DuckDB oracle is q30/q31 in the pipeline surface.
     "q18_neardup_minhash" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+        .repartition(col("doc_id")) // single-row-group file -> fan out
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("shingles"))
         .filter(size(col("shingles")) > 0)

@@ -30,9 +30,12 @@ object PipelineQueries {
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
   /** distinct 3-gram shingle set per doc (docs shorter than 3 tokens drop
-    * out — mirrored in the oracle). */
+    * out — mirrored in the oracle). The documents table arrives as one
+    * parquet row group = one partition; repartition first so the
+    * shingle+hash work fans out across cores instead of one task. */
   private def shingleDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(tokensCol, 3)).as("sh"))
       .filter(size(col("sh")) > 0)
