@@ -61,6 +61,18 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // Set operations (a relational class the reference never exercises):
+    // purchasers vs error-reporters, INTERSECT and EXCEPT, tagged.
+    "q49_set_ops" -> { (s, d) =>
+      def usersOf(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t).select("user_id").distinct()
+      val both = usersOf("purchase").intersect(usersOf("error"))
+        .withColumn("segment", lit("both"))
+      val onlyPurchase = usersOf("purchase").except(usersOf("error"))
+        .withColumn("segment", lit("purchase_only"))
+      both.unionAll(onlyPurchase).orderBy("segment", "user_id")
+    },
+
     // Ordered running aggregate per key. The sum goes through DECIMAL:
     // engines disagree on double summation ORDER inside window frames
     // (DuckDB evaluates frames with a segment tree = pairwise adds),
@@ -101,6 +113,14 @@ object AnalyticsQueries {
         |SELECT event_type, n,
         |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
         |FROM sums ORDER BY event_type""".stripMargin,
+    "q49_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, segment FROM (
+        |  SELECT user_id, 'both' AS segment FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |  UNION ALL
+        |  SELECT user_id, 'purchase_only' FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e))
+        |ORDER BY segment, user_id""".stripMargin,
     "q48_running_sum" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
