@@ -18,7 +18,8 @@ object ExplainAudit {
     val interesting = Seq(
       "q02_keyframe_sample", "q04_detection_filter", "q05_class_lookup_join",
       "q14_tumbling_window", "q16_topk_confidence", "q22_segment_range_join",
-      "q30_minhash_banding", "q32_embedding_knn")
+      "q30_minhash_banding", "q32_embedding_knn", "q44_asof_join",
+      "q50_revenue_by_nation")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

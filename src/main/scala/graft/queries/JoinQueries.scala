@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multi-table join surface over the TPC-H-ish star schema: the plans
+  * where Catalyst's join reordering, broadcast-vs-shuffle choice, and
+  * filter pushdown earn their keep. Dimension chains broadcast
+  * explicitly; the one genuinely big-big join (lineitem ⋈ orders) is left
+  * to Catalyst/AQE to plan as a shuffled join on the key.
+  *
+  * All money math follows the house decimal rules (see q21 /
+  * ARCHITECTURE.md): operands cast to DECIMAL before multiplication,
+  * exact sums, fixed final precision.
+  */
+object JoinQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def revenue =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q5 shape: revenue per nation within a region and date range —
+    // a 5-table join (1 fact, 4 dims) with a pushed date predicate.
+    "q50_revenue_by_nation" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= expr("timestamp'1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp'1999-01-01 00:00:00'"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue).cast("decimal(18,4)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q10 shape: top customers by order volume, with a HAVING.
+    "q51_top_customers" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(col("total").desc, col("c_custkey"))
+        .limit(10)
+    },
+
+    // Brand volume across two dimension joins with a distinct-count.
+    "q52_brand_volume" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val sup = Tables.supplier(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          countDistinct("s_suppkey").as("n_suppliers"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q51_top_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |HAVING count(*) >= 2
+        |ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin,
+    "q52_brand_volume" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  )
+}
