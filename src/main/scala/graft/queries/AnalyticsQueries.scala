@@ -16,7 +16,24 @@ object AnalyticsQueries {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** One SQL text, two engines: q53 runs the EXACT oracle string through
+    * `spark.sql` (the parser → analyzer → Catalyst lifecycle), proving
+    * the engine's SQL entry path, correlated-scalar-subquery support, and
+    * dialect compatibility in one shot. */
+  private[queries] val AboveTypeAvgSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_above
+      |FROM events e
+      |WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |               FROM events i WHERE i.event_type = e.event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    // SQL entry path: the oracle string itself, parsed by Spark.
+    "q53_above_type_avg" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(AboveTypeAvgSql)
+    },
+
     // Pivot: event counts per user cohort × event type (wide form).
     // Counts are exact, so the pivot is hash-safe.
     "q45_pivot_counts" -> { (s, d) =>
@@ -91,6 +108,7 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q53_above_type_avg" -> AboveTypeAvgSql,
     "q45_pivot_counts" -> {
       val cols = EventTypes.map(t =>
         s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS \"$t\"").mkString(", ")
