@@ -209,6 +209,18 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Custom DataSourceV2 ingest: keyframe sampling over the graft-frames
+    // connector (sources/v2) — schema from source options, payload column
+    // pruned away by Catalyst, frame range split across partitions.
+    "q54_frame_source_scan" -> { (s, _) =>
+      s.read.format("graft-frames")
+        .option("frames", 9000).option("fps", 30).option("numPartitions", 8)
+        .load()
+        .filter(col("frame_number") % 30 === 0)
+        .select("frame_number", "ts_us", "width", "height")
+        .orderBy("frame_number")
+    },
+
     // TF-IDF top terms per document. idf kept rational (N/df, exact
     // division) rather than log-scaled: libm log differs across engines
     // in the last ulp, a ratio does not.
@@ -312,6 +324,11 @@ object PipelineQueries {
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |  FROM bands a JOIN bands b USING (band, bval) WHERE a.doc_id < b.doc_id)
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q54_frame_source_scan" ->
+      """SELECT range AS frame_number,
+        |  1704067200000000 + range * 1000000 // 30 AS ts_us,
+        |  CAST(640 AS INTEGER) AS width, CAST(480 AS INTEGER) AS height
+        |FROM range(9000) WHERE range % 30 = 0 ORDER BY frame_number""".stripMargin,
     "q42_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
