@@ -221,6 +221,20 @@ object PipelineQueries {
         .orderBy("frame_number")
     },
 
+    // The same connector, unbounded: keyframe sampling over the
+    // MicroBatchStream face of graft-frames (RTSP stand-in), run to
+    // completion — source duality on one connector, one oracle.
+    "q55_frame_stream" -> { (s, _) =>
+      val stream = s.readStream.format("graft-frames")
+        .option("frames", 3000).option("fps", 30)
+        .option("numPartitions", 4).option("ratePerBatch", 700)
+        .load()
+        .filter(col("frame_number") % 30 === 0)
+        .select("frame_number", "ts_us", "width", "height")
+      graft.streaming.EventStreams.drain(stream, "append")
+        .orderBy("frame_number")
+    },
+
     // TF-IDF top terms per document. idf kept rational (N/df, exact
     // division) rather than log-scaled: libm log differs across engines
     // in the last ulp, a ratio does not.
@@ -324,6 +338,11 @@ object PipelineQueries {
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |  FROM bands a JOIN bands b USING (band, bval) WHERE a.doc_id < b.doc_id)
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q55_frame_stream" ->
+      """SELECT range AS frame_number,
+        |  1704067200000000 + range * 1000000 // 30 AS ts_us,
+        |  CAST(640 AS INTEGER) AS width, CAST(480 AS INTEGER) AS height
+        |FROM range(3000) WHERE range % 30 = 0 ORDER BY frame_number""".stripMargin,
     "q54_frame_source_scan" ->
       """SELECT range AS frame_number,
         |  1704067200000000 + range * 1000000 // 30 AS ts_us,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,7 +54,7 @@ object FrameSource {
     StructField("payload", BinaryType, nullable = false)))
 
   final case class Config(frames: Long, width: Int, height: Int, fps: Int,
-                          numPartitions: Int, startEpochUs: Long)
+                          numPartitions: Int, startEpochUs: Long, ratePerBatch: Long)
   object Config {
     def apply(o: CaseInsensitiveStringMap): Config = Config(
       frames = o.getLong("frames", 1000L),
@@ -61,7 +62,8 @@ object FrameSource {
       height = o.getInt("height", 480),
       fps = o.getInt("fps", 30),
       numPartitions = o.getInt("numPartitions", 8),
-      startEpochUs = o.getLong("startEpochUs", 1704067200000000L))
+      startEpochUs = o.getLong("startEpochUs", 1704067200000000L),
+      ratePerBatch = o.getLong("ratePerBatch", 1000L))
   }
 
   /** Deterministic stand-in for decoded bytes (64 B, not W×H×3 — a real
@@ -74,7 +76,7 @@ class FrameTable(config: FrameSource.Config) extends Table with SupportsRead {
   override def name(): String = s"graft_frames(${config.frames})"
   override def schema(): StructType = FrameSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FrameScanBuilder(config)
 }
@@ -112,6 +114,8 @@ class FrameScan(config: FrameSource.Config, required: StructType, lo: Long, hi: 
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FrameMicroBatchStream(config, required, lo, hi)
   override def description(): String =
     s"graft-frames [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -130,6 +134,46 @@ class FrameScan(config: FrameSource.Config, required: StructType, lo: Long, hi: 
 }
 
 final case class FrameInputPartition(start: Long, end: Long) extends InputPartition
+
+/** Frame-index offset for the streaming path (json = the next frame). */
+final case class FrameOffset(frame: Long) extends Offset {
+  override def json(): String = frame.toString
+}
+
+/** Unbounded face of the same source: the RTSP analog
+  * (`frame_reader.py:158-199`) — frames arrive `ratePerBatch` per
+  * trigger until `frames` is reached. Offsets are frame indices, so the
+  * stream is replayable from any checkpoint (an upgrade over the
+  * reference's at-most-once, SURVEY.md S3). */
+class FrameMicroBatchStream(config: FrameSource.Config, required: StructType,
+                            lo: Long, hi: Long) extends MicroBatchStream {
+  private var available: Long = lo
+
+  override def initialOffset(): Offset = FrameOffset(lo)
+
+  override def latestOffset(): Offset = {
+    available = math.min(hi, available + config.ratePerBatch)
+    FrameOffset(available)
+  }
+
+  override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FrameOffset].frame
+    val e = end.asInstanceOf[FrameOffset].frame
+    val n = math.max(1, config.numPartitions)
+    val total = math.max(0L, e - s)
+    (0 until n).map { i =>
+      FrameInputPartition(s + total * i / n, s + total * (i + 1) / n): InputPartition
+    }.filter { case FrameInputPartition(a, b) => b > a }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FrameReaderFactory(config, required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class FrameReaderFactory(config: FrameSource.Config, required: StructType)
     extends PartitionReaderFactory {
