@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    `numPartitions` readers, so ingest scales horizontally.
   *
   * Options: frames (count), width, height, fps (int), numPartitions,
-  * startEpochUs.
+  * startEpochUs, ratePerBatch (micro-batch admission for the streaming
+  * face, must be positive).
   */
 class FrameSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-frames"
@@ -56,14 +57,29 @@ object FrameSource {
   final case class Config(frames: Long, width: Int, height: Int, fps: Int,
                           numPartitions: Int, startEpochUs: Long, ratePerBatch: Long)
   object Config {
-    def apply(o: CaseInsensitiveStringMap): Config = Config(
-      frames = o.getLong("frames", 1000L),
-      width = o.getInt("width", 640),
-      height = o.getInt("height", 480),
-      fps = o.getInt("fps", 30),
-      numPartitions = o.getInt("numPartitions", 8),
-      startEpochUs = o.getLong("startEpochUs", 1704067200000000L),
-      ratePerBatch = o.getLong("ratePerBatch", 1000L))
+    def apply(o: CaseInsensitiveStringMap): Config = {
+      val c = Config(
+        frames = o.getLong("frames", 1000L),
+        width = o.getInt("width", 640),
+        height = o.getInt("height", 480),
+        fps = o.getInt("fps", 30),
+        numPartitions = o.getInt("numPartitions", 8),
+        startEpochUs = o.getLong("startEpochUs", 1704067200000000L),
+        ratePerBatch = o.getLong("ratePerBatch", 1000L))
+      require(c.fps > 0, "fps must be positive")
+      require(c.ratePerBatch > 0, "ratePerBatch must be positive")
+      c
+    }
+  }
+
+  /** Proportional split of [s, e) into at most n non-empty partitions —
+    * shared by the batch and micro-batch planners. */
+  def splitRange(s: Long, e: Long, n: Int): Array[InputPartition] = {
+    val parts = math.max(1, n)
+    val total = math.max(0L, e - s)
+    (0 until parts).map { i =>
+      FrameInputPartition(s + total * i / parts, s + total * (i + 1) / parts): InputPartition
+    }.filter { case FrameInputPartition(a, b) => b > a }.toArray
   }
 
   /** Deterministic stand-in for decoded bytes (64 B, not W×H×3 — a real
@@ -119,15 +135,8 @@ class FrameScan(config: FrameSource.Config, required: StructType, lo: Long, hi: 
   override def description(): String =
     s"graft-frames [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, config.numPartitions)
-    val total = math.max(0L, hi - lo)
-    (0 until n).map { i =>
-      val start = lo + total * i / n
-      val end = lo + total * (i + 1) / n
-      FrameInputPartition(start, end): InputPartition
-    }.filter { case FrameInputPartition(s, e) => e > s }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    FrameSource.splitRange(lo, hi, config.numPartitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FrameReaderFactory(config, required)
@@ -144,29 +153,48 @@ final case class FrameOffset(frame: Long) extends Offset {
   * (`frame_reader.py:158-199`) — frames arrive `ratePerBatch` per
   * trigger until `frames` is reached. Offsets are frame indices, so the
   * stream is replayable from any checkpoint (an upgrade over the
-  * reference's at-most-once, SURVEY.md S3). */
+  * reference's at-most-once, SURVEY.md S3).
+  *
+  * Uses the admission-control API: `latestOffset(start, limit)` advances
+  * from the ENGINE-SUPPLIED start (the committed/restored offset), so
+  * the stream is stateless and restart-safe by construction, and
+  * `Trigger.AvailableNow` drains everything in one run. */
 class FrameMicroBatchStream(config: FrameSource.Config, required: StructType,
-                            lo: Long, hi: Long) extends MicroBatchStream {
-  private var available: Long = lo
+                            lo: Long, hi: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private var availableNow = false
 
   override def initialOffset(): Offset = FrameOffset(lo)
 
-  override def latestOffset(): Offset = {
-    available = math.min(hi, available + config.ratePerBatch)
-    FrameOffset(available)
+  override def prepareForTriggerAvailableNow(): Unit = availableNow = true
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (availableNow) ReadLimit.allAvailable() else ReadLimit.maxRows(config.ratePerBatch)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FrameOffset].frame
+    val next =
+      if (availableNow) hi
+      else math.min(hi, s + config.ratePerBatch)
+    FrameOffset(math.max(s, next))
   }
+
+  // legacy no-arg form must not be called once SupportsAdmissionControl
+  // is implemented; fail loudly rather than misbehave silently
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def reportLatestOffset(): Offset = FrameOffset(hi)
 
   override def deserializeOffset(json: String): Offset = FrameOffset(json.toLong)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FrameOffset].frame
-    val e = end.asInstanceOf[FrameOffset].frame
-    val n = math.max(1, config.numPartitions)
-    val total = math.max(0L, e - s)
-    (0 until n).map { i =>
-      FrameInputPartition(s + total * i / n, s + total * (i + 1) / n): InputPartition
-    }.filter { case FrameInputPartition(a, b) => b > a }.toArray
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    FrameSource.splitRange(
+      start.asInstanceOf[FrameOffset].frame,
+      end.asInstanceOf[FrameOffset].frame,
+      config.numPartitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FrameReaderFactory(config, required)
