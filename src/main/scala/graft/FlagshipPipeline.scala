@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BBoxOps, LetterboxKernel}
+import graft.streaming.EventStreams
+
+/** The reference's flagship pipeline (`/root/reference/uav/main.py:74-179`)
+  * composed end-to-end from graft operators:
+  *
+  * {{{
+  *   graft-frames source (DataSourceV2, §S1-S4)
+  *     ├─ sink A: record-all           (FrameSaver, main.py:113)
+  *     └─ every-Nth keyframe filter    (main.py:116)
+  *          → letterbox pixel kernel   (FrameResizer, main.py:122)
+  *          → stub detector flatMap    (ObjectDetector, main.py:125)
+  *          → conf/class filters       (frame_processing.py:93,103)
+  *          → NMS                      (YOLO-internal post-processing)
+  *          → JSON payload sink B      (FrameSender, main.py:134)
+  * }}}
+  *
+  * One cached pass feeds both consumers (§4.1 "single sequential pass
+  * shared by both sinks"). The detector is a deterministic stand-in
+  * (model weights unavailable — SURVEY.md §7.3 non-goals): it derives
+  * boxes from payload bytes, preserving the exact relational shape
+  * (flatMap → threshold → IN-list → NMS) a real model plugs into.
+  */
+object FlagshipPipeline {
+
+  final case class RunStats(framesSaved: Long, keyframes: Long, detectionsSent: Long)
+
+  def run(spark: SparkSession, outDir: String, frames: Long = 3000,
+          keyframeInterval: Int = EventStreams.KeyframeInterval): RunStats = {
+    import spark.implicits._
+
+    val srcW = 64
+    val srcH = 48
+    val target = 64
+
+    // payload sized as a real frame buffer (srcW*srcH grayscale bytes;
+    // the connector stub emits 64 B, so inflate deterministically)
+    val frameBufUdf = udf((f: Long) =>
+      Array.tabulate(srcW * srcH)(i => ((f * 31 + i) % 256 - 128).toByte))
+    val source = spark.read.format("graft-frames")
+      .option("frames", frames).option("width", srcW).option("height", srcH)
+      .option("numPartitions", 8)
+      .load()
+      .withColumn("payload", frameBufUdf(col("frame_number")))
+      .persist() // one decode pass, two consumers (main.py:109-134)
+
+    // sink A: record-all
+    source.select("frame_number", "ts_us", "payload")
+      .write.mode("overwrite").parquet(s"$outDir/all")
+
+    // sampled branch: letterbox -> detect -> filter -> NMS -> send
+    val letterboxUdf = udf((p: Array[Byte]) =>
+      LetterboxKernel.letterbox(p, srcW, srcH, target))
+    val detectUdf = udf((frame: Long, p: Array[Byte]) => {
+      // stub detector: 0..3 boxes derived from buffer stats; a real model
+      // replaces this lambda and nothing else changes. Stats sample the
+      // image CENTER — the letterbox pad rows are black.
+      val c = target * target / 2 + target / 2
+      val n = ((p(c) + 256) % 4)
+      (0 until n).map { i =>
+        val x0 = ((frame * 13 + i * 97) % (target - 20)).toInt
+        val y0 = ((frame * 29 + i * 53) % (target - 20)).toInt
+        (i, x0, y0, x0 + 12 + i, y0 + 12 + i,
+          ((p(c + i + 1) + 256) % 256) / 255.0, ((frame + i) % 5).toInt)
+      }
+    })
+
+    val detections = source
+      .filter(col("frame_number") % keyframeInterval === 0)
+      .withColumn("resized", letterboxUdf(col("payload")))
+      .select(col("frame_number"), col("ts_us"),
+        explode(detectUdf(col("frame_number"), col("resized"))).as("d"))
+      .select(col("frame_number").as("frame"),
+        (col("frame_number") * 10 + col("d._1")).as("box_id"),
+        col("d._2").cast("long").as("x0"), col("d._3").cast("long").as("y0"),
+        col("d._4").cast("long").as("x1"), col("d._5").cast("long").as("y1"),
+        col("d._6").as("confidence"), col("d._7").as("class_id"))
+      .filter(col("confidence") >= 0.4 && col("class_id").isin(0, 1, 2))
+
+    val kept = BBoxOps.nms(spark, detections.drop("class_id"), iouThreshold = 0.5)
+
+    // sink B: JSON payloads, confidence rounded to 4dp like the sender
+    // (frame_processing.py:236)
+    kept.select(col("frame"), to_json(struct(
+        col("frame").as("frame_number"),
+        struct(col("x0"), col("y0"), col("x1"), col("y1"),
+          round(col("confidence"), 4).as("confidence")).as("detection")))
+        .as("payload"))
+      .write.mode("overwrite").parquet(s"$outDir/sent")
+
+    val stats = RunStats(
+      framesSaved = spark.read.parquet(s"$outDir/all").count(),
+      keyframes = source.filter(col("frame_number") % keyframeInterval === 0).count(),
+      detectionsSent = spark.read.parquet(s"$outDir/sent").count())
+    source.unpersist()
+    stats
+  }
+}

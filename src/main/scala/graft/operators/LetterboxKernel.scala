@@ -1,0 +1,42 @@
+package graft.operators
+
+/** The pixel-level letterbox kernel — the ONE genuinely opaque per-row
+  * computation in the reference's hot path (`frame_processing.py:41-50`:
+  * `cv2.resize` + `copyMakeBorder`), here as nearest-neighbor resample +
+  * pad over a grayscale byte buffer. Geometry (scale/dims/pads) follows
+  * [[Letterbox]] exactly, so the relational geometry columns (q03) and
+  * the kernel agree by construction.
+  *
+  * Runs as a scalar function over `BinaryType` (SURVEY.md §2.5 — the only
+  * sanctioned UDF class); everything around it stays native Catalyst.
+  */
+object LetterboxKernel {
+
+  /** @param src   grayscale row-major bytes, length = srcW * srcH
+    * @param target output square side
+    * @return target*target bytes, image centered, pad = 0 (black),
+    *         spare pad pixel bottom/right per the reference */
+  def letterbox(src: Array[Byte], srcW: Int, srcH: Int, target: Int): Array[Byte] = {
+    require(src.length >= srcW * srcH, s"payload ${src.length} < ${srcW}x$srcH")
+    val scale = math.min(target.toDouble / srcW, target.toDouble / srcH)
+    val newW = (srcW * scale).toInt // int() truncation, as the reference
+    val newH = (srcH * scale).toInt
+    val padTop = (target - newH) / 2
+    val padLeft = (target - newW) / 2
+
+    val out = new Array[Byte](target * target) // zero-initialized = black pad
+    var y = 0
+    while (y < newH) {
+      val srcY = math.min(srcH - 1, (y / scale).toInt)
+      val srcRow = srcY * srcW
+      val outRow = (y + padTop) * target + padLeft
+      var x = 0
+      while (x < newW) {
+        out(outRow + x) = src(srcRow + math.min(srcW - 1, (x / scale).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

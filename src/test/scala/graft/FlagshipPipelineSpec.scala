@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LetterboxKernel
+
+class FlagshipPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("letterbox kernel: geometry, pad color, nearest-neighbor content") {
+    val w = 8; val h = 4; val t = 8
+    val src = Array.tabulate(w * h)(i => i.toByte)
+    val out = LetterboxKernel.letterbox(src, w, h, t)
+    assert(out.length === t * t)
+    // scale = min(8/8, 8/4) = 1.0 -> newW=8, newH=4, padTop=2, padBottom=2
+    assert(out.slice(0, 2 * t).forall(_ === 0.toByte), "top pad black")
+    assert(out.slice(6 * t, 8 * t).forall(_ === 0.toByte), "bottom pad black")
+    assert(out.slice(2 * t, 3 * t).toSeq === src.slice(0, w).toSeq, "first image row")
+    // upscale: 2x2 -> 8x8, each source pixel covers a 4x4 block
+    val up = LetterboxKernel.letterbox(Array[Byte](1, 2, 3, 4), 2, 2, 8)
+    assert(up(0) === 1.toByte && up(7) === 2.toByte)
+    assert(up(7 * 8) === 3.toByte && up(63) === 4.toByte)
+  }
+
+  test("flagship pipeline: record-all sink, sampled branch, NMS'd JSON payloads") {
+    val out = Files.createTempDirectory("graft_flagship").toString
+    val stats = FlagshipPipeline.run(spark, out, frames = 1500)
+    assert(stats.framesSaved === 1500L)
+    assert(stats.keyframes === 50L) // every 30th of 1500
+    assert(stats.detectionsSent > 0L)
+    assert(stats.detectionsSent <= stats.keyframes * 3, "at most 3 boxes/frame survive")
+    // sink B payloads are valid JSON carrying the sender's fields
+    val sent = spark.read.parquet(s"$out/sent")
+    val parsed = sent
+      .select(get_json_object(col("payload"), "$.frame_number").cast("long").as("f"),
+        get_json_object(col("payload"), "$.detection.confidence").cast("double").as("c"))
+    assert(parsed.filter(col("f").isNull || col("c").isNull).count() === 0L)
+    assert(parsed.filter(col("c") < 0.4).count() === 0L, "confidence threshold held")
+    // record-all payloads are full frame buffers
+    val sizes = spark.read.parquet(s"$out/all")
+      .select(length(col("payload"))).distinct().as[Int].collect()
+    assert(sizes.toSeq === Seq(64 * 48))
+  }
+}
