@@ -82,13 +82,21 @@ object FlagshipPipeline {
         col("d._6").as("confidence"), col("d._7").as("class_id"))
       .filter(col("confidence") >= 0.4 && col("class_id").isin(0, 1, 2))
 
-    val kept = BBoxOps.nms(spark, detections.drop("class_id"), iouThreshold = 0.5)
+    // per-class NMS (YOLO suppresses within a class, not across): pack
+    // (frame, class) into the group key, then unpack for the sink
+    val perClassKey = detections
+      .withColumn("frame", col("frame") * 5 + col("class_id"))
+      .drop("class_id")
+    val kept = BBoxOps.nms(spark, perClassKey, iouThreshold = 0.5)
+      .withColumn("class_id", col("frame") % 5)
+      .withColumn("frame", (col("frame") / 5).cast("long"))
 
     // sink B: JSON payloads, confidence rounded to 4dp like the sender
     // (frame_processing.py:236)
     kept.select(col("frame"), to_json(struct(
         col("frame").as("frame_number"),
         struct(col("x0"), col("y0"), col("x1"), col("y1"),
+          col("class_id"),
           round(col("confidence"), 4).as("confidence")).as("detection")))
         .as("payload"))
       .write.mode("overwrite").parquet(s"$outDir/sent")

@@ -60,6 +60,30 @@ object Multimodal {
         FrameSample(m.doc_id, i, m.width, m.height, m.n_bytes)))
   }
 
+  /** Feature extraction: opaque payload → dense feature vector (here a
+    * 16-bin normalized byte histogram standing in for a vision
+    * embedding). Output plugs straight into the similarity surface
+    * ([[graft.similarity.Ann]] takes (vec_id, embedding) columns), so
+    * media near-dup search composes from existing operators. */
+  final case class MediaFeatures(vec_id: Long, embedding: Array[Float])
+
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.map { r =>
+      // ??? real feature extractor (CNN/CLIP encoder) goes here; stubbed:
+      if (r.payload.isEmpty) {
+        // never emit a zero vector: its norm is 0 and cosine against it
+        // is NaN, which Spark orders above every double — one empty media
+        // object would win every kNN argmax. Uniform is the safe unknown.
+        MediaFeatures(r.doc_id, Array.fill(16)(1f / 16))
+      } else {
+        val hist = new Array[Float](16)
+        r.payload.foreach(b => hist((b & 0xFF) % 16) += 1f)
+        MediaFeatures(r.doc_id, hist.map(_ / r.payload.length))
+      }
+    }
+  }
+
   /** U1 `extract_frames` (`/root/reference/uav/video_splitter.py:6-25`):
     * unnest a media object into per-frame files named `frame_%05d` —
     * here a partitioned parquet write keyed by the formatted frame name,

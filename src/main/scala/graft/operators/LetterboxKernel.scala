@@ -19,8 +19,14 @@ object LetterboxKernel {
   def letterbox(src: Array[Byte], srcW: Int, srcH: Int, target: Int): Array[Byte] = {
     require(src.length >= srcW * srcH, s"payload ${src.length} < ${srcW}x$srcH")
     val scale = math.min(target.toDouble / srcW, target.toDouble / srcH)
-    val newW = (srcW * scale).toInt // int() truncation, as the reference
-    val newH = (srcH * scale).toInt
+    // int() truncation as the reference, clamped to >= 1: beyond a
+    // target:1 aspect ratio the truncated dim would hit 0 and erase the
+    // image (cv2.resize requires positive dsize and would throw; the
+    // reference's error path then passes the frame through unresized —
+    // frame_processing.py:53-57. A 1-pixel strip is the faithful-er
+    // degradation for an analytics pipeline).
+    val newW = math.max(1, (srcW * scale).toInt)
+    val newH = math.max(1, (srcH * scale).toInt)
     val padTop = (target - newH) / 2
     val padLeft = (target - newW) / 2
 

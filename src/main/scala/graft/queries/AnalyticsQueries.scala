@@ -28,10 +28,14 @@ object AnalyticsQueries {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    // SQL entry path: the oracle string itself, parsed by Spark.
+    // SQL entry path: the oracle string itself, parsed by Spark. The
+    // temp view exists only for the eager analysis inside sql() — it is
+    // dropped immediately so the session-global name 'events' doesn't
+    // leak a stale snapshot to later SQL.
     "q53_above_type_avg" -> { (s, d) =>
       Tables.events(s, d).createOrReplaceTempView("events")
-      s.sql(AboveTypeAvgSql)
+      try s.sql(AboveTypeAvgSql)
+      finally s.catalog.dropTempView("events")
     },
 
     // Pivot: event counts per user cohort × event type (wide form).

@@ -7,9 +7,12 @@ import graft.Tables
 
 /** Multi-table join surface over the TPC-H-ish star schema: the plans
   * where Catalyst's join reordering, broadcast-vs-shuffle choice, and
-  * filter pushdown earn their keep. Dimension chains broadcast
-  * explicitly; the one genuinely big-big join (lineitem ⋈ orders) is left
-  * to Catalyst/AQE to plan as a shuffled join on the key.
+  * filter pushdown earn their keep. Only the FIXED-size dimensions
+  * (nation: 25 rows, region: 5) are force-broadcast; customer, part, and
+  * supplier scale with SF, so their join strategy is left to
+  * Catalyst/AQE's size estimates (a broadcast hint on a scale-
+  * proportional table is a driver OOM at SF100). The big-big join
+  * (lineitem ⋈ orders) shuffles on its key.
   *
   * All money math follows the house decimal rules (see q21 /
   * ARCHITECTURE.md): operands cast to DECIMAL before multiplication,
@@ -34,7 +37,7 @@ object JoinQueries {
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
@@ -47,7 +50,7 @@ object JoinQueries {
     "q51_top_customers" -> { (s, d) =>
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"),
           count(lit(1)).as("n_orders"))
@@ -61,8 +64,8 @@ object JoinQueries {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
       val sup = Tables.supplier(s, d)
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .groupBy("p_brand")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
           countDistinct("s_suppkey").as("n_suppliers"),

@@ -18,8 +18,8 @@ object LetterboxKernelProps extends Properties("LetterboxKernel") {
 
   private def geometry(w: Int, h: Int): (Int, Int, Int, Int) = {
     val scale = math.min(target.toDouble / w, target.toDouble / h)
-    val newW = (w * scale).toInt
-    val newH = (h * scale).toInt
+    val newW = math.max(1, (w * scale).toInt) // kernel clamps 0-dim away
+    val newH = math.max(1, (h * scale).toInt)
     (newW, newH, (target - newH) / 2, (target - newW) / 2)
   }
 
