@@ -22,12 +22,16 @@ object Segments {
   def ntileFromDenseId(df: DataFrame, idCol: String, k: Int, segCol: String): DataFrame = {
     val n = "__graft_n"
     val counts = df.agg(count(lit(1)).as(n))
-    val i = col(idCol)
-    val q = (col(n) / k).cast("long") // floor division: n, k non-negative
-    val r = col(n) % k
-    val big = q + 1L
-    val seg = when(i < big * r, (i / big).cast("long"))
-      .otherwise(r + ((i - big * r) / q).cast("long")) + 1L
+    // true integer division (SQL `div`), not double-divide-then-truncate:
+    // an IEEE quotient can round across an integer boundary once the
+    // numerator passes ~2^53, silently shifting tile assignment at the
+    // row counts this operator exists for. CASE evaluates lazily, so the
+    // `div __graft_q` branch never runs when q = 0 (n < k).
+    val seg = expr(
+      s"""CASE WHEN $idCol < (($n div $k) + 1) * ($n % $k)
+         |  THEN $idCol div (($n div $k) + 1)
+         |  ELSE ($n % $k) + (($idCol - (($n div $k) + 1) * ($n % $k)) div ($n div $k))
+         |END + 1L""".stripMargin)
     df.crossJoin(broadcast(counts))
       .withColumn(segCol, seg)
       .drop(n)
@@ -43,7 +47,8 @@ object Segments {
     val total = df.agg(count(lit(1)).as("__t"))
     val segs = df.sparkSession.range(k).toDF("segment")
       .crossJoin(broadcast(total))
-      .withColumn("lo", (col("segment") * col("__t") / k).cast("long"))
+      // integer div: see ntileFromDenseId on the 2^53 double cliff
+      .withColumn("lo", expr(s"(segment * __t) div $k"))
     // k rows — the window over them is trivially cheap
     val w = Window.orderBy(col("segment"))
     segs

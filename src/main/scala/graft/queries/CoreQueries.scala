@@ -79,10 +79,13 @@ object CoreQueries {
     },
 
     // K2 — JSON extraction (frame_processing.py:240-248 inverse).
+    // try_cast, not cast: the oracle TRY_CASTs, and under ANSI mode a
+    // plain cast would throw on a non-numeric $.k instead of yielding
+    // NULL like DuckDB does.
     "q07_json_extract" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
         .orderBy("event_id")
     },
 
