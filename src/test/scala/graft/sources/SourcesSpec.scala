@@ -21,12 +21,19 @@ class SourcesSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === Seq("two", "ten", "nan"))
   }
 
-  test("open() dispatches: directory -> binary scan, file -> parquet") {
+  test("open() dispatches: directory -> binary scan, file -> parquet, stream:// -> unbounded") {
     val viaFile = Sources.open(spark, s"$sf0001/events.parquet")
     assert(viaFile.columns.contains("event_id"))
     val dir = Files.createTempDirectory("graft_disp")
     Files.write(dir.resolve("1.bin"), "x".getBytes)
     assert(Sources.open(spark, dir.toString).columns.contains("frame_number"))
+    // stream:// over a homogeneous parquet directory -> streaming df
+    val sdir = Files.createTempDirectory("graft_stream_dir")
+    graft.Tables.events(spark, sf0001).limit(10).write
+      .mode("overwrite").parquet(sdir.toString)
+    val streamed = Sources.open(spark, s"stream://$sdir")
+    assert(streamed.isStreaming)
+    assert(streamed.columns.contains("event_id"))
   }
 
   test("graft_dot is callable from SQL after registration") {
