@@ -39,8 +39,12 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1 as their per-query sentinel but are
+    // excluded from the total (a crash must not make the run look faster)
+    // and surfaced as an explicit count.
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

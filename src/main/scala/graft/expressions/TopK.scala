@@ -14,9 +14,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * so results are deterministic under any partitioning.
   */
 class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"TopK needs k > 0, got $k")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare, not </>: the primitive comparisons are not
+  // a strict total order when a score is NaN (reachable via zero-norm
+  // embeddings upstream), and TimSort throws on contract violations.
+  // Double.compare ranks NaN above every real score, keeping totality.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
     s.sortWith(better).take(k)

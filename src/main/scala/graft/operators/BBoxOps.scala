@@ -56,11 +56,20 @@ object BBoxOps {
   }
 
   /** Deterministic synthetic detections derived from the events table —
-    * the BBox data model exercised at any SF without model weights. */
-  def syntheticBoxes(events: DataFrame, framePeriod: Int): DataFrame = {
+    * the BBox data model exercised at any SF without model weights.
+    *
+    * `frame = event_id div boxesPerFrame`, NOT modulo: the frame COUNT
+    * grows with the data while detections-per-frame stays a constant
+    * `boxesPerFrame` — more video, same density, the physical reality.
+    * Modulo framing (round 1) pinned the frame count, so per-frame
+    * density — and every per-frame pairwise join on top — grew linearly
+    * with SF and quadratically in pair count. */
+  def syntheticBoxes(events: DataFrame, boxesPerFrame: Int): DataFrame = {
     val id = col("event_id")
     events.select(
-      (id % framePeriod).as("frame"),
+      // integer div (not /-then-cast): IEEE quotients can round across an
+      // integer boundary past 2^53 — same cliff Segments guards against
+      expr(s"event_id div $boxesPerFrame").as("frame"),
       id.as("box_id"),
       (id * 13 % 600).as("x0"),
       (id * 29 % 600).as("y0"),

@@ -25,13 +25,17 @@ object Letterbox {
   /** All derived geometry columns for letterboxing (w,h) into a
     * `target`×`target` square. `w`/`h` must be positive integers.
     * `floor` = truncation for the non-negative quantities involved,
-    * matching Python `int()` / `//`.
+    * matching Python `int()` / `//`. New dims are clamped to >= 1 — for
+    * aspect ratios beyond target:1 (e.g. 1919×1, target 640) truncation
+    * alone yields a zero dimension, which would erase the image; the
+    * clamp keeps these columns in exact agreement with
+    * [[LetterboxKernel]], which applies the same `max(1, ...)`.
     */
   def geometry(w: Column, h: Column, target: Int): Geometry = {
     val t = lit(target)
     val scale = least(lit(target.toDouble) / w, lit(target.toDouble) / h)
-    val newW = floor(w * scale).cast("long")
-    val newH = floor(h * scale).cast("long")
+    val newW = greatest(lit(1L), floor(w * scale).cast("long"))
+    val newH = greatest(lit(1L), floor(h * scale).cast("long"))
     val padTop = floor((t - newH) / lit(2)).cast("long")
     val padBottom = t - newH - padTop
     val padLeft = floor((t - newW) / lit(2)).cast("long")

@@ -37,6 +37,37 @@ object Segments {
       .drop(n)
   }
 
+  /** Seeded-random segment boundary table `[lo, hi)` — the faithful analog
+    * of the reference's `random.sample(range(1, total), k-1)` + sort
+    * (`video_splitter.py:48-49`): k-1 pseudo-random cut points, distinct
+    * and sorted, splitting `[0, total)` into k non-empty segments.
+    *
+    * Randomness comes from a deterministic md5-derived draw per segment
+    * (jittered stratified sampling): cut i lands uniformly inside stratum
+    * `[i·total/k, (i+1)·total/k)`. Strata are disjoint and increasing, so
+    * the cuts are distinct-and-sorted *by construction* — no rejection
+    * loop — while staying bit-reproducible across engines (md5, not a
+    * seeded murmur), hence oracle-checkable in DuckDB.
+    */
+  def randomBoundaries(df: DataFrame, k: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextOps
+    val total = df.agg(count(lit(1)).as("__t"))
+    val w = Window.orderBy(col("segment"))
+    df.sparkSession.range(k).toDF("segment")
+      .crossJoin(broadcast(total))
+      // integer div: see ntileFromDenseId on the 2^53 double cliff
+      .withColumn("__start", expr(s"(segment * __t) div $k"))
+      .withColumn("__width", expr(s"((segment + 1) * __t) div $k - (segment * __t) div $k"))
+      .withColumn("lo",
+        when(col("segment") === 0, lit(0L)) // first segment always starts at 0
+          .otherwise(col("__start") +
+            TextOps.hash56(concat(lit(seed + "_"), col("segment").cast("string")))
+              % greatest(lit(1L), col("__width"))))
+      .withColumn("hi", coalesce(lead(col("lo"), 1).over(w), col("__t")))
+      .select("segment", "lo", "hi")
+  }
+
   /** Segment boundary table `[lo, hi)` for k contiguous, near-equal-width
     * segments over `[0, total)` — the deterministic analog of the
     * reference's random cut points (`video_splitter.py:48-49`), formed the

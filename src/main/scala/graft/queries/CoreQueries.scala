@@ -195,8 +195,8 @@ object CoreQueries {
         |  SELECT *, least(640.0 / w, 640.0 / h) AS scale FROM dims),
         |sized AS (
         |  SELECT *,
-        |    CAST(floor(w * scale) AS BIGINT) AS new_w,
-        |    CAST(floor(h * scale) AS BIGINT) AS new_h
+        |    greatest(1, CAST(floor(w * scale) AS BIGINT)) AS new_w,
+        |    greatest(1, CAST(floor(h * scale) AS BIGINT)) AS new_h
         |  FROM scaled),
         |padded AS (
         |  SELECT *,

@@ -41,12 +41,16 @@ object ExtendedQueries {
         .setInputCol("shingles").setOutputCol("features")
         .setBinary(true).setNumFeatures(1 << 16)
       val fdf = tf.transform(docs)
-      // 4 tables: on this low-diversity corpus the hot buckets (docs
+      // 2 tables: on this low-diversity corpus the hot buckets (docs
       // sharing the globally-min common shingle) dominate join fan-out
-      // linearly in table count; 4 keeps P(miss | j>=0.8) under 2%.
+      // linearly in table count. q18's correctness role is a small-scale
+      // cross-check of the oracle-checked q30/q31 banded path (see
+      // DedupSpec pair-set agreement), so the table count is tuned for
+      // bench cost, not recall — at 4 tables this one query was 17% of
+      // the whole round-1 bench.
       val mh = new MinHashLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(4).setSeed(42L)
+        .setNumHashTables(2).setSeed(42L)
       val model = mh.fit(fdf)
       model.approxSimilarityJoin(fdf, fdf, 0.5, "dist")
         .select(col("datasetA.doc_id").as("doc_a"),
@@ -85,16 +89,20 @@ object ExtendedQueries {
 
     // TPC-H Q1-shaped rollup; doubles routed through DECIMAL(18,2) before
     // sum so shuffle order can't perturb the result (SURVEY.md §7.3).
+    // Finals are CAST AS DOUBLE (the q14/q47/q48 pattern): the sums are
+    // exact in decimal, and a double final renders identically across
+    // engines where a DECIMAL-typed output column did not hash-match
+    // under the driver (round-1 q21/q52 were value-identical, hash-red).
     "q21_rollup_revenue" -> { (s, d) =>
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           // cast operands (exact 2-dp values, far from rounding edges)
           // BEFORE multiplying: the 4-dp product then sums exactly in
           // decimal with no engine-dependent rounding anywhere.
           sum(col("l_extendedprice").cast("decimal(18,2)")
             * (lit(1) - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,4)").as("revenue"))
+            .cast("double").as("revenue"))
         .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
     },
 
@@ -104,6 +112,19 @@ object ExtendedQueries {
     "q22_segment_range_join" -> { (s, d) =>
       val e = Tables.events(s, d).select("event_id")
       val segs = Segments.boundaries(e, 4)
+      e.join(broadcast(segs),
+          e("event_id") >= segs("lo") && e("event_id") < segs("hi"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("segment")
+    },
+
+    // U2 with the reference's actual boundary semantics: seeded-RANDOM
+    // cut points (video_splitter.py:48-49), distinct-sorted by strata
+    // construction, then the same broadcast range join as q22.
+    "q56_seeded_segments" -> { (s, d) =>
+      val e = Tables.events(s, d).select("event_id")
+      val segs = Segments.randomBoundaries(e, 4, "graft")
       e.join(broadcast(segs),
           e("event_id") >= segs("lo") && e("event_id") < segs("hi"))
         .groupBy("segment")
@@ -180,13 +201,28 @@ object ExtendedQueries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q21_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
     "q22_segment_range_join" ->
       """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
         |b AS (SELECT s.segment, CAST(s.segment * t.total // 4 AS BIGINT) AS lo
+        |      FROM (SELECT unnest(range(4)) AS segment) s, t),
+        |segs AS (SELECT segment, lo,
+        |  coalesce(lead(lo) OVER (ORDER BY segment), (SELECT total FROM t)) AS hi FROM b)
+        |SELECT s.segment, CAST(count(*) AS BIGINT) AS n,
+        |  min(e.event_id) AS min_id, max(e.event_id) AS max_id
+        |FROM events e JOIN segs s ON e.event_id >= s.lo AND e.event_id < s.hi
+        |GROUP BY s.segment ORDER BY s.segment""".stripMargin,
+    "q56_seeded_segments" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+        |b AS (SELECT s.segment,
+        |        CASE WHEN s.segment = 0 THEN 0
+        |             ELSE (s.segment * t.total) // 4
+        |               + CAST(('0x' || substr(md5('graft_' || CAST(s.segment AS VARCHAR)), 1, 14)) AS BIGINT)
+        |                 % greatest(1, ((s.segment + 1) * t.total) // 4 - (s.segment * t.total) // 4)
+        |        END AS lo
         |      FROM (SELECT unnest(range(4)) AS segment) s, t),
         |segs AS (SELECT segment, lo,
         |  coalesce(lead(lo) OVER (ORDER BY segment), (SELECT total FROM t)) AS hi FROM b)

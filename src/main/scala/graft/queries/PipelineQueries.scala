@@ -170,13 +170,12 @@ object PipelineQueries {
     },
 
     // IVF ANN: nearest-centroid partitioning + nprobe search. Spark-only
-    // (recall vs the exact q32 is asserted in tests). Centroid codebook =
-    // the 16 lowest-id vectors, a deterministic stand-in for trained
-    // k-means centers.
+    // (recall vs the exact q32 is asserted in tests). Codebook = 16
+    // k-means centroids trained with two deterministic Lloyd iterations
+    // (Ann.trainCentroids) — real cell balance, not an id-order sample.
     "q33_ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val centroids = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val centroids = Ann.trainCentroids(e, k = 16, iters = 2)
       val queries = e.filter(col("vec_id") < 32)
       Ann.ivfKnn(e, queries, centroids, k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
@@ -231,7 +230,7 @@ object PipelineQueries {
         .load()
         .filter(col("frame_number") % 30 === 0)
         .select("frame_number", "ts_us", "width", "height")
-      graft.streaming.EventStreams.drain(stream, "append")
+      graft.streaming.EventStreams.drainToFiles(stream, "append")
         .orderBy("frame_number")
     },
 

@@ -17,8 +17,10 @@ object SpatialQueries {
   val queries: Map[String, Q] = Map(
     // Pairwise IoU of boxes within a frame: the join is keyed by frame,
     // so pair blow-up stays bounded per group and shuffles stay keyed.
+    // Frames are event_id div 50 — constant 50 detections/frame at every
+    // SF, so pair count grows linearly with the data (VERDICT r1 #8).
     "q36_bbox_iou" -> { (s, d) =>
-      val boxes = BBoxOps.syntheticBoxes(Tables.events(s, d), 200)
+      val boxes = BBoxOps.syntheticBoxes(Tables.events(s, d), 50)
         .select("frame", "box_id", "x0", "y0", "x1", "y1")
       val a = boxes.toDF("frame", "id_a", "ax0", "ay0", "ax1", "ay1")
       val b = boxes.toDF("frame", "id_b", "bx0", "by0", "bx1", "by1")
@@ -36,7 +38,7 @@ object SpatialQueries {
     // Spark-only: greedy suppression isn't ANSI-SQL-expressible; invariants
     // are asserted in BBoxSpec instead.
     "q37_nms" -> { (s, d) =>
-      val boxes = BBoxOps.syntheticBoxes(Tables.events(s, d), 200)
+      val boxes = BBoxOps.syntheticBoxes(Tables.events(s, d), 50)
       BBoxOps.nms(s, boxes, iouThreshold = 0.5)
         .select("frame", "box_id", "confidence")
         .orderBy("frame", "box_id")
@@ -53,7 +55,7 @@ object SpatialQueries {
 
   val oracles: Map[String, String] = Map(
     "q36_bbox_iou" ->
-      """WITH boxes AS (SELECT event_id % 200 AS frame, event_id AS box_id,
+      """WITH boxes AS (SELECT event_id // 50 AS frame, event_id AS box_id,
         |    event_id * 13 % 600 AS x0, event_id * 29 % 600 AS y0,
         |    event_id * 13 % 600 + event_id * 7 % 120 + 20 AS x1,
         |    event_id * 29 % 600 + event_id * 11 % 120 + 20 AS y1

@@ -66,6 +66,73 @@ object Ann {
     }
   }
 
+  /** Aggregate-based Lloyd k-means for the IVF codebook — deterministic
+    * and fully distributed.
+    *
+    * Init: the k vectors with the smallest md5-of-id, a deterministic
+    * pseudo-random sample (unlike "lowest k ids", which inherits whatever
+    * correlation the id order carries). Each iteration is one broadcast
+    * assignment pass plus one per-dimension mean: explode to (cell, dim,
+    * x), groupBy(cell, dim) — partial aggregation collapses to k·d rows
+    * per partition before the shuffle, so the network cost per iteration
+    * is O(k·d·partitions), independent of the corpus size. Lineage is cut
+    * per iteration with an eager `localCheckpoint` (k rows), keeping the
+    * plan flat — no driver-side collect anywhere.
+    *
+    * A cell that captures no vectors drops out (standard Lloyd
+    * degeneracy); ids keep their init numbering, which is all [[ivfKnn]]
+    * needs. Assignment metric is cosine, matching the search metric.
+    */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    import graft.functions.TextOps
+    val v = withNorm(vectors, "embedding")
+      .select(col("vec_id"), col("__v").as("nv"), col("__norm").as("nn"))
+    val seedW = Window.orderBy(col("__h").asc, col("vec_id").asc)
+    var cents = v
+      .withColumn("__h", TextOps.hash56(col("vec_id").cast("string")))
+      .orderBy(col("__h").asc, col("vec_id").asc).limit(k)
+      // k-row window: numbering the codebook, not the corpus
+      .withColumn("centroid_id", row_number().over(seedW).cast("long") - 1L)
+      .select(col("centroid_id"), col("nv").as("cv"), col("nn").as("cn"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id").asc)
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("ccos", cos(col("nv"), col("nn"), col("cv"), col("cn")))
+        .withColumn("r", row_number().over(assignW))
+        .filter(col("r") === 1)
+        .select(col("centroid_id").as("cell"), col("nv"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("centroid_id"),
+          transform(col("dm"), e => e.getField("m")).as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+      cents = means.localCheckpoint()
+    }
+    cents.select(col("centroid_id"), col("cv").as("embedding"))
+  }
+
+  /** Nearest-centroid cell assignment — the IVF partitioning pass.
+    * Broadcast join + per-vector window (fully parallel); also the basis
+    * for the cell-balance assertions in AnnSpec.
+    * Output: (vec_id, nv, nn, cell). */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = withNorm(centroids, "embedding")
+      .select(col("centroid_id"), col("__v").as("cv"), col("__norm").as("cn"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id").asc)
+    withNorm(vectors, "embedding")
+      .select(col("vec_id"), col("__v").as("nv"), col("__norm").as("nn"))
+      .crossJoin(broadcast(c))
+      .withColumn("ccos", cos(col("nv"), col("nn"), col("cv"), col("cn")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("nv"), col("nn"), col("centroid_id").as("cell"))
+  }
+
   /** IVF search: `centroids` is the coarse codebook (id, embedding);
     * every vector joins to its nearest centroid once (broadcast), queries
     * probe the `nprobe` nearest centroid cells only. */
@@ -76,15 +143,8 @@ object Ann {
 
     // one pass: nearest centroid per vector (broadcast join, window
     // partitioned by vector — fully parallel)
-    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id").asc)
-    val assigned = withNorm(vectors, "embedding")
-      .select(col("vec_id"), col("__v").as("nv"), col("__norm").as("nn"))
-      .crossJoin(broadcast(c))
-      .withColumn("ccos", cos(col("nv"), col("nn"), col("cv"), col("cn")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"),
-        col("centroid_id").as("cell"))
+    val assigned = assignCells(vectors, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"), col("cell"))
 
     // per query: the nprobe closest cells
     val probeW = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("centroid_id").asc)

@@ -26,8 +26,22 @@ object Sources {
 
   /** Ordered binary-directory scan: each file one record, `frame_number`
     * assigned by numeric-filename order (digits extracted from the name;
-    * names without digits sort last — `frame_reader.py:62-66`). */
-  def imageDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    * names without digits sort last — `frame_reader.py:62-66`).
+    *
+    * Faithful S1 failure semantic (`frame_reader.py:106-109`): the first
+    * UNREADABLE file *ends* the scan — it and everything after it never
+    * emit; earlier frames do. `unreadable` is the decode-failure
+    * predicate over the (path, length, content) columns; the default
+    * (null/zero-length payload) is the deterministic stand-in for a
+    * failed image decode (no codec libs in scope — a real decoder would
+    * pass e.g. a magic-byte check here, as SourcesSpec does). The cut
+    * point is computed relationally — a one-row min-failed-id aggregate
+    * broadcast against the scan — so the prefix filter is a map-side
+    * test, not a driver collect.
+    */
+  def imageDir(spark: SparkSession, dir: String, glob: String = "*",
+               unreadable: org.apache.spark.sql.Column =
+                 col("length") === 0L || col("content").isNull): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
@@ -35,9 +49,15 @@ object Sources {
         expr("try_cast(regexp_extract(reverse(split(path, '/'))[0], '([0-9]+)', 1) AS BIGINT)"))
     // nulls-last expressed as a MaxValue sentinel: RowIds keys must be
     // plain columns (it applies the sort direction itself).
-    RowIds.withDenseId(
+    val framed = RowIds.withDenseId(
       files, Seq(coalesce(col("num_key"), lit(Long.MaxValue)), col("path")), "frame_number")
       .select("frame_number", "path", "length", "content")
+    val cut = framed
+      .filter(unreadable)
+      .agg(min(col("frame_number")).as("__cut"))
+    framed.crossJoin(broadcast(cut))
+      .filter(col("frame_number") < coalesce(col("__cut"), lit(Long.MaxValue)))
+      .drop("__cut")
   }
 
   /** Unbounded scan over a growing directory (the RTSP analog: records

@@ -34,10 +34,35 @@ object EventStreams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Runs a (bounded) streaming DataFrame to completion through a FILE
+    * sink and reads the result back — the scale-safe drain: results go
+    * executor→disk in parallel, never through the driver. `append` mode
+    * accumulates each batch's new rows; `complete` mode keeps the last
+    * batch's full result (overwrite per batch via `foreachBatch`, the
+    * standard pattern for complete-mode output to files — the plain file
+    * sink is append-only). This is the drain behind every `SparkEntry`
+    * streaming query; [[drain]] (memory sink) remains for update-mode
+    * state inspection in specs. */
+  def drainToFiles(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain").toString + "/out"
+    val writeMode = if (mode == "complete") "overwrite" else "append"
+    val query = df.writeStream.outputMode(mode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(writeMode).parquet(dir)
+        ()
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.read.parquet(dir)
+  }
+
   /** Runs a (bounded) streaming DataFrame to completion through a memory
     * sink and returns the MATERIALIZED result; the sink table is dropped
-    * so repeated calls don't leak driver memory. Test/harness-scale only —
-    * a production pipeline writes to a real sink instead of collecting. */
+    * so repeated calls don't leak driver memory. Harness-scale only — the
+    * query-path drain is [[drainToFiles]]; this one stays for update-mode
+    * state inspection in specs (update has no file-write analog). */
   def drain(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val sink = "graft_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")

@@ -24,6 +24,6 @@ object StreamingTumbling {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("minute"), col("n"), col("sum_value"))
-    EventStreams.drain(agg, "complete").orderBy("minute")
+    EventStreams.drainToFiles(agg, "complete").orderBy("minute")
   }
 }

@@ -21,6 +21,22 @@ class SourcesSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === Seq("two", "ten", "nan"))
   }
 
+  test("imageDir ends the scan at the first unreadable file (S1 stop-not-skip)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_imgs_bad")
+    // "decodeable" = carries the IMG magic; frame_3 is corrupt mid-directory
+    for ((name, bytes) <- Seq("frame_1.bin" -> "IMGone", "frame_2.bin" -> "IMGtwo",
+        "frame_3.bin" -> "garbage", "frame_4.bin" -> "IMGfour"))
+      Files.write(dir.resolve(name), bytes.getBytes("UTF-8"))
+    val badMagic = expr("decode(substring(content, 1, 3), 'UTF-8')") =!= "IMG"
+    val got = Sources.imageDir(spark, dir.toString, unreadable = badMagic)
+      .selectExpr("frame_number", "reverse(split(path,'/'))[0] AS name")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // the stream TRUNCATES at frame_3: frame_4 is readable but never emits
+    assert(got.map(_._2).toSeq === Seq("frame_1.bin", "frame_2.bin"))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L))
+  }
+
   test("open() dispatches: directory -> binary scan, file -> parquet, stream:// -> unbounded") {
     val viaFile = Sources.open(spark, s"$sf0001/events.parquet")
     assert(viaFile.columns.contains("event_id"))

@@ -8,13 +8,34 @@ class FanOutSpec extends SparkSpec {
 
   test("two-sink fan-out: sink A gets every record, sink B every 30th") {
     val out = Files.createTempDirectory("graft_fanout").toString
-    val (allRows, sampledRows) = FanOutPipeline.run(spark, sf0001, out, 30)
+    val counts = FanOutPipeline.run(spark, sf0001, out, 30)
     val total = Tables.events(spark, sf0001).count()
-    assert(allRows === total)
-    assert(sampledRows === (total + 29) / 30)
+    assert(counts.all === total)
+    assert(counts.dropped === 0L, "constant dims -> nothing drops")
+    assert(counts.sampled === (total + 29) / 30)
     // payload is well-formed JSON with the sent fields
     val payload = spark.read.parquet(s"$out/sampled")
       .selectExpr("get_json_object(payload, '$.event_id')").first().getString(0)
     assert(payload != null)
+  }
+
+  test("sink A binds dims from the first record and drops mismatches") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_fanout_mixed").toString
+    // first record (min event_id) has event_id % 7 === its own bucket;
+    // every record in a different bucket must be dropped, not written.
+    val wCol = when(col("event_id") % 7 === 0, 640L).otherwise(1280L)
+    val counts = FanOutPipeline.run(spark, sf0001, out, 30,
+      dims = (wCol, lit(480L)))
+    val events = Tables.events(spark, sf0001)
+    val firstBucketIsZero = events
+      .orderBy("event_id").select((col("event_id") % 7 === 0).as("z"))
+      .head().getBoolean(0)
+    val matching = events
+      .filter((col("event_id") % 7 === 0) === firstBucketIsZero).count()
+    val total = events.count()
+    assert(counts.all === matching, "sink A keeps only first-bound dims")
+    assert(counts.dropped === total - matching, "mismatches are counted, not written")
+    assert(counts.sampled === (total + 29) / 30, "sink B is unaffected by sink A's bind")
   }
 }
