@@ -160,6 +160,22 @@ object ExtendedQueries {
       StreamingTumbling.tumblingPerMinute(s, d)
     },
 
+    // Stream-static enrichment join (§2.4): the unbounded events stream
+    // joined to the broadcast customer dimension per micro-batch — the
+    // streaming face of q05's lookup join — then a running aggregate.
+    // Oracle = the batch equivalent: stream/batch parity is the check,
+    // exactly as q25/q14.
+    "q58_stream_static_join" -> { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = graft.streaming.EventStreams.eventsStream(s, d)
+        .join(broadcast(c), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      graft.streaming.EventStreams.drainToFiles(enriched, "complete")
+        .orderBy("c_mktsegment")
+    },
+
     // Multi-dimensional aggregation: CUBE over event type × user cohort
     // (rollup's sibling, SURVEY.md §2.2 grouping-sets class).
     "q43_cube_cohorts" -> { (s, d) =>
@@ -249,6 +265,11 @@ object ExtendedQueries {
       """SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY minute ORDER BY minute""".stripMargin,
+    "q58_stream_static_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q43_cube_cohorts" ->
       """SELECT event_type, user_id % 10 AS cohort, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY CUBE(event_type, user_id % 10)

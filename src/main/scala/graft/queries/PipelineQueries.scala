@@ -234,6 +234,53 @@ object PipelineQueries {
         .orderBy("frame_number")
     },
 
+    // Embedding-cosine near-dup via sign-random-projection LSH (the
+    // random-hyperplane family): 16 md5-derived ±1 hyperplanes → 16 sign
+    // bits per vector → 2×8-bit band blocking → exact-cosine verify of
+    // candidates only. The corpus has no natural near-dups (max pairwise
+    // cos ≈ 0.6), so 50 perturbed twins are planted deterministically —
+    // derived from the table, mirrored 1:1 in the oracle — and the
+    // pipeline must separate them (cos ≈ 1) from band-collision false
+    // positives (cos ≤ 0.6). Fully keyed equi-joins; no O(n²) scan.
+    // Projections are summed in DECIMAL so the sign decision is
+    // shuffle-order- and engine-independent (house rule, SURVEY.md §7.3).
+    "q57_embedding_neardup_srp" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("ve"))
+      val twins = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("ve"), x => x + lit(0.0001)).as("ve"))
+      val all = base.unionAll(twins)
+      val hyper = s.range(16).toDF("j").crossJoin(s.range(64).toDF("i"))
+        .select(col("j"), col("i"),
+          when(TextOps.hash56(concat_ws("_", col("j"), col("i"))) % 2 === 1, lit(1.0))
+            .otherwise(lit(-1.0)).as("sgn"))
+      val sig = all
+        .select(col("vec_id"), posexplode(col("ve")).as(Seq("i", "x")))
+        .join(broadcast(hyper), "i")
+        .groupBy("vec_id", "j")
+        .agg(sum((col("x") * col("sgn")).cast("decimal(28,12)")).as("p"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("p") > 0, expr("shiftleft(1L, cast(j AS int))"))
+          .otherwise(0L)).as("sig"))
+      val bands = sig.select(col("vec_id"), col("sig"),
+          explode(sequence(lit(0), lit(1))).as("band"))
+        .withColumn("bval", expr("shiftright(sig, band * 8) % 256"))
+      val cand = bands.select(col("band"), col("bval"), col("vec_id").as("id_a"))
+        .join(bands.select(col("band"), col("bval"), col("vec_id").as("id_b")),
+          Seq("band", "bval"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val n = all.withColumn("nrm", VectorOps.norm(col("ve")))
+      val x = n.select(col("vec_id").as("id_a"), col("ve").as("va"), col("nrm").as("na"))
+      val y = n.select(col("vec_id").as("id_b"), col("ve").as("vb"), col("nrm").as("nb"))
+      cand.join(x, "id_a").join(y, "id_b")
+        .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
     // TF-IDF top terms per document. idf kept rational (N/df, exact
     // division) rather than log-scaled: libm log differs across engines
     // in the last ulp, a ratio does not.
@@ -320,6 +367,32 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rn
         |  FROM p)
         |SELECT vec_id, nn_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q57_embedding_neardup_srp" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |tw AS (SELECT vec_id + 1000000 AS vec_id, list_transform(ve, x -> x + 0.0001) AS ve
+        |       FROM v WHERE vec_id < 50),
+        |av AS (SELECT * FROM v UNION ALL SELECT * FROM tw),
+        |dims AS (SELECT vec_id, i, ve[i + 1] AS x
+        |         FROM av, (SELECT unnest(range(64)) AS i)),
+        |h AS (SELECT j, i,
+        |        CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14)) AS BIGINT) % 2 = 1
+        |          THEN 1.0 ELSE -1.0 END AS sgn
+        |      FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i)),
+        |proj AS (SELECT vec_id, j, sum(CAST(x * sgn AS DECIMAL(28,12))) AS p
+        |         FROM dims JOIN h USING (i) GROUP BY vec_id, j),
+        |sig AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN p > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |        FROM proj GROUP BY vec_id),
+        |bands AS (SELECT vec_id, sig, b.band, (sig >> (b.band * 8)) % 256 AS bval
+        |          FROM sig, (SELECT unnest(range(2)) AS band) b),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM bands a JOIN bands b USING (band, bval) WHERE a.vec_id < b.vec_id),
+        |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM av)
+        |SELECT id_a, id_b, round(c, 4) AS cos FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm) AS c
+        |  FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id)
+        |WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin,
     // q33: Spark-only (IVF internals; recall asserted in tests vs q32).
     "q34_simhash_neardup" ->
       s"""$ShingleCte,
