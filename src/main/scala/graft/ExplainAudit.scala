@@ -15,11 +15,13 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val interesting = Seq(
-      "q02_keyframe_sample", "q04_detection_filter", "q05_class_lookup_join",
-      "q14_tumbling_window", "q16_topk_confidence", "q22_segment_range_join",
-      "q30_minhash_banding", "q32_embedding_knn", "q44_asof_join",
-      "q50_revenue_by_nation")
+    val interesting =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq(
+        "q02_keyframe_sample", "q04_detection_filter", "q05_class_lookup_join",
+        "q14_tumbling_window", "q16_topk_confidence", "q22_segment_range_join",
+        "q30_minhash_banding", "q32_embedding_knn", "q44_asof_join",
+        "q50_revenue_by_nation", "q56_seeded_segments", "q57_embedding_neardup_srp")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

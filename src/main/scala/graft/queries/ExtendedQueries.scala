@@ -32,7 +32,15 @@ object ExtendedQueries {
     // Spark-only: LSH internals aren't SQL-expressible — the relational
     // twin with a DuckDB oracle is q30/q31 in the pipeline surface.
     "q18_neardup_minhash" -> { (s, d) =>
+      // even-doc slice: q18's correctness role is a cross-check of the
+      // oracle-checked q30/q31 banded path (DedupSpec asserts pair-set
+      // equality on this same slice — LSH bucket membership is a
+      // pair-local property, so restricting the corpus restricts the
+      // pair set exactly). The slice exists because approxSimilarityJoin's
+      // hot-bucket fan-out is superlinear in docs: full-corpus q18 alone
+      // was 17% of the round-1 bench.
       val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 0)
         .repartition(col("doc_id")) // single-row-group file -> fan out
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("shingles"))

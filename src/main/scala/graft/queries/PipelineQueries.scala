@@ -263,9 +263,13 @@ object PipelineQueries {
         .groupBy("vec_id")
         .agg(sum(when(col("p") > 0, expr("shiftleft(1L, cast(j AS int))"))
           .otherwise(0L)).as("sig"))
+      // persist: both sides of the band self-join read the signature
+      // relation; without it the whole explode+project+sign pipeline
+      // runs twice (same pattern as minhashCandidates)
       val bands = sig.select(col("vec_id"), col("sig"),
           explode(sequence(lit(0), lit(1))).as("band"))
         .withColumn("bval", expr("shiftright(sig, band * 8) % 256"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = bands.select(col("band"), col("bval"), col("vec_id").as("id_a"))
         .join(bands.select(col("band"), col("bval"), col("vec_id").as("id_b")),
           Seq("band", "bval"))

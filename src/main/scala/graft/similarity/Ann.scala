@@ -96,12 +96,13 @@ object Ann {
       .select(col("centroid_id"), col("nv").as("cv"), col("nn").as("cn"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id").asc)
+      // same argmax shape as assignCells: partial-agg, no per-vector sort
       val assigned = v.crossJoin(broadcast(cents))
         .withColumn("ccos", cos(col("nv"), col("nn"), col("cv"), col("cn")))
-        .withColumn("r", row_number().over(assignW))
-        .filter(col("r") === 1)
-        .select(col("centroid_id").as("cell"), col("nv"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("centroid_id")).as("nc"))).as("best"),
+          first(col("nv")).as("nv"))
+        .select((-col("best.nc")).as("cell"), col("nv"))
       val means = assigned
         .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -117,20 +118,24 @@ object Ann {
   }
 
   /** Nearest-centroid cell assignment — the IVF partitioning pass.
-    * Broadcast join + per-vector window (fully parallel); also the basis
-    * for the cell-balance assertions in AnnSpec.
+    * Broadcast join + lexicographic argmax (`max(struct(cos, -id))`),
+    * the same partial-aggregation shape as k=1 kNN: each map task ships
+    * one row per (partition, vector), no per-vector sort. Tie-break and
+    * NaN ranking match the window formulation it replaced (smallest
+    * centroid id on ties; NaN ranks highest in both). Also the basis for
+    * the cell-balance assertions in AnnSpec.
     * Output: (vec_id, nv, nn, cell). */
   def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val c = withNorm(centroids, "embedding")
       .select(col("centroid_id"), col("__v").as("cv"), col("__norm").as("cn"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id").asc)
     withNorm(vectors, "embedding")
       .select(col("vec_id"), col("__v").as("nv"), col("__norm").as("nn"))
       .crossJoin(broadcast(c))
       .withColumn("ccos", cos(col("nv"), col("nn"), col("cv"), col("cn")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("nv"), col("nn"), col("centroid_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), (-col("centroid_id")).as("nc"))).as("best"),
+        first(col("nv")).as("nv"), first(col("nn")).as("nn"))
+      .select(col("vec_id"), col("nv"), col("nn"), (-col("best.nc")).as("cell"))
   }
 
   /** IVF search: `centroids` is the coarse codebook (id, embedding);

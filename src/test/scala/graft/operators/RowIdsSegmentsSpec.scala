@@ -42,4 +42,23 @@ class RowIdsSegmentsSpec extends SparkSpec {
     assert(b.last._2 === 1003L)
     for (Array((_, hi), (lo, _)) <- b.sliding(2)) assert(hi === lo)
   }
+
+  test("randomBoundaries: contiguous, lossless, non-empty, seed-determined") {
+    for (n <- Seq(7L, 100L, 1003L, 10000L); k <- Seq(2, 4, 7)) {
+      val df = spark.range(n).toDF("k")
+      val b = Segments.randomBoundaries(df, k, "s1")
+        .orderBy("segment").select("lo", "hi").as[(Long, Long)].collect()
+      assert(b.length === k, s"n=$n k=$k")
+      assert(b.head._1 === 0L)
+      assert(b.last._2 === n)
+      for (Array((_, hi), (lo, _)) <- b.sliding(2)) assert(hi === lo, s"n=$n k=$k contiguity")
+      for ((lo, hi) <- b) assert(lo < hi, s"n=$n k=$k segment [$lo,$hi) empty")
+    }
+    // same seed -> same cuts; different seed -> (almost surely) different
+    val df = spark.range(10000L).toDF("k")
+    def cuts(seed: String) = Segments.randomBoundaries(df, 4, seed)
+      .orderBy("segment").select("lo").as[Long].collect().toSeq
+    assert(cuts("graft") === cuts("graft"))
+    assert(cuts("graft") !== cuts("other-seed"))
+  }
 }
