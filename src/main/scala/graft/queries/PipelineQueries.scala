@@ -247,8 +247,12 @@ object PipelineQueries {
     "q57_embedding_neardup_srp" -> { (s, d) =>
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("ve"))
+      // twin ids offset by max(vec_id)+1, derived from the data (a fixed
+      // constant would alias real ids once the corpus outgrows it)
+      val off = base.agg((max(col("vec_id")) + 1L).as("__off"))
       val twins = base.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .crossJoin(broadcast(off))
+        .select((col("vec_id") + col("__off")).as("vec_id"),
           transform(col("ve"), x => x + lit(0.0001)).as("ve"))
       val all = base.unionAll(twins)
       val hyper = s.range(16).toDF("j").crossJoin(s.range(64).toDF("i"))
@@ -373,7 +377,8 @@ object PipelineQueries {
         |SELECT vec_id, nn_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q57_embedding_neardup_srp" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-        |tw AS (SELECT vec_id + 1000000 AS vec_id, list_transform(ve, x -> x + 0.0001) AS ve
+        |tw AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+        |              list_transform(ve, x -> x + 0.0001) AS ve
         |       FROM v WHERE vec_id < 50),
         |av AS (SELECT * FROM v UNION ALL SELECT * FROM tw),
         |dims AS (SELECT vec_id, i, ve[i + 1] AS x

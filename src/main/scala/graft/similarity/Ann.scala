@@ -106,7 +106,12 @@ object Ann {
       val means = assigned
         .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(avg(col("x")).as("m"))
+        // decimal-summed mean, not avg(double): float partial sums merge
+        // in shuffle-fetch order, so avg() could drift in the last ulp
+        // across partitionings and flip a downstream cosine tie — the
+        // same house determinism rule as every money/projection sum.
+        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell").as("centroid_id"),

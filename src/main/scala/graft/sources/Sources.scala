@@ -52,6 +52,9 @@ object Sources {
     val framed = RowIds.withDenseId(
       files, Seq(coalesce(col("num_key"), lit(Long.MaxValue)), col("path")), "frame_number")
       .select("frame_number", "path", "length", "content")
+    // one I/O pass, not two: RowIds persists its sorted intermediate
+    // (content column included), so this aggregate and the main scan
+    // below both read the cache — files are decoded from disk once.
     val cut = framed
       .filter(unreadable)
       .agg(min(col("frame_number")).as("__cut"))

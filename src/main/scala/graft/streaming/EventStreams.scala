@@ -45,7 +45,9 @@ object EventStreams {
     * state inspection in specs. */
   def drainToFiles(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_drain").toString + "/out"
+    val root = java.nio.file.Files.createTempDirectory("graft_drain")
+    cleanupOnExit(root)
+    val dir = root.toString + "/out"
     val writeMode = if (mode == "complete") "overwrite" else "append"
     val query = df.writeStream.outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -55,7 +57,25 @@ object EventStreams {
       .start()
     try query.processAllAvailable()
     finally query.stop()
-    spark.read.parquet(dir)
+    if (new java.io.File(dir).exists) spark.read.parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+  }
+
+  // The drained parquet must outlive this call (the returned DataFrame
+  // reads it lazily), so deletion happens at JVM exit: one hook, shared
+  // list — repeated drains don't stack shutdown hooks or leak /tmp
+  // copies across harness runs.
+  private val drainDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  private lazy val installCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => drainDirs.synchronized {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      drainDirs.foreach(p => del(p.toFile))
+    }))
+  private def cleanupOnExit(p: java.nio.file.Path): Unit = {
+    installCleanupHook
+    drainDirs.synchronized { drainDirs += p; () }
   }
 
   /** Runs a (bounded) streaming DataFrame to completion through a memory
