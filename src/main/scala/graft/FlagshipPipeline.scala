@@ -89,7 +89,7 @@ object FlagshipPipeline {
       .drop("class_id")
     val kept = BBoxOps.nms(spark, perClassKey, iouThreshold = 0.5)
       .withColumn("class_id", col("frame") % 5)
-      .withColumn("frame", (col("frame") / 5).cast("long"))
+      .withColumn("frame", expr("frame div 5")) // integer div: no 2^53 double cliff
 
     // sink B: JSON payloads, confidence rounded to 4dp like the sender
     // (frame_processing.py:236)
