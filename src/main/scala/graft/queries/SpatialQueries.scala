@@ -44,6 +44,33 @@ object SpatialQueries {
         .orderBy("frame", "box_id")
     },
 
+    // K2's per-keyframe message shape (frame_processing.py:213-248 +
+    // main.py:134): the sender fires for EVERY keyframe — detections
+    // aggregated into ONE ordered list per frame, and the `detections`
+    // field OMITTED from the JSON when the list is empty (the reference's
+    // `if bbox_data_list:` guard; Spark's to_json drops null fields, the
+    // oracle branches the same way). Confidence rides as a fixed-scale
+    // DECIMAL(8,4) string — Spark renders decimal JSON numbers with
+    // trailing zeros, DuckDB strips them, strings agree on both.
+    "q59_sender_payloads" -> { (s, d) =>
+      val boxes = BBoxOps.syntheticBoxes(Tables.events(s, d), 50)
+        .filter(col("frame") % 4 === 0 &&
+          col("confidence") >= 150 && col("box_id") % 7 < 2)
+      val dets = boxes.groupBy("frame")
+        .agg(sort_array(collect_list(struct(
+          col("box_id"), col("x0"), col("y0"), col("x1"), col("y1"),
+          col("confidence").cast("decimal(8,4)").cast("string").as("conf"))))
+          .as("detections"))
+      val frames = Tables.events(s, d)
+        .select(expr("event_id div 50").as("frame")).distinct()
+        .filter(col("frame") % 4 === 0)
+      frames.join(dets, Seq("frame"), "left")
+        .select(col("frame"),
+          to_json(struct(col("frame").as("frame_number"), col("detections")))
+            .as("payload"))
+        .orderBy("frame")
+    },
+
     // Approx distinct (HLL++) beside the exact count — Spark-only: sketch
     // estimates are engine-specific (accuracy asserted in tests).
     "q38_approx_distinct" -> { (s, d) =>
@@ -54,6 +81,26 @@ object SpatialQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_sender_payloads" ->
+      """WITH boxes AS (SELECT event_id // 50 AS frame, event_id AS box_id,
+        |    event_id * 13 % 600 AS x0, event_id * 29 % 600 AS y0,
+        |    event_id * 13 % 600 + event_id * 7 % 120 + 20 AS x1,
+        |    event_id * 29 % 600 + event_id * 11 % 120 + 20 AS y1,
+        |    value AS confidence
+        |  FROM events),
+        |dets AS (SELECT frame,
+        |    list(struct_pack(box_id := box_id, x0 := x0, y0 := y0, x1 := x1, y1 := y1,
+        |      conf := CAST(CAST(confidence AS DECIMAL(8,4)) AS VARCHAR)) ORDER BY box_id) AS detections
+        |  FROM boxes
+        |  WHERE frame % 4 = 0 AND confidence >= 150 AND box_id % 7 < 2
+        |  GROUP BY frame),
+        |frames AS (SELECT DISTINCT event_id // 50 AS frame FROM events
+        |           WHERE (event_id // 50) % 4 = 0)
+        |SELECT f.frame,
+        |  CASE WHEN d.frame IS NULL THEN to_json(struct_pack(frame_number := f.frame))
+        |       ELSE to_json(struct_pack(frame_number := f.frame, detections := d.detections)) END AS payload
+        |FROM frames f LEFT JOIN dets d ON f.frame = d.frame
+        |ORDER BY f.frame""".stripMargin,
     "q36_bbox_iou" ->
       """WITH boxes AS (SELECT event_id // 50 AS frame, event_id AS box_id,
         |    event_id * 13 % 600 AS x0, event_id * 29 % 600 AS y0,
