@@ -48,6 +48,11 @@ object Segments {
     * the cuts are distinct-and-sorted *by construction* — no rejection
     * loop — while staying bit-reproducible across engines (md5, not a
     * seeded murmur), hence oracle-checkable in DuckDB.
+    *
+    * The reference raises ValueError when `total < k + 1`
+    * (`video_splitter.py:43-44`); the relational form degrades gracefully
+    * instead (width-1 strata still yield k non-empty segments while
+    * total >= k) — a plan-time throw has no scalable analog.
     */
   def randomBoundaries(df: DataFrame, k: Int, seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -24,9 +24,16 @@ import graft.operators.RowIds
   */
 object Sources {
 
+  /** Supported image suffixes (`frame_reader.py:63`), matched
+    * case-insensitively on the file name's extension. */
+  val ImageExtensions: Seq[String] = Seq("png", "jpg", "jpeg", "tiff", "bmp")
+
   /** Ordered binary-directory scan: each file one record, `frame_number`
-    * assigned by numeric-filename order (digits extracted from the name;
-    * names without digits sort last — `frame_reader.py:62-66`).
+    * assigned by numeric-filename order (first digit run in the file
+    * STEM — suffix stripped, exactly `re.search(r'\d+', x.stem)`; names
+    * without digits sort last — `frame_reader.py:62-66`). Only the
+    * reference's supported image extensions are scanned (case-insensitive;
+    * pass `extensions = Nil` to accept every file).
     *
     * Faithful S1 failure semantic (`frame_reader.py:106-109`): the first
     * UNREADABLE file *ends* the scan — it and everything after it never
@@ -41,12 +48,19 @@ object Sources {
     */
   def imageDir(spark: SparkSession, dir: String, glob: String = "*",
                unreadable: org.apache.spark.sql.Column =
-                 col("length") === 0L || col("content").isNull): DataFrame = {
+                 col("length") === 0L || col("content").isNull,
+               extensions: Seq[String] = ImageExtensions): DataFrame = {
+    val extFilter =
+      if (extensions.isEmpty) lit(true)
+      else lower(expr("regexp_extract(path, '\\\\.([^./]+)$', 1)")).isin(extensions: _*)
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
+      .filter(extFilter)
+      // digits from the STEM: strip the extension first, then take the
+      // first digit run (so a digit in the suffix can never leak in)
       .withColumn("num_key",
-        expr("try_cast(regexp_extract(reverse(split(path, '/'))[0], '([0-9]+)', 1) AS BIGINT)"))
+        expr("try_cast(regexp_extract(regexp_replace(reverse(split(path, '/'))[0], '\\\\.[^.]*$', ''), '([0-9]+)', 1) AS BIGINT)"))
     // nulls-last expressed as a MaxValue sentinel: RowIds keys must be
     // plain columns (it applies the sort direction itself).
     val framed = RowIds.withDenseId(

@@ -7,16 +7,18 @@ import graft.SparkSpec
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("imageDir orders by embedded number, non-numeric names last") {
+  test("imageDir orders by embedded number, non-numeric names last, non-images excluded") {
     val dir = Files.createTempDirectory("graft_imgs")
-    for ((name, bytes) <- Seq("frame_10.bin" -> "ten", "frame_2.bin" -> "two",
-        "cover.bin" -> "nan"))
+    for ((name, bytes) <- Seq("frame_10.png" -> "ten", "frame_2.JPG" -> "two",
+        "cover.png" -> "nan",
+        "notes_1.txt" -> "skip", // unsupported suffix: not scanned at all
+        "frame_3.mp4" -> "skip")) // digit in the suffix must not leak in
       Files.write(dir.resolve(name), bytes.getBytes("UTF-8"))
     val got = Sources.imageDir(spark, dir.toString)
       .selectExpr("frame_number", "reverse(split(path,'/'))[0] AS name",
         "decode(content, 'UTF-8') AS body")
       .as[(Long, String, String)].collect().sortBy(_._1)
-    assert(got.map(_._2).toSeq === Seq("frame_2.bin", "frame_10.bin", "cover.bin"))
+    assert(got.map(_._2).toSeq === Seq("frame_2.JPG", "frame_10.png", "cover.png"))
     assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
     assert(got.map(_._3).toSeq === Seq("two", "ten", "nan"))
   }
@@ -25,15 +27,15 @@ class SourcesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_imgs_bad")
     // "decodeable" = carries the IMG magic; frame_3 is corrupt mid-directory
-    for ((name, bytes) <- Seq("frame_1.bin" -> "IMGone", "frame_2.bin" -> "IMGtwo",
-        "frame_3.bin" -> "garbage", "frame_4.bin" -> "IMGfour"))
+    for ((name, bytes) <- Seq("frame_1.png" -> "IMGone", "frame_2.png" -> "IMGtwo",
+        "frame_3.png" -> "garbage", "frame_4.png" -> "IMGfour"))
       Files.write(dir.resolve(name), bytes.getBytes("UTF-8"))
     val badMagic = expr("decode(substring(content, 1, 3), 'UTF-8')") =!= "IMG"
     val got = Sources.imageDir(spark, dir.toString, unreadable = badMagic)
       .selectExpr("frame_number", "reverse(split(path,'/'))[0] AS name")
       .as[(Long, String)].collect().sortBy(_._1)
     // the stream TRUNCATES at frame_3: frame_4 is readable but never emits
-    assert(got.map(_._2).toSeq === Seq("frame_1.bin", "frame_2.bin"))
+    assert(got.map(_._2).toSeq === Seq("frame_1.png", "frame_2.png"))
     assert(got.map(_._1).toSeq === Seq(0L, 1L))
   }
 
