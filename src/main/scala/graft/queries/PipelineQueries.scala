@@ -234,6 +234,53 @@ object PipelineQueries {
         .orderBy("frame_number")
     },
 
+    // Near-dup CLUSTERING — the step that turns verified pairs into the
+    // actual keep/drop decision: connected components over the q31 pair
+    // graph by iterative min-label propagation (each round: every doc
+    // takes the min label among itself and its neighbors; fixed point =
+    // min doc_id per component). Keyed joins + partial-agg mins only; the
+    // driver loop runs until a converged count, with lineage cut per
+    // round — the same bounded-iteration shape as k-means. Near-dup
+    // components are tiny cliques, so convergence is 2-3 rounds.
+    // Oracle: DuckDB recursive CTE computing min reachable id.
+    "q60_dedup_clusters" -> { (s, d) =>
+      val pairs = {
+        val docs = shingleDocs(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        minhashCandidates(s, d).join(a, "doc_a").join(b, "doc_b")
+          .withColumn("jaccard",
+            inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b")
+      }
+      val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+        .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) { // cap >> any near-dup chain length
+        val prop = edges.join(labels, edges("t") === labels("doc_id"))
+          .groupBy(col("s").as("doc_id")).agg(min("lbl").as("nlbl"))
+        val next = labels.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+          .filter(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      labels
+        .select(col("doc_id"), col("lbl").as("cluster"),
+          (col("doc_id") === col("lbl")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup via sign-random-projection LSH (the
     // random-hyperplane family): 16 md5-derived ±1 hyperplanes → 16 sign
     // bits per vector → 2×8-bit band blocking → exact-cosine verify of
@@ -375,6 +422,25 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rn
         |  FROM p)
         |SELECT vec_id, nn_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // WITH RECURSIVE must lead the whole CTE chain (standard SQL), so the
+    // shared minhash prefix gets the keyword spliced in.
+    "q60_dedup_clusters" ->
+      s"""${MinhashCandidatesSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.t = r.doc_id)
+         |SELECT doc_id, min(lbl) AS cluster, doc_id = min(lbl) AS keep
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q57_embedding_neardup_srp" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
         |tw AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
