@@ -63,6 +63,24 @@ object PipelineQueries {
       .distinct()
   }
 
+  /** Verified near-dup pairs: LSH candidates filtered by exact shingle
+    * Jaccard >= 0.5 — the single source of truth for the verify threshold,
+    * shared by q31 (pair output) and q60 (clustering input). Output:
+    * (doc_a, doc_b, jaccard). */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleDocs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidates(s, d)
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard",
+        inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   private val MinhashCandidatesSql =
     s"""$ShingleCte,
        |hb AS (SELECT doc_id,
@@ -146,18 +164,7 @@ object PipelineQueries {
     // Exact n-gram Jaccard verification of the LSH candidates — the
     // verify stage of the canonical two-phase near-dup pipeline.
     "q31_ngram_jaccard" -> { (s, d) =>
-      val docs = shingleDocs(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = minhashCandidates(s, d)
-      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      cands.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("jaccard",
-          inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+      verifiedPairs(s, d).orderBy("doc_a", "doc_b")
     },
 
     // Embedding near-dup / all-pairs top-1 neighbor, brute force (the
@@ -244,18 +251,7 @@ object PipelineQueries {
     // components are tiny cliques, so convergence is 2-3 rounds.
     // Oracle: DuckDB recursive CTE computing min reachable id.
     "q60_dedup_clusters" -> { (s, d) =>
-      val pairs = {
-        val docs = shingleDocs(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-        minhashCandidates(s, d).join(a, "doc_a").join(b, "doc_b")
-          .withColumn("jaccard",
-            inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b")
-      }
+      val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
       val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
         .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -275,6 +271,11 @@ object PipelineQueries {
         labels = next
         rounds += 1
       }
+      edges.unpersist() // labels are checkpointed; the graph isn't needed again
+      // fail loudly, not wrongly: a non-converged exit would silently
+      // disagree with the oracle's true component minimum
+      require(converged,
+        s"q60 label propagation did not converge in $rounds rounds — component diameter > cap")
       labels
         .select(col("doc_id"), col("lbl").as("cluster"),
           (col("doc_id") === col("lbl")).as("keep"))

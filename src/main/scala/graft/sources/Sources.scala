@@ -50,9 +50,16 @@ object Sources {
                unreadable: org.apache.spark.sql.Column =
                  col("length") === 0L || col("content").isNull,
                extensions: Seq[String] = ImageExtensions): DataFrame = {
+    // binaryFile's path column is a URI — percent-escapes would inject
+    // digits the reference's Path.stem never sees ("frame 1.png" →
+    // ".../frame%201.png" → digit run "201"), so decode the basename
+    // before any name-derived logic.
+    val fname = expr("url_decode(reverse(split(path, '/'))[0])")
+    // `[^/]` before the dot: a bare dot-file named ".png" has an EMPTY
+    // pathlib suffix in the reference and must not count as an image.
+    val ext = lower(regexp_extract(fname, "[^/]\\.([^./]+)$", 1))
     val extFilter =
-      if (extensions.isEmpty) lit(true)
-      else lower(expr("regexp_extract(path, '\\\\.([^./]+)$', 1)")).isin(extensions: _*)
+      if (extensions.isEmpty) lit(true) else ext.isin(extensions: _*)
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
@@ -60,7 +67,7 @@ object Sources {
       // digits from the STEM: strip the extension first, then take the
       // first digit run (so a digit in the suffix can never leak in)
       .withColumn("num_key",
-        expr("try_cast(regexp_extract(regexp_replace(reverse(split(path, '/'))[0], '\\\\.[^.]*$', ''), '([0-9]+)', 1) AS BIGINT)"))
+        expr("try_cast(regexp_extract(regexp_replace(url_decode(reverse(split(path, '/'))[0]), '\\\\.[^.]*$', ''), '([0-9]+)', 1) AS BIGINT)"))
     // nulls-last expressed as a MaxValue sentinel: RowIds keys must be
     // plain columns (it applies the sort direction itself).
     val framed = RowIds.withDenseId(

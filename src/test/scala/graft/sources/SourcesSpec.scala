@@ -10,17 +10,18 @@ class SourcesSpec extends SparkSpec {
   test("imageDir orders by embedded number, non-numeric names last, non-images excluded") {
     val dir = Files.createTempDirectory("graft_imgs")
     for ((name, bytes) <- Seq("frame_10.png" -> "ten", "frame_2.JPG" -> "two",
+        "frame 1.png" -> "one", // URI-escaped space: digits come from the DECODED stem
         "cover.png" -> "nan",
         "notes_1.txt" -> "skip", // unsupported suffix: not scanned at all
         "frame_3.mp4" -> "skip")) // digit in the suffix must not leak in
       Files.write(dir.resolve(name), bytes.getBytes("UTF-8"))
     val got = Sources.imageDir(spark, dir.toString)
-      .selectExpr("frame_number", "reverse(split(path,'/'))[0] AS name",
+      .selectExpr("frame_number", "url_decode(reverse(split(path,'/'))[0]) AS name",
         "decode(content, 'UTF-8') AS body")
       .as[(Long, String, String)].collect().sortBy(_._1)
-    assert(got.map(_._2).toSeq === Seq("frame_2.JPG", "frame_10.png", "cover.png"))
-    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
-    assert(got.map(_._3).toSeq === Seq("two", "ten", "nan"))
+    assert(got.map(_._2).toSeq === Seq("frame 1.png", "frame_2.JPG", "frame_10.png", "cover.png"))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._3).toSeq === Seq("one", "two", "ten", "nan"))
   }
 
   test("imageDir ends the scan at the first unreadable file (S1 stop-not-skip)") {
@@ -43,8 +44,10 @@ class SourcesSpec extends SparkSpec {
     val viaFile = Sources.open(spark, s"$sf0001/events.parquet")
     assert(viaFile.columns.contains("event_id"))
     val dir = Files.createTempDirectory("graft_disp")
-    Files.write(dir.resolve("1.bin"), "x".getBytes)
-    assert(Sources.open(spark, dir.toString).columns.contains("frame_number"))
+    Files.write(dir.resolve("1.png"), "x".getBytes)
+    val viaDir = Sources.open(spark, dir.toString)
+    assert(viaDir.columns.contains("frame_number"))
+    assert(viaDir.count() === 1L, "directory branch actually scans rows")
     // stream:// over a homogeneous parquet directory -> streaming df
     val sdir = Files.createTempDirectory("graft_stream_dir")
     graft.Tables.events(spark, sf0001).limit(10).write

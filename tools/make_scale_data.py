@@ -40,7 +40,9 @@ def main(sf_dir: str, out_dir: str, n: int) -> None:
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
-            os.symlink(f"{sf_dir}/{name}.parquet", dst)
+            # abspath: a relative sf_dir would otherwise produce a link
+            # that resolves relative to out_dir (broken)
+            os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), dst)
     print(f"wrote {big.num_rows} events ({n}x {n_rows}) to {out_dir}")
 
 
