@@ -66,7 +66,13 @@ object PipelineQueries {
   /** Verified near-dup pairs: LSH candidates filtered by exact shingle
     * Jaccard >= 0.5 — the single source of truth for the verify threshold,
     * shared by q31 (pair output) and q60 (clustering input). Output:
-    * (doc_a, doc_b, jaccard). */
+    * (doc_a, doc_b, jaccard).
+    *
+    * The shingle/signature persists here and in [[minhashCandidates]] are
+    * deliberately NOT released: they are plan-matched and reused across
+    * q30 → q31 → q60 in one session (the bench methodology documented in
+    * Bench.scala), and they are MBs at bench SF. q60's edge relation IS
+    * freed — it has no cross-query twin. */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val docs = shingleDocs(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

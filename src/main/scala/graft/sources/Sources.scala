@@ -65,9 +65,14 @@ object Sources {
       .load(dir)
       .filter(extFilter)
       // digits from the STEM: strip the extension first, then take the
-      // first digit run (so a digit in the suffix can never leak in)
+      // first digit run (so a digit in the suffix can never leak in).
+      // `(.)` before the dot = pathlib stem semantics: a dotfile like
+      // ".2png" has an EMPTY suffix, so nothing would be stripped from
+      // it. (Hadoop's input format never lists dot/underscore-prefixed
+      // files at all, so that branch is defensive — SourcesSpec notes
+      // the divergence from iterdir().)
       .withColumn("num_key",
-        expr("try_cast(regexp_extract(regexp_replace(url_decode(reverse(split(path, '/'))[0]), '\\\\.[^.]*$', ''), '([0-9]+)', 1) AS BIGINT)"))
+        expr("try_cast(regexp_extract(regexp_replace(url_decode(reverse(split(path, '/'))[0]), '(.)\\\\.[^.]*$', '$1'), '([0-9]+)', 1) AS BIGINT)"))
     // nulls-last expressed as a MaxValue sentinel: RowIds keys must be
     // plain columns (it applies the sort direction itself).
     val framed = RowIds.withDenseId(

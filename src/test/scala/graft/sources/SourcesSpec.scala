@@ -24,6 +24,19 @@ class SourcesSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === Seq("one", "two", "ten", "nan"))
   }
 
+  test("imageDir: Hadoop hides dot/underscore files entirely; multi-dot stems keep their digits") {
+    val dir = Files.createTempDirectory("graft_imgs_dot")
+    for (name <- Seq(".2png", "_5.raw", // hidden to FileInputFormat, never scanned
+        "frame.1.raw", "frame_3.raw")) // multi-dot: stem "frame.1" -> digits 1
+      Files.write(dir.resolve(name), "x".getBytes("UTF-8"))
+    val got = Sources.imageDir(spark, dir.toString, extensions = Nil)
+      .selectExpr("frame_number", "url_decode(reverse(split(path,'/'))[0]) AS name")
+      .as[(Long, String)].collect().sortBy(_._1)
+    // divergence note: the reference's iterdir() WOULD see dot-files (its
+    // suffix filter drops them anyway); Hadoop's scan never lists them.
+    assert(got.map(_._2).toSeq === Seq("frame.1.raw", "frame_3.raw"))
+  }
+
   test("imageDir ends the scan at the first unreadable file (S1 stop-not-skip)") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_imgs_bad")

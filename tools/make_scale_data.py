@@ -39,7 +39,7 @@ def main(sf_dir: str, out_dir: str, n: int) -> None:
     pq.write_table(big, f"{out_dir}/events.parquet")
     for name in TABLES:
         dst = f"{out_dir}/{name}.parquet"
-        if not os.path.exists(dst):
+        if not os.path.lexists(dst):  # lexists: repair broken links too
             # abspath: a relative sf_dir would otherwise produce a link
             # that resolves relative to out_dir (broken)
             os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), dst)
