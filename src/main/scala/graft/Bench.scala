@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,31 +21,62 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
-    // methodology notes: .count() is the driver's original harness action
-    // (kept for baseline comparability); caches are deliberately NOT
-    // cleared between queries — persisted build sides are plan-matched
-    // and reused (e.g. q31 reuses q30's signature relation), which is
-    // legitimate shared-computation reuse, and the cached relations are
-    // MBs at bench SF. A failed query reports -1 so crashes can't
+    // methodology: each query runs `reps` times in-process and reports the
+    // MEDIAN (plus a min/max band), so one GC pause or cold parquet read
+    // can't swing the committed number (VERDICT r2 item 1). .count() is
+    // the driver's original harness action (kept for baseline
+    // comparability). Persist lifetimes are governed by graft.Caches:
+    // every scoped relation a query created is released after each rep
+    // (reps time real work, not residual cache hits), while the explicit
+    // shared q30/q31/q60 trio persists for the session — the same policy
+    // Verify uses. A failed rep reports the query as -1 so crashes can't
     // masquerade as fast runs.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+    //
+    // The shared trio's compute-once build is materialized HERE, timed,
+    // and added to the total: with median reporting it would otherwise
+    // surface only in the first trio query's max rep and silently drop
+    // out of the committed number.
+    val tShared = System.nanoTime()
+    val sharedBuild = try {
+      graft.queries.PipelineQueries.warmSharedRelations(spark, sfDir)
+      (System.nanoTime() - tShared) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shared-relation build failed: ${e.getMessage}")
+      0.0
+    } finally Caches.releaseScoped()
+    val runs: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          } finally Caches.releaseScoped()
+        }
+        name -> times
       }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      s(s.length / 2)
+    }
+    // any failed rep marks the whole query failed (-1): a query that
+    // crashes intermittently must not report its lucky-rep median
+    val med = runs.map { case (n, ts) =>
+      n -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failed queries report -1 as their per-query sentinel but are
-    // excluded from the total (a crash must not make the run look faster)
-    // and surfaced as an explicit count.
-    val total = results.values.filter(_ >= 0).sum
-    val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    def fmt(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val ok = runs.filter(_._2.forall(_ >= 0))
+    val total = sharedBuild + ok.map { case (_, ts) => median(ts) }.sum
+    val totalMin = sharedBuild + ok.map(_._2.min).sum
+    val totalMax = sharedBuild + ok.map(_._2.max).sum
+    val failed = med.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"shared_build":$sharedBuild,"band":{"min":$totalMin,"max":$totalMax},"failed":$failed,"queries":${fmt(med)},"sf":"$sfDir"}""")
+    Caches.releaseShared()
     spark.stop()
   }
 }

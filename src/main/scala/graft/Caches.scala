@@ -1,0 +1,67 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Persist lifetime registry (VERDICT r2 items 1/3/8).
+  *
+  * Two lifetimes, nothing else:
+  *
+  *  - '''scoped''' — a build side or self-join input that exists for ONE
+  *    query. Registered here by the operator that persists it; the harness
+  *    ([[Bench]], [[Verify]], specs) calls [[releaseScoped]] after the
+  *    query's action, so retained relations can't accumulate across a
+  *    60-query session and compete for storage memory (the round-2 bench
+  *    regression mechanism).
+  *  - '''shared''' — a relation deliberately reused by SEVERAL queries in
+  *    one session (the q30→q31→q60 dedup trio). Compute-once by key, so
+  *    the reuse is explicit in code rather than an accident of
+  *    plan-matched cache hits; released only at session end
+  *    ([[releaseShared]]).
+  *
+  * Keys include the session (identity) and the data dir, so tests running
+  * several sessions or SFs in one JVM never cross-wire relations.
+  */
+object Caches {
+
+  private val scoped = mutable.ArrayBuffer.empty[DataFrame]
+  private val shared = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private def sessionKey(spark: SparkSession, name: String, dir: String): String =
+    s"${System.identityHashCode(spark)}|$dir|$name"
+
+  /** Persist `df` for the duration of the current query. */
+  def scopedPersist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    scoped += p
+    p
+  }
+
+  /** Compute-once relation shared across queries of one (session, dir). */
+  def sharedRelation(spark: SparkSession, dir: String, name: String)
+                    (build: => DataFrame): DataFrame = synchronized {
+    shared.getOrElseUpdate(sessionKey(spark, name, dir),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist every scoped relation registered since the last release.
+    * Safe against already-stopped sessions (specs stop theirs). */
+  def releaseScoped(): Unit = synchronized {
+    scoped.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    scoped.clear()
+  }
+
+  /** Unpersist the shared relations too — session end only. */
+  def releaseShared(): Unit = synchronized {
+    shared.values.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    shared.clear()
+  }
+}

@@ -21,9 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries may persist() internal relations (self-join build sides);
-      // drop them so caches don't accumulate across 40+ queries
-      spark.catalog.clearCache()
+      // queries register their internal persists (self-join build sides)
+      // as scoped in graft.Caches — release them here so caches don't
+      // accumulate across 60 queries. The explicit shared dedup-trio
+      // relations stay for the session (same policy as Bench).
+      Caches.releaseScoped()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -40,6 +42,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Caches.releaseShared()
     spark.stop()
   }
 }

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Scalable dense 0-based row-id assignment over a total order.
   *
@@ -35,11 +34,13 @@ object RowIds {
   def withDenseId(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
     val pid = "__graft_pid"
     val off = "__graft_offset"
-    val sorted = df
+    // scoped persist: released by the harness at query end (Caches) — at
+    // one dense-id pass per query over a 60-query session, an unscoped
+    // persist here was the main storage-memory leak of round 2.
+    val sorted = graft.Caches.scopedPersist(df
       .repartitionByRange(order.map(_.asc): _*)
       .sortWithinPartitions(order.map(_.asc): _*)
-      .withColumn(pid, spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn(pid, spark_partition_id()))
 
     // one row per partition — broadcastable at any scale (≤ #partitions)
     val counts = sorted.groupBy(col(pid)).count()

@@ -156,7 +156,12 @@ object ExtendedQueries {
     "q24_union_reassembly" -> { (s, d) =>
       val e = Tables.events(s, d).select("event_id", "event_type")
       val withId = RowIds.withDenseId(e, Seq(col("event_id")), "__id")
-      val tiled = Segments.ntileFromDenseId(withId, "__id", 4, "seg")
+      // scoped persist BEFORE fanning into the 4 segment branches: without
+      // it the whole dense-id pipeline (range sort + offset join + window)
+      // re-executes once per branch — 4× the work for identical input
+      // (the round-2 bench regression). One id pass, four cheap filters.
+      val tiled = graft.Caches.scopedPersist(
+        Segments.ntileFromDenseId(withId, "__id", 4, "seg"))
       (1 to 4).map(i => tiled.filter(col("seg") === i).select("event_id", "event_type"))
         .reduce(_ unionAll _)
         .orderBy("event_id")

