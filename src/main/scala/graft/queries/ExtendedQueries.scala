@@ -173,6 +173,15 @@ object ExtendedQueries {
       StreamingTumbling.tumblingPerMinute(s, d)
     },
 
+    // The WATERMARKED append-mode form of q25 (VERDICT r2 item 4): state
+    // evicts once the watermark passes a window's end, so the plan is the
+    // one that survives an unbounded 100 TB stream. Emits only finalized
+    // windows — the oracle is the batch twin restricted to windows whose
+    // end the final watermark (max event time − 10 min) passed.
+    "q61_watermarked_tumbling" -> { (s, d) =>
+      StreamingTumbling.tumblingPerMinuteWatermarked(s, d)
+    },
+
     // Stream-static enrichment join (§2.4): the unbounded events stream
     // joined to the broadcast customer dimension per micro-batch — the
     // streaming face of q05's lookup join — then a running aggregate.
@@ -278,6 +287,17 @@ object ExtendedQueries {
       """SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY minute ORDER BY minute""".stripMargin,
+    // Watermark mirrored at millisecond precision (Spark tracks event-time
+    // stats in ms: µs max truncated to ms, minus the 10-minute delay); a
+    // window is emitted once its end <= watermark.
+    "q61_watermarked_tumbling" ->
+      """WITH wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 600000 AS w_ms FROM events)
+        |SELECT date_trunc('minute', ts) AS minute, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY minute
+        |HAVING epoch_ms(CAST(minute AS TIMESTAMP) + INTERVAL 1 MINUTE) <= (SELECT w_ms FROM wm)
+        |ORDER BY minute""".stripMargin,
     "q58_stream_static_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -35,8 +35,10 @@ object SpatialQueries {
     },
 
     // Greedy NMS per frame (sequential in-group, parallel across groups).
-    // Spark-only: greedy suppression isn't ANSI-SQL-expressible; invariants
-    // are asserted in BBoxSpec instead.
+    // Oracled via a DuckDB recursive CTE that replays the greedy walk:
+    // rank by (confidence DESC, box_id), then admit each next box iff its
+    // IoU against every already-kept box stays under the threshold, with
+    // the kept set carried as a list-of-structs state column.
     "q37_nms" -> { (s, d) =>
       val boxes = BBoxOps.syntheticBoxes(Tables.events(s, d), 50)
       BBoxOps.nms(s, boxes, iouThreshold = 0.5)
@@ -81,6 +83,44 @@ object SpatialQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Greedy NMS as a recursive CTE: one walk row per (frame, rank); the
+    // kept-box list rides along as recursion state. Rank order matches
+    // BBoxOps.nms exactly ((-confidence, box_id)); recursion depth is
+    // bounded by detections-per-frame (50), frames advance independently.
+    "q37_nms" ->
+      """WITH RECURSIVE boxes AS (
+        |  SELECT event_id // 50 AS frame, event_id AS box_id,
+        |    event_id * 13 % 600 AS x0, event_id * 29 % 600 AS y0,
+        |    event_id * 13 % 600 + event_id * 7 % 120 + 20 AS x1,
+        |    event_id * 29 % 600 + event_id * 11 % 120 + 20 AS y1,
+        |    value AS confidence
+        |  FROM events),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (PARTITION BY frame ORDER BY confidence DESC, box_id) AS rn FROM boxes),
+        |counts AS (SELECT frame, max(rn) AS m FROM ranked GROUP BY frame),
+        |walk(frame, rn, kept) AS (
+        |  SELECT frame, CAST(0 AS BIGINT),
+        |    CAST([] AS STRUCT(box_id BIGINT, x0 BIGINT, y0 BIGINT,
+        |                      x1 BIGINT, y1 BIGINT, confidence DOUBLE)[])
+        |  FROM counts
+        |  UNION ALL
+        |  SELECT w.frame, r.rn,
+        |    CASE WHEN len(list_filter(w.kept, k ->
+        |        CAST(greatest(least(k.x1, r.x1) - greatest(k.x0, r.x0), 0)
+        |           * greatest(least(k.y1, r.y1) - greatest(k.y0, r.y0), 0) AS DOUBLE)
+        |        / ((k.x1-k.x0)*(k.y1-k.y0) + (r.x1-r.x0)*(r.y1-r.y0)
+        |           - greatest(least(k.x1, r.x1) - greatest(k.x0, r.x0), 0)
+        |             * greatest(least(k.y1, r.y1) - greatest(k.y0, r.y0), 0))
+        |        >= 0.5)) > 0
+        |      THEN w.kept
+        |      ELSE list_append(w.kept, {'box_id': r.box_id, 'x0': r.x0, 'y0': r.y0,
+        |                                'x1': r.x1, 'y1': r.y1, 'confidence': r.confidence})
+        |    END
+        |  FROM walk w JOIN ranked r ON r.frame = w.frame AND r.rn = w.rn + 1)
+        |SELECT frame, k.box_id AS box_id, k.confidence AS confidence
+        |FROM (SELECT w.frame, unnest(w.kept) AS k
+        |      FROM walk w JOIN counts c ON w.frame = c.frame AND w.rn = c.m)
+        |ORDER BY frame, box_id""".stripMargin,
     "q59_sender_payloads" ->
       """WITH boxes AS (SELECT event_id // 50 AS frame, event_id AS box_id,
         |    event_id * 13 % 600 AS x0, event_id * 29 % 600 AS y0,

@@ -43,7 +43,20 @@ object EventStreams {
     * sink is append-only). This is the drain behind every `SparkEntry`
     * streaming query; [[drain]] (memory sink) remains for update-mode
     * state inspection in specs. */
-  def drainToFiles(df: DataFrame, mode: String): DataFrame = {
+  def drainToFiles(df: DataFrame, mode: String): DataFrame =
+    drainToFilesCounting(df, mode)._1
+
+  /** [[drainToFiles]] plus the number of input rows the stateful operators
+    * dropped as later than the watermark (summed over every micro-batch's
+    * progress). The count comes from the engine's own
+    * `numRowsDroppedByWatermark` metric — an `Observation` upstream of the
+    * aggregation cannot see these drops, because they happen inside the
+    * stateful operator itself. */
+  def drainToFilesCounting(df: DataFrame, mode: String): (DataFrame, Long) = {
+    // update-mode would silently duplicate keys through an append parquet
+    // write (each state revision appended as a fresh row) — fail fast.
+    require(mode == "append" || mode == "complete",
+      s"drainToFiles supports append|complete, got '$mode' (update has no file-write analog)")
     val spark = df.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_drain")
     cleanupOnExit(root)
@@ -57,8 +70,13 @@ object EventStreams {
       .start()
     try query.processAllAvailable()
     finally query.stop()
-    if (new java.io.File(dir).exists) spark.read.parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    val dropped = query.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    val out =
+      if (new java.io.File(dir).exists) spark.read.parquet(dir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    (out, dropped)
   }
 
   // The drained parquet must outlive this call (the returned DataFrame

@@ -26,4 +26,35 @@ object StreamingTumbling {
       .select(col("window.start").as("minute"), col("n"), col("sum_value"))
     EventStreams.drainToFiles(agg, "complete").orderBy("minute")
   }
+
+  /** The same per-minute aggregation as a WATERMARKED, append-mode plan —
+    * the 100×-scale form (VERDICT r2 item 4): a window's state is
+    * finalized, emitted once, and EVICTED when the watermark passes its
+    * end, so state size is bounded by the watermark horizon instead of
+    * growing with every distinct window forever, and the sink appends
+    * finalized rows instead of rewriting the whole result per batch.
+    * Rows arriving later than `delay` behind the max event time are
+    * dropped by the engine and counted ([[EventStreams
+    * .drainToFilesCounting]]).
+    *
+    * Input contract: streaming relation with `ts: timestamp` and
+    * `value: double`. */
+  def watermarkedPerMinute(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("minute"), col("n"), col("sum_value"))
+
+  /** [[watermarkedPerMinute]] over the bounded events stream, run to
+    * completion. Only windows the final watermark (max event time −
+    * `delay`) has passed are emitted — the last `delay` of windows stays
+    * in state awaiting data that never comes, exactly as on an unbounded
+    * source. The oracle is therefore the batch twin restricted to
+    * on-time windows. */
+  def tumblingPerMinuteWatermarked(spark: SparkSession, sfDir: String,
+                                   delay: String = "10 minutes"): DataFrame = {
+    val agg = watermarkedPerMinute(EventStreams.eventsStream(spark, sfDir), delay)
+    EventStreams.drainToFiles(agg, "append").orderBy("minute")
+  }
 }
