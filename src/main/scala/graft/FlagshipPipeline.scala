@@ -32,12 +32,8 @@ object FlagshipPipeline {
 
   def run(spark: SparkSession, outDir: String, frames: Long = 3000,
           keyframeInterval: Int = EventStreams.KeyframeInterval): RunStats = {
-    import spark.implicits._
-
     val srcW = 64
     val srcH = 48
-    val target = 64
-
     // payload sized as a real frame buffer (srcW*srcH grayscale bytes;
     // the connector stub emits 64 B, so inflate deterministically)
     val frameBufUdf = udf((f: Long) =>
@@ -47,7 +43,43 @@ object FlagshipPipeline {
       .option("numPartitions", 8)
       .load()
       .withColumn("payload", frameBufUdf(col("frame_number")))
-      .persist() // one decode pass, two consumers (main.py:109-134)
+    runFromSource(spark, source, outDir, keyframeInterval, srcW, srcH)
+  }
+
+  /** The same fan-out fed from an S1 image DIRECTORY — the reference's
+    * primary demo path (`main.py:74-86`: a folder of numbered frames).
+    * [[graft.sources.Sources.imageDir]] supplies the ordering (digit run
+    * in the stem, nulls last) and the stop-on-first-unreadable cut, so a
+    * corrupt frame mid-directory truncates the run BEFORE either sink
+    * sees it — exactly the reference's scan-ending decode failure.
+    *
+    * Files are raw `srcW`×`srcH` grayscale buffers (the codec stand-in,
+    * SURVEY.md §7.3); `unreadable` is the decode-failure predicate,
+    * threaded through to the source.
+    */
+  def runFromImageDir(spark: SparkSession, dir: String, outDir: String,
+                      srcW: Int, srcH: Int,
+                      keyframeInterval: Int = EventStreams.KeyframeInterval,
+                      unreadable: org.apache.spark.sql.Column =
+                        col("length") === 0L || col("content").isNull): RunStats = {
+    val source = graft.sources.Sources.imageDir(spark, dir, unreadable = unreadable)
+      .select(col("frame_number"),
+        // same 30 fps synthetic clock as the connector stub: image files
+        // carry no timestamps (integer div — no 2^53 double cliff)
+        expr("1704067200000000 + frame_number * 1000000 div 30").as("ts_us"),
+        col("content").as("payload"))
+    runFromSource(spark, source, outDir, keyframeInterval, srcW, srcH)
+  }
+
+  /** Source-agnostic flagship body: any (frame_number, ts_us, payload)
+    * relation with `srcW`×`srcH` byte payloads fans out to both sinks. */
+  private def runFromSource(spark: SparkSession, source0: org.apache.spark.sql.DataFrame,
+                            outDir: String, keyframeInterval: Int,
+                            srcW: Int, srcH: Int): RunStats = {
+    import spark.implicits._
+
+    val target = 64
+    val source = source0.persist() // one decode pass, two consumers (main.py:109-134)
 
     // sink A: record-all
     source.select("frame_number", "ts_us", "payload")

@@ -51,8 +51,12 @@ object Segments {
     *
     * The reference raises ValueError when `total < k + 1`
     * (`video_splitter.py:43-44`); the relational form degrades gracefully
-    * instead (width-1 strata still yield k non-empty segments while
-    * total >= k) — a plan-time throw has no scalable analog.
+    * instead — a plan-time throw has no scalable analog. While
+    * `total >= k` every stratum has width >= 1 and all k segments are
+    * non-empty; when `total < k` the zero-width strata are dropped, so
+    * the output is `min(k, total)` non-empty segments (segment ids keep
+    * their stratum numbers, so they may be non-contiguous) rather than
+    * k-with-empties — every emitted `[lo, hi)` always holds >= 1 row.
     */
   def randomBoundaries(df: DataFrame, k: Int, seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -64,11 +68,15 @@ object Segments {
       // integer div: see ntileFromDenseId on the 2^53 double cliff
       .withColumn("__start", expr(s"(segment * __t) div $k"))
       .withColumn("__width", expr(s"((segment + 1) * __t) div $k - (segment * __t) div $k"))
+      // degenerate total < k: a zero-width stratum would emit an empty
+      // [x, x) segment whose lo collides with its neighbor — drop it
+      // BEFORE the lead(), so consecutive lo stay strictly increasing
+      .filter(col("__width") > 0)
       .withColumn("lo",
         when(col("segment") === 0, lit(0L)) // first segment always starts at 0
           .otherwise(col("__start") +
             TextOps.hash56(concat(lit(seed + "_"), col("segment").cast("string")))
-              % greatest(lit(1L), col("__width"))))
+              % col("__width")))
       .withColumn("hi", coalesce(lead(col("lo"), 1).over(w), col("__t")))
       .select("segment", "lo", "hi")
   }

@@ -21,6 +21,16 @@ import graft.operators.Letterbox
   * (w, h); any later record with different dims is dropped with a
   * warning, not written. The drop count is taken from an [[Observation]]
   * on the same pass that writes — no second scan, no collect.
+  *
+  * Delivery-accounting caveat: the dims bind and the drop counter are
+  * driver-side mutable state over a NON-idempotent append sink, so if
+  * Spark retries a micro-batch after a transient write failure, sink A
+  * rows are re-appended and drops re-counted (and a retried FIRST batch
+  * could re-bind) — at-least-once, where the reference's sequential loop
+  * is exactly-once. The bounded harness runs never retry; an
+  * exactly-once variant would partition sink output by `batchId`,
+  * overwrite that partition, and fold the drop count from an idempotent
+  * per-batch record instead of a driver accumulator.
   */
 object FanOutPipeline {
 

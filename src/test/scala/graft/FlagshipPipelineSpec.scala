@@ -24,6 +24,33 @@ class FlagshipPipelineSpec extends SparkSpec {
     assert(up(7 * 8) === 3.toByte && up(63) === 4.toByte)
   }
 
+  test("flagship from an image directory: full fan-out incl. stop-on-unreadable cut") {
+    val w = 64; val h = 48
+    val magic = 'G'.toByte
+    val dir = Files.createTempDirectory("graft_imgflag")
+    // 10 numbered frames of raw w*h grayscale; frame 7 is corrupt (bad
+    // magic byte) -> the S1 scan must END there: frames 0..6 flow, 7..9 never
+    (0 until 10).foreach { i =>
+      val buf = Array.tabulate(w * h)(p => ((i * 31 + p) % 256 - 128).toByte)
+      buf(0) = if (i == 7) 0.toByte else magic
+      Files.write(dir.resolve(f"frame_$i%04d.png"), buf)
+    }
+    val out = Files.createTempDirectory("graft_imgflag_out").toString
+    val stats = FlagshipPipeline.runFromImageDir(spark, dir.toString, out,
+      srcW = w, srcH = h, keyframeInterval = 2,
+      unreadable = substring(col("content"), 1, 1) =!= lit(Array(magic)))
+    assert(stats.framesSaved === 7L, "scan truncates at the first unreadable frame")
+    assert(stats.keyframes === 4L) // frames 0,2,4,6
+    assert(stats.detectionsSent <= 4L * 3)
+    // sink A holds the original (uncut) buffers of the surviving prefix
+    val sizes = spark.read.parquet(s"$out/all")
+      .select(length(col("payload"))).distinct().as[Int].collect()
+    assert(sizes.toSeq === Seq(w * h))
+    val framesSeen = spark.read.parquet(s"$out/all")
+      .select("frame_number").as[Long].collect().sorted
+    assert(framesSeen.toSeq === (0L to 6L))
+  }
+
   test("flagship pipeline: record-all sink, sampled branch, NMS'd JSON payloads") {
     val out = Files.createTempDirectory("graft_flagship").toString
     val stats = FlagshipPipeline.run(spark, out, frames = 1500)

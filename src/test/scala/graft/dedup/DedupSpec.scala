@@ -47,8 +47,18 @@ class DedupSpec extends SparkSpec {
     val allPairs = SparkEntry.queries("q31_ngram_jaccard")(spark, sf0001)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val relational = allPairs.filter { case (a, b) => a % 2 == 0 && b % 2 == 0 }
-    assert(mllib === relational,
-      "two independent near-dup implementations must find the same pairs")
+    // NOT exact equality: q18 runs only 2 OR-amplified hash tables, so a
+    // true pair is missed with prob ≈ (1−j)² (~4% at j = 0.8) — on the
+    // current seeded corpus the sets happen to coincide, but a fixture
+    // regeneration could legitimately drop a pair from the MLlib side.
+    // The stable invariants are (a) soundness: every MLlib pair passes
+    // the same exact-Jaccard filter the relational path applies, so it
+    // must be a subset; (b) recall ≥ 0.9 against the oracle-checked set.
+    assert(mllib.subsetOf(relational),
+      s"MLlib found pairs the relational verify rejects: ${mllib -- relational}")
+    assert(relational.nonEmpty &&
+      mllib.size >= math.ceil(relational.size * 0.9).toInt,
+      s"MLlib recall ${mllib.size}/${relational.size} under the 0.9 floor")
   }
 
   test("skew-safe distinct count equals countDistinct") {

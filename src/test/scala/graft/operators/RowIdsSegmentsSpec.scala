@@ -61,4 +61,17 @@ class RowIdsSegmentsSpec extends SparkSpec {
     assert(cuts("graft") === cuts("graft"))
     assert(cuts("graft") !== cuts("other-seed"))
   }
+
+  test("randomBoundaries degrades to min(k, total) non-empty segments when total < k") {
+    // reference raises ValueError here (video_splitter.py:43-44); the
+    // relational form drops zero-width strata instead of emitting empty
+    // [x, x) segments — every surviving segment holds >= 1 row and the
+    // union still covers [0, total) contiguously
+    val b = Segments.randomBoundaries(spark.range(2).toDF("k"), 4, "s1")
+      .orderBy("segment").select("lo", "hi").as[(Long, Long)].collect()
+    assert(b.length === 2)
+    assert(b.head._1 === 0L && b.last._2 === 2L)
+    for (Array((_, hi), (lo, _)) <- b.sliding(2)) assert(hi === lo)
+    for ((lo, hi) <- b) assert(lo < hi)
+  }
 }
