@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scale probe: times a chosen subset of queries against an arbitrary
-  * data directory (e.g. a 10× events table) to check how the
-  * scale-sensitive operators behave beyond the bench SF.
+  * data directory (e.g. the 10× tables from tools/make_scale_data.py) to
+  * check how the scale-sensitive operators behave beyond the bench SF.
+  *
+  * Persist policy matches Bench: the shared dedup-trio build is timed
+  * explicitly up front, scoped persists release after each query — so a
+  * probe row is that query's real marginal cost at the probed scale.
+  *
   * Run: sbt "runMain graft.ScaleProbe <dir> <q1,q2,...>". */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -12,8 +17,10 @@ object ScaleProbe {
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else Seq("q01_ordered_scan", "q02_keyframe_sample", "q09_progress_ticks",
-        "q14_tumbling_window", "q22_segment_range_join", "q30_minhash_banding",
-        "q40_session_windows", "q44_asof_join")
+        "q14_tumbling_window", "q22_segment_range_join", "q24_union_reassembly",
+        "q30_minhash_banding", "q31_ngram_jaccard", "q34_simhash_neardup",
+        "q40_session_windows", "q44_asof_join",
+        "q57_embedding_neardup_srp", "q60_dedup_clusters")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,12 +30,17 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(100000).selectExpr("sum(id)").count() // warm-up
+    val t0 = System.nanoTime()
+    queries.PipelineQueries.warmSharedRelations(spark, dir)
+    Caches.releaseScoped()
+    println(f"[probe] shared_build              ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     for (n <- names) {
-      val t0 = System.nanoTime()
+      val t1 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, dir).count()
-      println(f"[probe] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  $rows%10d rows")
-      spark.catalog.clearCache()
+      println(f"[probe] $n%-28s ${(System.nanoTime() - t1) / 1e9}%8.2fs  $rows%10d rows")
+      Caches.releaseScoped()
     }
+    Caches.releaseShared()
     spark.stop()
   }
 }

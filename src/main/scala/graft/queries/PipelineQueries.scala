@@ -308,15 +308,29 @@ object PipelineQueries {
     },
 
     // Embedding-cosine near-dup via sign-random-projection LSH (the
-    // random-hyperplane family): 16 md5-derived ±1 hyperplanes → 16 sign
-    // bits per vector → 2×8-bit band blocking → exact-cosine verify of
-    // candidates only. The corpus has no natural near-dups (max pairwise
-    // cos ≈ 0.6), so 50 perturbed twins are planted deterministically —
-    // derived from the table, mirrored 1:1 in the oracle — and the
-    // pipeline must separate them (cos ≈ 1) from band-collision false
-    // positives (cos ≤ 0.6). Fully keyed equi-joins; no O(n²) scan.
-    // Projections are summed in DECIMAL so the sign decision is
-    // shuffle-order- and engine-independent (house rule, SURVEY.md §7.3).
+    // random-hyperplane family): md5-derived ±1 hyperplanes → sign bits
+    // per vector → 2-band blocking → exact-cosine verify of candidates
+    // only. The corpus has no natural near-dups (max pairwise cos ≈ 0.6),
+    // so 50 perturbed twins are planted deterministically — derived from
+    // the table, mirrored 1:1 in the oracle — and the pipeline must
+    // separate them (cos ≈ 1) from band-collision false positives
+    // (cos ≤ 0.6). Fully keyed equi-joins; no O(n²) scan.
+    //
+    // Band width is CORPUS-ADAPTIVE: B = max(8, ceil(log2 n) + 2) bits
+    // per band, 2 bands, 2B hyperplanes. A fixed 8-bit band hit the
+    // birthday bound — candidate pairs grew ~quadratically with corpus
+    // size (the 10× probe showed q57 at 4.7× cost) — while B ~ log2 n + 2
+    // keeps expected collisions per band ≈ n²/2^B ≈ n/4, i.e. linear.
+    // The oracle computes the same B from the same count, in SQL.
+    //
+    // The signature stage is a pure MAP: the hyperplane ±1 matrix is tiny
+    // (2B × 64) and md5-derived, so it is computed driver-side with the
+    // same md5 the oracle uses and embedded as array literals — each sign
+    // bit is one codegen'd [[VectorOps.dot]] against a literal vector.
+    // No explode, no join, no aggregation; the only shuffles left in the
+    // whole query are the keyed band join and the verify joins. The sign
+    // decision inherits dot's strict left-to-right accumulation — the
+    // same bit-exact-vs-DuckDB guarantee q19/q32 already rely on.
     "q57_embedding_neardup_srp" -> { (s, d) =>
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("ve"))
@@ -328,25 +342,32 @@ object PipelineQueries {
         .select((col("vec_id") + col("__off")).as("vec_id"),
           transform(col("ve"), x => x + lit(0.0001)).as("ve"))
       val all = base.unionAll(twins)
-      val hyper = s.range(16).toDF("j").crossJoin(s.range(64).toDF("i"))
-        .select(col("j"), col("i"),
-          when(TextOps.hash56(concat_ws("_", col("j"), col("i"))) % 2 === 1, lit(1.0))
-            .otherwise(lit(-1.0)).as("sgn"))
-      val sig = all
-        .select(col("vec_id"), posexplode(col("ve")).as(Seq("i", "x")))
-        .join(broadcast(hyper), "i")
-        .groupBy("vec_id", "j")
-        .agg(sum((col("x") * col("sgn")).cast("decimal(28,12)")).as("p"))
-        .groupBy("vec_id")
-        .agg(sum(when(col("p") > 0, expr("shiftleft(1L, cast(j AS int))"))
-          .otherwise(0L)).as("sig"))
+      // one cheap count action sizes the signature; exact integer
+      // ceil(log2 n) so no libm boundary can disagree with the oracle
+      // (the probed corpus sizes are nowhere near powers of two anyway)
+      val nAv = all.count()
+      val bandBits = math.max(8, 66 - java.lang.Long.numberOfLeadingZeros(nAv - 1))
+      val nHyper = 2 * bandBits
+      // hash56 twin: first 14 hex chars of md5, like TextOps.hash56 /
+      // the oracle's substr(md5(j || '_' || i), 1, 14)
+      def h56(str: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 14), 16)
+      val sgnRows = Array.tabulate(nHyper, 64)((j, i) =>
+        if (h56(s"${j}_$i") % 2 == 1) 1.0 else -1.0)
+      val sigCol = (0 until nHyper).map { j =>
+        when(VectorOps.dot(col("ve"), typedLit(sgnRows(j).toSeq)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = all.select(col("vec_id"), sigCol.as("sig"))
       // scoped persist: both sides of the band self-join read the
       // signature relation; without it the whole explode+project+sign
       // pipeline runs twice (same pattern as minhashCandidates).
       val bands = graft.Caches.scopedPersist(sig
         .select(col("vec_id"), col("sig"),
           explode(sequence(lit(0), lit(1))).as("band"))
-        .withColumn("bval", expr("shiftright(sig, band * 8) % 256")))
+        .withColumn("bval", expr(s"shiftright(sig, band * $bandBits) % ${1L << bandBits}")))
       val cand = bands.select(col("band"), col("bval"), col("vec_id").as("id_a"))
         .join(bands.select(col("band"), col("bval"), col("vec_id").as("id_b")),
           Seq("band", "bval"))
@@ -473,18 +494,18 @@ object PipelineQueries {
         |              list_transform(ve, x -> x + 0.0001) AS ve
         |       FROM v WHERE vec_id < 50),
         |av AS (SELECT * FROM v UNION ALL SELECT * FROM tw),
-        |dims AS (SELECT vec_id, i, ve[i + 1] AS x
-        |         FROM av, (SELECT unnest(range(64)) AS i)),
-        |h AS (SELECT j, i,
-        |        CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14)) AS BIGINT) % 2 = 1
-        |          THEN 1.0 ELSE -1.0 END AS sgn
-        |      FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i)),
-        |proj AS (SELECT vec_id, j, sum(CAST(x * sgn AS DECIMAL(28,12))) AS p
-        |         FROM dims JOIN h USING (i) GROUP BY vec_id, j),
+        |prm AS (SELECT greatest(8, CAST(ceil(log2(count(*))) AS BIGINT) + 2) AS b FROM av),
+        |hyp AS (SELECT j, list_transform(generate_series(0, 63), i ->
+        |          CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 14)) AS BIGINT) % 2 = 1
+        |            THEN 1.0 ELSE -1.0 END) AS sv
+        |        FROM (SELECT unnest(range((SELECT 2 * b FROM prm))) AS j)),
         |sig AS (SELECT vec_id,
-        |          CAST(sum(CASE WHEN p > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
-        |        FROM proj GROUP BY vec_id),
-        |bands AS (SELECT vec_id, sig, b.band, (sig >> (b.band * 8)) % 256 AS bval
+        |          CAST(sum(CASE WHEN list_dot_product(ve, sv) > 0
+        |            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |        FROM av, hyp GROUP BY vec_id),
+        |bands AS (SELECT vec_id, sig, b.band,
+        |            (sig >> (b.band * (SELECT b FROM prm)))
+        |              % CAST(pow(2, (SELECT b FROM prm)) AS BIGINT) AS bval
         |          FROM sig, (SELECT unnest(range(2)) AS band) b),
         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |         FROM bands a JOIN bands b USING (band, bval) WHERE a.vec_id < b.vec_id),

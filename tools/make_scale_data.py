@@ -1,11 +1,25 @@
 #!/usr/bin/env python3
 """Dev-only scale-probe data builder (the ScaleProbe input).
 
-Replicates <sfDir>/events.parquet N times — event_ids offset to stay
-dense-and-unique, timestamps shifted past the source span per copy so
-time semantics stay sane — and symlinks every other table unchanged.
-pyarrow is used (not DuckDB) so the parquet physical types, including
-events.ts TIMESTAMP(NANOS), survive byte-exact.
+Replicates the SF-proportional tables N times:
+
+- events.parquet — event_ids offset to stay dense-and-unique, timestamps
+  shifted past the source span per copy so time semantics stay sane.
+- documents.parquet — doc_ids offset; copy k > 0 suffixes EVERY token
+  with k. A bijective token rename preserves shingle-Jaccard structure
+  WITHIN a copy exactly (each copy contributes the original corpus's
+  near-dup pairs, id-shifted) while making shingle sets across copies
+  disjoint (no spurious cross-copy near-dups) — so q30/q31/q60 pair
+  counts must grow exactly linearly in N.
+- embeddings.parquet — vec_ids offset; copy k rotates the 64 dims by
+  3k+1. Rotation preserves within-copy cosines exactly and decorrelates
+  copies, so q57's planted-twin structure scales without cross-copy
+  near-dups (band-collision false positives still grow ~quadratically —
+  that is the 16-bit-signature birthday bound the probe exists to show).
+
+Everything else (fixed-size dims) is symlinked unchanged; stale/broken
+links are repaired. pyarrow is used (not DuckDB) so the parquet physical
+types, including events.ts TIMESTAMP(NANOS), survive byte-exact.
 
 Usage: python3 tools/make_scale_data.py <sfDir> <outDir> [N=10]
 """
@@ -16,34 +30,95 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "documents", "embeddings"]
+LINK_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem"]
 
 
-def main(sf_dir: str, out_dir: str, n: int) -> None:
-    os.makedirs(out_dir, exist_ok=True)
+def _fresh(path: str) -> str:
+    """Old runs symlinked documents/embeddings; writing a replica through
+    such a leftover link would target the (read-only) source dir."""
+    if os.path.islink(path):
+        os.remove(path)
+    return path
+
+
+def replicate_events(sf_dir: str, out_dir: str, n: int) -> int:
     t = pq.read_table(f"{sf_dir}/events.parquet")
     n_rows = t.num_rows
     span_ns = pc.max(t["ts"]).cast(pa.int64()).as_py() - \
         pc.min(t["ts"]).cast(pa.int64()).as_py() + 60_000_000_000
     copies = []
     for k in range(n):
-        c = t
-        c = c.set_column(c.schema.get_field_index("event_id"), "event_id",
-                         pc.add(c["event_id"], k * n_rows))
+        c = t.set_column(t.schema.get_field_index("event_id"), "event_id",
+                         pc.add(t["event_id"], k * n_rows))
         shifted = pc.add(c["ts"].cast(pa.int64()), k * span_ns) \
             .cast(pa.timestamp("ns"))
         c = c.set_column(c.schema.get_field_index("ts"), "ts", shifted)
         copies.append(c)
     big = pa.concat_tables(copies)
-    pq.write_table(big, f"{out_dir}/events.parquet")
-    for name in TABLES:
+    pq.write_table(big, _fresh(f"{out_dir}/events.parquet"))
+    return big.num_rows
+
+
+def replicate_documents(sf_dir: str, out_dir: str, n: int) -> int:
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    off = pc.max(t["doc_id"]).as_py() + 1
+    texts = t["text"].to_pylist()
+    copies = []
+    for k in range(n):
+        c = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                         pc.add(t["doc_id"], k * off))
+        if k > 0:
+            renamed = [" ".join(f"{tok}{k}" for tok in s.split(" "))
+                       for s in texts]
+            c = c.set_column(c.schema.get_field_index("text"), "text",
+                             pa.array(renamed, type=t["text"].type))
+        copies.append(c)
+    big = pa.concat_tables(copies)
+    pq.write_table(big, _fresh(f"{out_dir}/documents.parquet"))
+    return big.num_rows
+
+
+def replicate_embeddings(sf_dir: str, out_dir: str, n: int) -> int:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    off = pc.max(t["vec_id"]).as_py() + 1
+    vecs = t["embedding"].to_pylist()
+    dim = len(vecs[0])
+    copies = []
+    for k in range(n):
+        c = t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
+                         pc.add(t["vec_id"], k * off))
+        if k > 0:
+            r = (3 * k + 1) % dim
+            rotated = [v[r:] + v[:r] for v in vecs]
+            c = c.set_column(c.schema.get_field_index("embedding"), "embedding",
+                             pa.array(rotated, type=t["embedding"].type))
+        copies.append(c)
+    big = pa.concat_tables(copies)
+    pq.write_table(big, _fresh(f"{out_dir}/embeddings.parquet"))
+    return big.num_rows
+
+
+def main(sf_dir: str, out_dir: str, n: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    n_ev = replicate_events(sf_dir, out_dir, n)
+    n_doc = replicate_documents(sf_dir, out_dir, n)
+    n_vec = replicate_embeddings(sf_dir, out_dir, n)
+    for name in LINK_TABLES:
         dst = f"{out_dir}/{name}.parquet"
-        if not os.path.lexists(dst):  # lexists: repair broken links too
-            # abspath: a relative sf_dir would otherwise produce a link
-            # that resolves relative to out_dir (broken)
-            os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), dst)
-    print(f"wrote {big.num_rows} events ({n}x {n_rows}) to {out_dir}")
+        # a stale target (pre-abspath runs linked relative to out_dir) or
+        # a leftover link from an older TABLES list must be repaired, not
+        # skipped: lexists alone left broken links in place
+        if os.path.lexists(dst):
+            if os.path.islink(dst) and not os.path.exists(dst):
+                os.remove(dst)
+            else:
+                continue
+        # abspath: a relative sf_dir would otherwise produce a link
+        # that resolves relative to out_dir (broken)
+        os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), dst)
+    print(f"wrote {n_ev} events, {n_doc} documents, {n_vec} embeddings "
+          f"({n}x) to {out_dir}")
 
 
 if __name__ == "__main__":
