@@ -5,6 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,13 +37,17 @@ object Bench {
     // and added to the total: with median reporting it would otherwise
     // surface only in the first trio query's max rep and silently drop
     // out of the committed number.
+    // a failed build reports -1 (excluded from totals, counted in
+    // `failed`) — NOT 0.0: the trio would then rebuild inside the first
+    // trio query's rep 1, where median reporting hides the cost, making
+    // a crashed run look ~7s faster than any honest one.
     val tShared = System.nanoTime()
     val sharedBuild = try {
       graft.queries.PipelineQueries.warmSharedRelations(spark, sfDir)
       (System.nanoTime() - tShared) / 1e9
     } catch { case e: Throwable =>
       System.err.println(s"[bench] shared-relation build failed: ${e.getMessage}")
-      0.0
+      -1.0
     } finally Caches.releaseScoped()
     val runs: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -71,10 +76,11 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val ok = runs.filter(_._2.forall(_ >= 0))
-    val total = sharedBuild + ok.map { case (_, ts) => median(ts) }.sum
-    val totalMin = sharedBuild + ok.map(_._2.min).sum
-    val totalMax = sharedBuild + ok.map(_._2.max).sum
-    val failed = med.values.count(_ < 0)
+    val sharedOk = math.max(sharedBuild, 0.0)
+    val total = sharedOk + ok.map { case (_, ts) => median(ts) }.sum
+    val totalMin = sharedOk + ok.map(_._2.min).sum
+    val totalMax = sharedOk + ok.map(_._2.max).sum
+    val failed = med.values.count(_ < 0) + (if (sharedBuild < 0) 1 else 0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"shared_build":$sharedBuild,"band":{"min":$totalMin,"max":$totalMax},"failed":$failed,"queries":${fmt(med)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()

@@ -10,11 +10,15 @@ import org.apache.spark.storage.StorageLevel
   * Two lifetimes, nothing else:
   *
   *  - '''scoped''' — a build side or self-join input that exists for ONE
-  *    query. Registered here by the operator that persists it; the harness
-  *    ([[Bench]], [[Verify]], specs) calls [[releaseScoped]] after the
-  *    query's action, so retained relations can't accumulate across a
-  *    60-query session and compete for storage memory (the round-2 bench
-  *    regression mechanism).
+  *    query. Registered here by the operator that persists it; the caller
+  *    that runs queries back-to-back ([[Bench]], [[Verify]],
+  *    [[ScaleProbe]], QueriesSpec's golden loop) calls [[releaseScoped]]
+  *    after each query's action, so retained relations can't accumulate
+  *    across a 60-query session and compete for storage memory (the
+  *    round-2 bench regression mechanism). The registry assumes queries
+  *    run ONE AT A TIME per JVM — a concurrent harness would release
+  *    another query's live build side; none of the harness mains nor the
+  *    (sequential) test suites do that.
   *  - '''shared''' — a relation deliberately reused by SEVERAL queries in
   *    one session (the q30→q31→q60 dedup trio). Compute-once by key, so
   *    the reuse is explicit in code rather than an accident of

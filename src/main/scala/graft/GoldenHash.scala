@@ -48,7 +48,9 @@ object GoldenGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      s"$name=${GoldenHash.hashDf(fn(spark, sfDir))}"
+      val h = s"$name=${GoldenHash.hashDf(fn(spark, sfDir))}"
+      Caches.releaseScoped() // per-query release, same as the harness mains
+      h
     }
     val f = new java.io.File(out)
     f.getParentFile.mkdirs()

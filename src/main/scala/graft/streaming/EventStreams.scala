@@ -47,11 +47,15 @@ object EventStreams {
     drainToFilesCounting(df, mode)._1
 
   /** [[drainToFiles]] plus the number of input rows the stateful operators
-    * dropped as later than the watermark (summed over every micro-batch's
-    * progress). The count comes from the engine's own
-    * `numRowsDroppedByWatermark` metric — an `Observation` upstream of the
-    * aggregation cannot see these drops, because they happen inside the
-    * stateful operator itself. */
+    * dropped as later than the watermark. The count comes from the
+    * engine's own `numRowsDroppedByWatermark` metric — an `Observation`
+    * upstream of the aggregation cannot see these drops, because they
+    * happen inside the stateful operator itself. `query.recentProgress`
+    * retains only `spark.sql.streaming.numRecentProgressUpdates` entries
+    * (default 100), which would silently undercount longer multi-batch
+    * runs — the retention is raised for the duration of this run (the
+    * synchronous progress buffer is race-free, unlike a listener whose
+    * events arrive on an async bus). */
   def drainToFilesCounting(df: DataFrame, mode: String): (DataFrame, Long) = {
     // update-mode would silently duplicate keys through an append parquet
     // write (each state revision appended as a fresh row) — fail fast.
@@ -62,14 +66,24 @@ object EventStreams {
     cleanupOnExit(root)
     val dir = root.toString + "/out"
     val writeMode = if (mode == "complete") "overwrite" else "append"
+    val retentionKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevRetention = spark.conf.getOption(retentionKey)
+    spark.conf.set(retentionKey, "100000")
     val query = df.writeStream.outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode(writeMode).parquet(dir)
         ()
       }
       .start()
-    try query.processAllAvailable()
-    finally query.stop()
+    try {
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+      prevRetention match {
+        case Some(v) => spark.conf.set(retentionKey, v)
+        case None => spark.conf.unset(retentionKey)
+      }
+    }
     val dropped = query.recentProgress
       .flatMap(p => Option(p.stateOperators).toSeq.flatten)
       .map(_.numRowsDroppedByWatermark).sum

@@ -53,7 +53,14 @@ object PushSink {
     SendStats(delivered.value, dropped.value)
   }
 
-  /** One POST; non-2xx status or any IO problem throws. */
+  /** One POST; non-2xx status or any IO problem throws.
+    *
+    * On success the response stream is fully drained and closed but the
+    * connection is NOT disconnected — JDK `HttpURLConnection` then parks
+    * the socket in its keep-alive cache, so consecutive records on a
+    * partition reuse one TCP connection instead of paying a handshake per
+    * payload. `disconnect()` (which closes the socket) only runs on the
+    * failure path, where the connection state is suspect anyway. */
   private def post(endpoint: String, body: String, timeoutMs: Int): Unit = {
     val conn = java.net.URI.create(endpoint).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -68,14 +75,17 @@ object PushSink {
       val out = conn.getOutputStream
       try { out.write(bytes); out.flush() } finally out.close()
       val code = conn.getResponseCode
-      // drain whichever stream the status selected so the connection is
-      // reusable by keep-alive instead of torn down half-read
+      // drain whichever stream the status selected so the socket is
+      // keep-alive-reusable instead of torn down half-read
       val in = if (code / 100 == 2) conn.getInputStream else conn.getErrorStream
       if (in != null) try {
         val buf = new Array[Byte](4096)
         while (in.read(buf) >= 0) ()
       } finally in.close()
       if (code / 100 != 2) throw new java.io.IOException(s"HTTP $code from $endpoint")
-    } finally conn.disconnect()
+    } catch { case e: Throwable =>
+      conn.disconnect()
+      throw e
+    }
   }
 }

@@ -24,6 +24,9 @@ class QueriesSpec extends SparkSpec {
       val golden = props.getProperty(name)
       assert(golden != null, s"$name has no golden — regenerate with GoldenGen")
       assert(GoldenHash.hashDf(fn(spark, sf0001)) === golden, name)
+      // same per-query release the harness mains do: 61 queries' scoped
+      // build sides must not pile up in the shared test session
+      Caches.releaseScoped()
     }
   }
 

@@ -5,17 +5,22 @@ Replicates the SF-proportional tables N times:
 
 - events.parquet — event_ids offset to stay dense-and-unique, timestamps
   shifted past the source span per copy so time semantics stay sane.
-- documents.parquet — doc_ids offset; copy k > 0 suffixes EVERY token
-  with k. A bijective token rename preserves shingle-Jaccard structure
+- documents.parquet — doc_ids offset; copy k > 0 rewrites EVERY token
+  to tok¶k (the separator is asserted absent from the corpus, so the
+  rename is injective both within AND across copies — a bare digit
+  suffix would let copy 0's 'foo1' collide with copy 1's rename of
+  'foo'). A bijective token rename preserves shingle-Jaccard structure
   WITHIN a copy exactly (each copy contributes the original corpus's
   near-dup pairs, id-shifted) while making shingle sets across copies
   disjoint (no spurious cross-copy near-dups) — so q30/q31/q60 pair
   counts must grow exactly linearly in N.
-- embeddings.parquet — vec_ids offset; copy k rotates the 64 dims by
-  3k+1. Rotation preserves within-copy cosines exactly and decorrelates
-  copies, so q57's planted-twin structure scales without cross-copy
-  near-dups (band-collision false positives still grow ~quadratically —
-  that is the 16-bit-signature birthday bound the probe exists to show).
+- embeddings.parquet — vec_ids offset; copy k rotates the dims by k
+  (distinct rotations for every copy, enforced N <= dim — a stride like
+  3k+1 mod 64 silently repeats rotation 0 at k=21). Rotation preserves
+  within-copy cosines exactly and decorrelates copies, so q57's
+  planted-twin structure scales without cross-copy near-dups; q57's
+  corpus-adaptive band width keeps the band-collision candidates linear
+  in N (see PipelineQueries).
 
 Everything else (fixed-size dims) is symlinked unchanged; stale/broken
 links are repaired. pyarrow is used (not DuckDB) so the parquet physical
@@ -64,12 +69,14 @@ def replicate_documents(sf_dir: str, out_dir: str, n: int) -> int:
     t = pq.read_table(f"{sf_dir}/documents.parquet")
     off = pc.max(t["doc_id"]).as_py() + 1
     texts = t["text"].to_pylist()
+    assert all("¶" not in s for s in texts), \
+        "separator ¶ appears in the corpus — token rename would not be injective"
     copies = []
     for k in range(n):
         c = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
                          pc.add(t["doc_id"], k * off))
         if k > 0:
-            renamed = [" ".join(f"{tok}{k}" for tok in s.split(" "))
+            renamed = [" ".join(f"{tok}¶{k}" for tok in s.split(" "))
                        for s in texts]
             c = c.set_column(c.schema.get_field_index("text"), "text",
                              pa.array(renamed, type=t["text"].type))
@@ -84,12 +91,14 @@ def replicate_embeddings(sf_dir: str, out_dir: str, n: int) -> int:
     off = pc.max(t["vec_id"]).as_py() + 1
     vecs = t["embedding"].to_pylist()
     dim = len(vecs[0])
+    assert n <= dim, \
+        f"N={n} copies need distinct rotations but dim={dim} only offers {dim}"
     copies = []
     for k in range(n):
         c = t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
                          pc.add(t["vec_id"], k * off))
         if k > 0:
-            r = (3 * k + 1) % dim
+            r = k
             rotated = [v[r:] + v[:r] for v in vecs]
             c = c.set_column(c.schema.get_field_index("embedding"), "embedding",
                              pa.array(rotated, type=t["embedding"].type))
@@ -106,14 +115,14 @@ def main(sf_dir: str, out_dir: str, n: int) -> None:
     n_vec = replicate_embeddings(sf_dir, out_dir, n)
     for name in LINK_TABLES:
         dst = f"{out_dir}/{name}.parquet"
-        # a stale target (pre-abspath runs linked relative to out_dir) or
-        # a leftover link from an older TABLES list must be repaired, not
-        # skipped: lexists alone left broken links in place
-        if os.path.lexists(dst):
-            if os.path.islink(dst) and not os.path.exists(dst):
-                os.remove(dst)
-            else:
-                continue
+        # any pre-existing link is re-created, not kept: a broken link
+        # (pre-abspath relative runs) or a VALID link into a different
+        # sf_dir (re-running into the same out_dir with another source)
+        # would otherwise silently mix scales
+        if os.path.islink(dst):
+            os.remove(dst)
+        elif os.path.lexists(dst):
+            raise RuntimeError(f"{dst} exists and is not a symlink — refusing to replace")
         # abspath: a relative sf_dir would otherwise produce a link
         # that resolves relative to out_dir (broken)
         os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), dst)
