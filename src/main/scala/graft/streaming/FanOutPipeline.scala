@@ -27,10 +27,9 @@ import graft.operators.Letterbox
   * Spark retries a micro-batch after a transient write failure, sink A
   * rows are re-appended and drops re-counted (and a retried FIRST batch
   * could re-bind) — at-least-once, where the reference's sequential loop
-  * is exactly-once. The bounded harness runs never retry; an
-  * exactly-once variant would partition sink output by `batchId`,
-  * overwrite that partition, and fold the drop count from an idempotent
-  * per-batch record instead of a driver accumulator.
+  * is exactly-once. The bounded harness runs never retry; when retries
+  * matter, [[runExactlyOnce]] is the idempotent form (per-batch dynamic
+  * partition overwrite; drop counts as per-batch records).
   */
 object FanOutPipeline {
 
@@ -98,5 +97,84 @@ object FanOutPipeline {
       spark.read.parquet(s"$outDir/all").count(),
       spark.read.parquet(s"$outDir/sampled").count(),
       dropped)
+  }
+
+  /** EXACTLY-ONCE form of [[run]]: both sinks and the drop accounting
+    * are idempotent under micro-batch retries. Every batch writes into
+    * its own `__batch=<id>` partition with dynamic partition overwrite,
+    * so a retried batch REPLACES its previous output instead of
+    * appending a second copy; the drop count is itself an idempotent
+    * per-batch record (folded with a sum at the end) instead of a
+    * driver-side accumulator a retry would double-bump. The dims bind
+    * stays a driver cache, but it is derived deterministically from the
+    * batch's min-event_id record, so a retried first batch rebinds to
+    * the identical value. This closes the at-least-once caveat [[run]]
+    * documents, at the cost of carrying the `__batch` lineage column in
+    * the sink schema (it IS the idempotence key).
+    */
+  def runExactlyOnce(spark: SparkSession, sfDir: String, outDir: String,
+                     keyframeInterval: Int = EventStreams.KeyframeInterval,
+                     dims: (Column, Column) = (lit(1920L), lit(1080L))): FanOutCounts = {
+    var bound: Option[(Long, Long)] = None
+    val query = EventStreams.eventsStream(spark, sfDir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        bound = writeBatchIdempotent(batch.toDF(), bid, outDir, keyframeInterval, dims, bound)
+        ()
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    import org.apache.spark.sql.functions.sum
+    val dropped = spark.read.parquet(s"$outDir/drops")
+      .agg(coalesce(sum("dropped"), lit(0L))).head().getLong(0)
+    FanOutCounts(
+      spark.read.parquet(s"$outDir/all").count(),
+      spark.read.parquet(s"$outDir/sampled").count(),
+      dropped)
+  }
+
+  /** One batch's idempotent writes (sink A + sink B + drop record), all
+    * keyed by `__batch` with dynamic partition overwrite. Returns the
+    * possibly-newly-bound dims. Package-visible so FanOutSpec can REPLAY
+    * a batch and assert nothing duplicates. */
+  private[streaming] def writeBatchIdempotent(
+      batch: org.apache.spark.sql.DataFrame, batchId: Long, outDir: String,
+      keyframeInterval: Int, dims: (Column, Column),
+      bound0: Option[(Long, Long)]): Option[(Long, Long)] = {
+    val spark = batch.sparkSession
+    val (wc, hc) = dims
+    val df = batch.persist()
+    var bound = bound0
+    if (bound.isEmpty && !df.isEmpty) {
+      val first = df.orderBy("event_id")
+        .select(wc.cast("long"), hc.cast("long")).head()
+      bound = Some((first.getLong(0), first.getLong(1)))
+    }
+    val (bw, bh) = bound.getOrElse((0L, 0L))
+    val keep = wc.cast("long") === bw && hc.cast("long") === bh
+    val obs = Observation()
+    df.observe(obs, count(when(!keep, lit(1))).as("dropped"))
+      .filter(keep)
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$outDir/all")
+    val d = obs.get("dropped").asInstanceOf[Long]
+    // the drop count as data, overwritten with its batch on retry
+    spark.range(1)
+      .select(lit(batchId).as("__batch"), lit(d).as("dropped"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$outDir/drops")
+    val w = (col("event_id") % 1920 + 1).cast("long")
+    val h = (col("event_id") * 7 % 1080 + 1).cast("long")
+    val g = Letterbox.geometry(w, h, 640)
+    df.filter(col("event_id") % keyframeInterval === 0)
+      .select(col("event_id"), g.newW.as("new_w"), g.newH.as("new_h"),
+        to_json(struct(col("event_id"), col("event_type"), col("value")))
+          .as("payload"))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$outDir/sampled")
+    df.unpersist()
+    bound
   }
 }

@@ -19,6 +19,28 @@ class FanOutSpec extends SparkSpec {
     assert(payload != null)
   }
 
+  test("exactly-once fan-out: replaying a batch neither duplicates rows nor double-counts") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_fanout_eo").toString
+    // mixed dims so the drop path is exercised through the retry too
+    val wCol = when(col("event_id") % 7 === 0, 640L).otherwise(1280L)
+    val counts = FanOutPipeline.runExactlyOnce(spark, sf0001, out, 30,
+      dims = (wCol, lit(480L)))
+    assert(counts.dropped > 0L, "fixture must exercise the drop path")
+    // simulate Spark retrying the (single) micro-batch after a transient
+    // failure: replay the same batch id with a fresh (lost) dims bind
+    val replayBatch = Tables.events(spark, sf0001)
+    FanOutPipeline.writeBatchIdempotent(replayBatch, 0L, out, 30,
+      (wCol, lit(480L)), None)
+    val all2 = spark.read.parquet(s"$out/all").count()
+    val sampled2 = spark.read.parquet(s"$out/sampled").count()
+    val dropped2 = spark.read.parquet(s"$out/drops")
+      .agg(sum("dropped")).head().getLong(0)
+    assert(all2 === counts.all, "retried batch must overwrite, not append, sink A")
+    assert(sampled2 === counts.sampled, "retried batch must overwrite, not append, sink B")
+    assert(dropped2 === counts.dropped, "drop accounting must not double-count on retry")
+  }
+
   test("sink A binds dims from the first record and drops mismatches") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft_fanout_mixed").toString
