@@ -20,6 +20,10 @@ object ExplainAudit {
       else Seq(
         "q02_keyframe_sample", "q04_detection_filter", "q05_class_lookup_join",
         "q14_tumbling_window", "q16_topk_confidence", "q22_segment_range_join",
+        // q24: the four segment branches must read InMemoryTableScan over
+        // ONE persisted dense-id relation (a second rangepartitioning
+        // exchange per branch = the round-2 4x regression resurfacing)
+        "q24_union_reassembly",
         "q30_minhash_banding", "q32_embedding_knn", "q44_asof_join",
         "q50_revenue_by_nation", "q56_seeded_segments", "q57_embedding_neardup_srp")
     for (name <- interesting) {

@@ -68,25 +68,27 @@ object EventStreams {
     val writeMode = if (mode == "complete") "overwrite" else "append"
     val retentionKey = "spark.sql.streaming.numRecentProgressUpdates"
     val prevRetention = spark.conf.getOption(retentionKey)
-    spark.conf.set(retentionKey, "100000")
-    val query = df.writeStream.outputMode(mode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(writeMode).parquet(dir)
-        ()
-      }
-      .start()
-    try {
-      query.processAllAvailable()
-    } finally {
-      query.stop()
-      prevRetention match {
+    // the conf set lives INSIDE the restore scope: if start() or stop()
+    // throws, the session must not be left buffering 100k progress
+    // objects per stream for the rest of a 60-query harness run
+    val dropped =
+      try {
+        spark.conf.set(retentionKey, "100000")
+        val query = df.writeStream.outputMode(mode)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode(writeMode).parquet(dir)
+            ()
+          }
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+        query.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsDroppedByWatermark).sum
+      } finally prevRetention match {
         case Some(v) => spark.conf.set(retentionKey, v)
         case None => spark.conf.unset(retentionKey)
       }
-    }
-    val dropped = query.recentProgress
-      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
-      .map(_.numRowsDroppedByWatermark).sum
     val out =
       if (new java.io.File(dir).exists) spark.read.parquet(dir)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)

@@ -37,6 +37,32 @@ object FanOutPipeline {
     * drops (reference `frame_processing.py:176-179`). */
   final case class FanOutCounts(all: Long, sampled: Long, dropped: Long)
 
+  /** Deterministic dims bind from the batch's min-event_id record —
+    * shared by [[run]] and [[runExactlyOnce]] so the bind rule cannot
+    * drift between the at-least-once and exactly-once forms. */
+  private def bindDims(df: org.apache.spark.sql.DataFrame,
+                       wc: Column, hc: Column,
+                       bound: Option[(Long, Long)]): Option[(Long, Long)] =
+    if (bound.nonEmpty || df.isEmpty) bound
+    else {
+      val first = df.orderBy("event_id")
+        .select(wc.cast("long"), hc.cast("long")).head()
+      Some((first.getLong(0), first.getLong(1)))
+    }
+
+  /** Sink B's sampled branch (keyframe filter → letterbox geometry →
+    * JSON payload) — single definition for both run forms. */
+  private def sampledBranch(df: org.apache.spark.sql.DataFrame,
+                            keyframeInterval: Int): org.apache.spark.sql.DataFrame = {
+    val w = (col("event_id") % 1920 + 1).cast("long")
+    val h = (col("event_id") * 7 % 1080 + 1).cast("long")
+    val g = Letterbox.geometry(w, h, 640)
+    df.filter(col("event_id") % keyframeInterval === 0)
+      .select(col("event_id"), g.newW.as("new_w"), g.newH.as("new_h"),
+        to_json(struct(col("event_id"), col("event_type"), col("value")))
+          .as("payload"))
+  }
+
   /** Runs the fan-out to completion over the bounded events stream.
     *
     * @param keyframeInterval every-Nth sampling (reference default 30)
@@ -58,35 +84,26 @@ object FanOutPipeline {
     val query = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val df = batch.persist() // one decode pass shared by both sinks
-        if (bound.isEmpty && !df.isEmpty) {
+        try {
           // first record by stream position binds the writer's dims
-          val first = df.orderBy("event_id")
-            .select(wc.cast("long"), hc.cast("long")).head()
-          bound = Some((first.getLong(0), first.getLong(1)))
-        }
-        // sink A: record-all (FrameSaver analog), mismatched dims dropped
-        val (bw, bh) = bound.getOrElse((0L, 0L))
-        val keep = wc.cast("long") === bw && hc.cast("long") === bh
-        val obs = Observation()
-        df.observe(obs,
-            count(when(!keep, lit(1))).as("dropped")) // count: 0 on empty, never null
-          .filter(keep)
-          .write.mode("append").parquet(s"$outDir/all")
-        val d = obs.get("dropped").asInstanceOf[Long]
-        if (d > 0) {
-          dropped += d
-          System.err.println(s"[fanout] dropped $d frame(s) with dims != ${bw}x$bh")
-        }
-        // sink B: sampled branch -> letterbox projection -> send analog
-        val w = (col("event_id") % 1920 + 1).cast("long")
-        val h = (col("event_id") * 7 % 1080 + 1).cast("long")
-        val g = Letterbox.geometry(w, h, 640)
-        df.filter(col("event_id") % keyframeInterval === 0)
-          .select(col("event_id"), g.newW.as("new_w"), g.newH.as("new_h"),
-            to_json(struct(col("event_id"), col("event_type"), col("value")))
-              .as("payload"))
-          .write.mode("append").parquet(s"$outDir/sampled")
-        df.unpersist()
+          bound = bindDims(df.toDF(), wc, hc, bound)
+          // sink A: record-all (FrameSaver analog), mismatched dims dropped
+          val (bw, bh) = bound.getOrElse((0L, 0L))
+          val keep = wc.cast("long") === bw && hc.cast("long") === bh
+          val obs = Observation()
+          df.observe(obs,
+              count(when(!keep, lit(1))).as("dropped")) // count: 0 on empty, never null
+            .filter(keep)
+            .write.mode("append").parquet(s"$outDir/all")
+          val d = obs.get("dropped").asInstanceOf[Long]
+          if (d > 0) {
+            dropped += d
+            System.err.println(s"[fanout] dropped $d frame(s) with dims != ${bw}x$bh")
+          }
+          // sink B: sampled branch -> letterbox projection -> send analog
+          sampledBranch(df.toDF(), keyframeInterval)
+            .write.mode("append").parquet(s"$outDir/sampled")
+        } finally df.unpersist() // a throwing write must not leak the cached batch
         ()
       }
       .start()
@@ -124,7 +141,6 @@ object FanOutPipeline {
       .start()
     try query.processAllAvailable()
     finally query.stop()
-    import org.apache.spark.sql.functions.sum
     val dropped = spark.read.parquet(s"$outDir/drops")
       .agg(coalesce(sum("dropped"), lit(0L))).head().getLong(0)
     FanOutCounts(
@@ -144,37 +160,30 @@ object FanOutPipeline {
     val spark = batch.sparkSession
     val (wc, hc) = dims
     val df = batch.persist()
-    var bound = bound0
-    if (bound.isEmpty && !df.isEmpty) {
-      val first = df.orderBy("event_id")
-        .select(wc.cast("long"), hc.cast("long")).head()
-      bound = Some((first.getLong(0), first.getLong(1)))
-    }
-    val (bw, bh) = bound.getOrElse((0L, 0L))
-    val keep = wc.cast("long") === bw && hc.cast("long") === bh
-    val obs = Observation()
-    df.observe(obs, count(when(!keep, lit(1))).as("dropped"))
-      .filter(keep)
-      .withColumn("__batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(s"$outDir/all")
-    val d = obs.get("dropped").asInstanceOf[Long]
-    // the drop count as data, overwritten with its batch on retry
-    spark.range(1)
-      .select(lit(batchId).as("__batch"), lit(d).as("dropped"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(s"$outDir/drops")
-    val w = (col("event_id") % 1920 + 1).cast("long")
-    val h = (col("event_id") * 7 % 1080 + 1).cast("long")
-    val g = Letterbox.geometry(w, h, 640)
-    df.filter(col("event_id") % keyframeInterval === 0)
-      .select(col("event_id"), g.newW.as("new_w"), g.newH.as("new_h"),
-        to_json(struct(col("event_id"), col("event_type"), col("value")))
-          .as("payload"))
-      .withColumn("__batch", lit(batchId))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(s"$outDir/sampled")
-    df.unpersist()
-    bound
+    // unpersist in a finally: a throwing sink write is the very
+    // transient-failure/retry scenario this function exists for, and it
+    // must not leak a cached batch per attempt
+    try {
+      val bound = bindDims(df, wc, hc, bound0)
+      val (bw, bh) = bound.getOrElse((0L, 0L))
+      val keep = wc.cast("long") === bw && hc.cast("long") === bh
+      val obs = Observation()
+      df.observe(obs, count(when(!keep, lit(1))).as("dropped"))
+        .filter(keep)
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$outDir/all")
+      val d = obs.get("dropped").asInstanceOf[Long]
+      // the drop count as data, overwritten with its batch on retry
+      spark.range(1)
+        .select(lit(batchId).as("__batch"), lit(d).as("dropped"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$outDir/drops")
+      sampledBranch(df, keyframeInterval)
+        .withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$outDir/sampled")
+      bound
+    } finally df.unpersist()
   }
 }

@@ -23,10 +23,10 @@ class QueriesSpec extends SparkSpec {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val golden = props.getProperty(name)
       assert(golden != null, s"$name has no golden — regenerate with GoldenGen")
-      assert(GoldenHash.hashDf(fn(spark, sf0001)) === golden, name)
-      // same per-query release the harness mains do: 61 queries' scoped
-      // build sides must not pile up in the shared test session
-      Caches.releaseScoped()
+      // release in a finally: a failed assertion must not leak the
+      // query's scoped persists into the suites sharing this session
+      try assert(GoldenHash.hashDf(fn(spark, sf0001)) === golden, name)
+      finally Caches.releaseScoped()
     }
   }
 

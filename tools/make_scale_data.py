@@ -69,8 +69,9 @@ def replicate_documents(sf_dir: str, out_dir: str, n: int) -> int:
     t = pq.read_table(f"{sf_dir}/documents.parquet")
     off = pc.max(t["doc_id"]).as_py() + 1
     texts = t["text"].to_pylist()
-    assert all("¶" not in s for s in texts), \
-        "separator ¶ appears in the corpus — token rename would not be injective"
+    if any("¶" in s for s in texts):
+        raise ValueError(
+            "separator ¶ appears in the corpus — token rename would not be injective")
     copies = []
     for k in range(n):
         c = t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
@@ -91,8 +92,9 @@ def replicate_embeddings(sf_dir: str, out_dir: str, n: int) -> int:
     off = pc.max(t["vec_id"]).as_py() + 1
     vecs = t["embedding"].to_pylist()
     dim = len(vecs[0])
-    assert n <= dim, \
-        f"N={n} copies need distinct rotations but dim={dim} only offers {dim}"
+    if n > dim:
+        raise ValueError(
+            f"N={n} copies need distinct rotations but dim={dim} only offers {dim}")
     copies = []
     for k in range(n):
         c = t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
