@@ -182,6 +182,20 @@ object ExtendedQueries {
       StreamingTumbling.tumblingPerMinuteWatermarked(s, d)
     },
 
+    // Streaming dedup-within-watermark (§2.4), promoted from spec-only
+    // into the oracle gate: WHICH row survives per key is
+    // arrival-order-dependent (hash-unstable), but the surviving KEY SET
+    // is exactly the distinct keys — so the query projects to the keys
+    // and the oracle is the batch DISTINCT. Dedup emits first-sightings
+    // immediately (no window finalization), so unlike q61 nothing is
+    // withheld at the stream tail; state eviction is the
+    // dropDuplicatesWithinWatermark contract StreamingDedupSpec covers.
+    "q62_stream_dedup" -> { (s, d) =>
+      graft.streaming.StreamingDedup.firstPerUserType(s, d)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    },
+
     // Stream-static enrichment join (§2.4): the unbounded events stream
     // joined to the broadcast customer dimension per micro-batch — the
     // streaming face of q05's lookup join — then a running aggregate.
@@ -298,6 +312,9 @@ object ExtendedQueries {
         |GROUP BY minute
         |HAVING epoch_ms(CAST(minute AS TIMESTAMP) + INTERVAL 1 MINUTE) <= (SELECT w_ms FROM wm)
         |ORDER BY minute""".stripMargin,
+    "q62_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "q58_stream_static_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
