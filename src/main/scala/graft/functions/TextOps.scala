@@ -29,7 +29,15 @@ object TextOps {
     * integer. md5 is bit-identical across engines (unlike murmur/xxhash
     * whose seeds differ), and 56 bits keeps all downstream arithmetic
     * safely inside a signed 64-bit long even under ANSI overflow checks.
-    * DuckDB twin: `CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT)`. */
-  def hash56(c: Column): Column =
+    * DuckDB twin: `CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT)`.
+    *
+    * Implemented natively ([[graft.expressions.Hash56]]: digest bytes →
+    * long, no hex-string round-trip); [[hash56Composed]] is the original
+    * built-in formulation, kept as the independent cross-check
+    * (FunctionsSpec) exactly like `dot` / `dotHof`. */
+  def hash56(c: Column): Column = graft.expressions.Hash56(c)
+
+  /** Built-in-function formulation of [[hash56]] — cross-check only. */
+  def hash56Composed(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 }

@@ -29,6 +29,16 @@ class FunctionsSpec extends SparkSpec {
     assert(got === inputs.map(ref))
   }
 
+  test("native Hash56 expression equals the composed conv(substring(md5)) form in bulk") {
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+    val diffs = toks
+      .select(TextOps.hash56(col("sh")).as("a"), TextOps.hash56Composed(col("sh")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diffs === 0L, "digest-byte path must reproduce the hex-string path exactly")
+  }
+
   test("cosine: orthogonal -> 0, identical -> 1, known angle") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(0.0, 1.0)),
