@@ -182,6 +182,16 @@ object ExtendedQueries {
       StreamingTumbling.tumblingPerMinuteWatermarked(s, d)
     },
 
+    // Custom streaming state (§2.4) promoted into the oracle gate: the
+    // flatMapGroupsWithState per-user monitor's FINAL state (seen /
+    // keyframe counts, max id) is arrival-order-independent, so it
+    // hash-matches the batch GROUP BY. Append-mode emissions drain
+    // through the executor-parallel file sink — no driver funnel.
+    "q63_stateful_monitor" -> { (s, d) =>
+      graft.streaming.StatefulMonitor.perUserCountersToFiles(s, d)
+        .orderBy("user_id")
+    },
+
     // Streaming dedup-within-watermark (§2.4), promoted from spec-only
     // into the oracle gate: WHICH row survives per key is
     // arrival-order-dependent (hash-unstable), but the surviving KEY SET
@@ -315,6 +325,11 @@ object ExtendedQueries {
     "q62_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q63_stateful_monitor" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen,
+        |  CAST(sum(CASE WHEN event_id % 30 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keyframes,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q58_stream_static_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -33,6 +33,29 @@ object StatefulMonitor {
     Iterator.single(MonitorOut(key, s.nSeen, s.nKeyframes, s.maxId))
   }
 
+  /** Append-mode face of the same per-key state machine, drained through
+    * the executor-parallel FILE sink — the oracle-gated form (q63): the
+    * FINAL state per key (count / keyframe count / max id) is fully
+    * deterministic whatever the arrival order, so it hash-matches a batch
+    * GROUP BY. Emits one row per key per batch like the update face;
+    * n_seen strictly increases per key, so max-n_seen picks the final
+    * state under multi-batch runs too. */
+  def perUserCountersToFiles(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val stream = EventStreams.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"))
+      .as[EventIn]
+    val monitored = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
+    EventStreams.drainToFiles(monitored.toDF(), "append")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Runs the per-user monitor over the bounded events stream to
     * completion; returns the final per-user counters. */
   def perUserCounters(spark: SparkSession, sfDir: String): Dataset[MonitorOut] = {

@@ -77,4 +77,13 @@ class SourcesSpec extends SparkSpec {
       .as[Double].head()
     assert(got === 11.0)
   }
+
+  test("graft_hash56 is callable from SQL and equals the composed form") {
+    graft.extensions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_hash56('hello') AS h, " +
+        "CAST(conv(substring(md5('hello'), 1, 14), 16, 10) AS BIGINT) AS c")
+      .as[(Long, Long)].head()
+    assert(got._1 === got._2)
+  }
 }

@@ -19,4 +19,15 @@ class StatefulMonitorSpec extends SparkSpec {
       .map { case (u, n, k, m) => u -> ((n, k, m)) }.toMap
     assert(streamed === batch)
   }
+
+  test("append-mode file-sink face (q63) equals the update-mode memory face") {
+    val fromFiles = StatefulMonitor.perUserCountersToFiles(spark, sf0001)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val fromMemory = StatefulMonitor.perUserCounters(spark, sf0001)
+      .orderBy("user_id")
+      .as[StatefulMonitor.MonitorOut].collect()
+      .map(m => (m.user_id, m.n_seen, m.n_keyframes, m.max_id)).toSeq
+    assert(fromFiles === fromMemory)
+  }
 }
