@@ -57,10 +57,12 @@ class PushSinkSpec extends SparkSpec {
 
   test("a hung endpoint times out per record instead of killing the stream") {
     withServer { (ex, n) =>
-      if (n == 1) Thread.sleep(2000) // exceed the 500 ms read timeout once
+      if (n == 1) Thread.sleep(6000) // exceed the 1.5 s read timeout once
       ex.sendResponseHeaders(200, -1)
     } { endpoint =>
-      val stats = PushSink.run(payloads, endpoint, timeoutMs = 500)
+      // generous margin over normal localhost latency: a loaded machine
+      // must not spuriously time out the 9 healthy requests
+      val stats = PushSink.run(payloads, endpoint, timeoutMs = 1500)
       // exactly one timeout drop; which record hits it is scheduling-
       // dependent, so assert the split, not the identity
       assert(stats.delivered + stats.dropped == 10)
