@@ -110,8 +110,12 @@ object Ann {
         // in shuffle-fetch order, so avg() could drift in the last ulp
         // across partitionings and flip a downstream cosine tie — the
         // same house determinism rule as every money/projection sum.
-        .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
-          .cast("double").as("m"))
+        // The sum is cast to double BEFORE the division (exact sum, one
+        // exact IEEE division) rather than divided as a decimal: decimal
+        // division scale rules are engine-specific, and the q33 oracle
+        // replays this mean in DuckDB.
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1)))
+          .as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell").as("centroid_id"),
