@@ -19,9 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * times per SF — so the string round-trip was the single hottest
   * scalar in the pipeline surface (same §2.5 rationale as [[DotProduct]]).
   */
-// No input-type mixin: AbstractDataType is private[sql] in Spark 4, and
-// every call site is internal with a STRING child (same minimal contract
-// as DotProduct). A non-string child fails analysis on getBytes anyway.
+// No input-type mixin: AbstractDataType is private[sql] in Spark 4, so
+// the declared-input-types contract isn't available to third-party
+// expressions; like DotProduct, call sites are expected to pass the
+// right type. A non-string child RESOLVES but fails at execution (codegen
+// can't compile `<primitive>.getBytes()`; the interpreted path throws
+// ClassCastException) — acceptable for the internal call sites, and the
+// SQL registration guards arity below.
 case class Hash56(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash56"

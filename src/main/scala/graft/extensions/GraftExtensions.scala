@@ -18,23 +18,35 @@ import graft.expressions.{DotProduct, Hash56}
   * in plain SQL and resolve to the codegen'd native expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions.{mkDot, mkHash56}
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      mkDot))
     e.injectFunction((
       new FunctionIdentifier("graft_hash56"),
       new ExpressionInfo(classOf[Hash56].getName, "graft_hash56"),
-      (exprs: Seq[Expression]) => Hash56(exprs.head)))
+      mkHash56))
   }
 }
 
 object GraftFunctions {
+  // arity checks at resolution: a wrong-arity SQL call should read as an
+  // analysis error, not a NoSuchElementException from exprs.head
+  private[extensions] val mkDot: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"graft_dot expects 2 arguments, got ${exprs.length}")
+    DotProduct(exprs.head, exprs(1))
+  }
+  private[extensions] val mkHash56: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"graft_hash56 expects 1 argument, got ${exprs.length}")
+    Hash56(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", mkDot, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hash56", exprs => Hash56(exprs.head), "built-in")
+      "graft_hash56", mkHash56, "built-in")
   }
 }

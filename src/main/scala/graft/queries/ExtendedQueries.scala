@@ -200,6 +200,14 @@ object ExtendedQueries {
     // immediately (no window finalization), so unlike q61 nothing is
     // withheld at the stream tail; state eviction is the
     // dropDuplicatesWithinWatermark contract StreamingDedupSpec covers.
+    //
+    // Equality with DISTINCT assumes the bounded source arrives as ONE
+    // micro-batch (a single parquet file, no trigger limits — the
+    // harness layout). Split across batches, a key recurring > 10 min of
+    // event time after its first sighting would be re-emitted once its
+    // state evicts — correct watermarked-dedup SEMANTICS, but no longer
+    // the batch DISTINCT. That horizon-vs-global distinction is exactly
+    // what makes the operator's state finite at 100 TB.
     "q62_stream_dedup" -> { (s, d) =>
       graft.streaming.StreamingDedup.firstPerUserType(s, d)
         .select("user_id", "event_type")

@@ -33,49 +33,42 @@ object StatefulMonitor {
     Iterator.single(MonitorOut(key, s.nSeen, s.nKeyframes, s.maxId))
   }
 
-  /** Append-mode face of the same per-key state machine, drained through
-    * the executor-parallel FILE sink — the oracle-gated form (q63): the
-    * FINAL state per key (count / keyframe count / max id) is fully
-    * deterministic whatever the arrival order, so it hash-matches a batch
-    * GROUP BY. Emits one row per key per batch like the update face;
-    * n_seen strictly increases per key, so max-n_seen picks the final
-    * state under multi-batch runs too. */
-  def perUserCountersToFiles(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+  /** One monitored run: build the typed stream, apply the state machine
+    * in `mode`, drain through `drain`, and keep each key's FINAL state —
+    * both faces emit one row per key per batch and n_seen strictly
+    * increases per key, so the max-n_seen row is the final state under
+    * multi-batch runs too. Single definition so the update and append
+    * faces cannot drift (the parity spec pins them to each other). */
+  private def run(spark: SparkSession, sfDir: String, mode: OutputMode,
+                  drain: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val stream = EventStreams.eventsStream(spark, sfDir)
+    val monitored = EventStreams.eventsStream(spark, sfDir)
       .select(col("user_id"), col("event_id"))
       .as[EventIn]
-    val monitored = stream
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(mode, GroupStateTimeout.NoTimeout)(update)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
-    EventStreams.drainToFiles(monitored.toDF(), "append")
+    drain(monitored.toDF())
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  /** Runs the per-user monitor over the bounded events stream to
-    * completion; returns the final per-user counters. */
+  /** Append-mode face of the per-key state machine, drained through the
+    * executor-parallel FILE sink — the oracle-gated form (q63): the
+    * FINAL state per key (count / keyframe count / max id) is fully
+    * deterministic whatever the arrival order, so it hash-matches a
+    * batch GROUP BY. */
+  def perUserCountersToFiles(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    run(spark, sfDir, OutputMode.Append, EventStreams.drainToFiles(_, "append"))
+
+  /** Update-mode face (memory-sink drain — spec/state-inspection scale);
+    * returns the final per-user counters. */
   def perUserCounters(spark: SparkSession, sfDir: String): Dataset[MonitorOut] = {
     import spark.implicits._
-    val stream = EventStreams.eventsStream(spark, sfDir)
-      .select(col("user_id"), col("event_id"))
-      .as[EventIn]
-
-    val monitored = stream
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
-
-    // update mode emits one row per key per batch; n_seen strictly
-    // increases per key, so the max-n_seen row is the final state
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
-    EventStreams.drain(monitored.toDF(), "update")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    run(spark, sfDir, OutputMode.Update, EventStreams.drain(_, "update"))
       .as[MonitorOut]
   }
 }
