@@ -32,19 +32,27 @@ object ExtendedQueries {
     // Spark-only: LSH internals aren't SQL-expressible — the relational
     // twin with a DuckDB oracle is q30/q31 in the pipeline surface.
     "q18_neardup_minhash" -> { (s, d) =>
-      // even-doc slice: q18's correctness role is a cross-check of the
-      // oracle-checked q30/q31 banded path (DedupSpec asserts pair-set
-      // equality on this same slice — LSH bucket membership is a
+      // BOUNDED even-doc slice: q18's correctness role is a cross-check
+      // of the oracle-checked q30/q31 banded path (DedupSpec asserts
+      // subset + recall on this same slice — LSH bucket membership is a
       // pair-local property, so restricting the corpus restricts the
-      // pair set exactly). The slice exists because approxSimilarityJoin's
-      // hot-bucket fan-out is superlinear in docs: full-corpus q18 alone
-      // was 17% of the round-1 bench.
-      val docs = Tables.documents(s, d)
-        .filter(col("doc_id") % 2 === 0)
+      // pair set exactly). A cross-check doesn't need to scale with the
+      // corpus, and approxSimilarityJoin's hot-bucket fan-out is
+      // superlinear in docs (28.9s at the 10× probe when the slice
+      // scaled along) — so the cap is ABSOLUTE: the first 1000 even
+      // docs, a corpus-size-independent cost at every SF. The q30/q31
+      // relational pipeline is the production-scale path.
+      // scoped persist: approxSimilarityJoin references its inputs on
+      // both join sides and re-executes the upstream scan+shingle chain
+      // several times over — against a large documents table those
+      // repeated full-file decodes dominated (21s vs 4s at the 10×
+      // probe). One pass, cached slice, released at query end.
+      val docs = graft.Caches.scopedPersist(Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 2000)
         .repartition(col("doc_id")) // single-row-group file -> fan out
         .select(col("doc_id"),
           array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("shingles"))
-        .filter(size(col("shingles")) > 0)
+        .filter(size(col("shingles")) > 0))
       val tf = new HashingTF()
         .setInputCol("shingles").setOutputCol("features")
         .setBinary(true).setNumFeatures(1 << 16)
