@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+
+/** Physical-plan regression guards: the load-bearing plan properties the
+  * 100 TB design depends on, asserted so a refactor can't silently lose
+  * a pushdown, a broadcast, a map-side combine, or the q24 single-cache
+  * fan-out (ExplainAudit shows the same plans for human review).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    try SparkEntry.queries(name)(spark, sf0001).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    finally Caches.releaseScoped()
+
+  test("q04: conf/IN filters are pushed into the parquet scan") {
+    val p = formatted("q04_detection_filter")
+    assert(p.contains("GreaterThanOrEqual(value,40.0)"), "threshold must reach PushedFilters")
+    assert(p.contains("In(event_type, [error,purchase]"), "IN-list must reach PushedFilters")
+  }
+
+  test("q05: the class-lookup dimension is broadcast") {
+    assert(formatted("q05_class_lookup_join").contains("BroadcastExchange"))
+  }
+
+  test("q16: top-k runs as TakeOrderedAndProject, not a global sort") {
+    assert(formatted("q16_topk_confidence").contains("TakeOrderedAndProject"))
+  }
+
+  test("q22: the segment table broadcasts — the range join is a map-side interval test") {
+    val p = formatted("q22_segment_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"),
+      "big side must not shuffle for a k-row boundary table")
+  }
+
+  test("q30: minhash signatures partial-aggregate before the shuffle") {
+    assert(formatted("q30_minhash_banding").contains("partial_min"),
+      "map-side combine must collapse signature rows before the band shuffle")
+  }
+
+  test("q57: the signature stage is a pure map — no dimension explode survives") {
+    assert(!formatted("q57_embedding_neardup_srp").contains("posexplode"),
+      "literal-hyperplane rewrite must not regress to explode+join signatures")
+  }
+
+  test("q24: all four segment branches read ONE cached dense-id relation") {
+    val df = SparkEntry.queries("q24_union_reassembly")(spark, sf0001)
+    try {
+      val rels = df.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r }
+      assert(rels.size == 4, s"expected 4 cached branch reads, got ${rels.size}")
+      assert(rels.map(_.cacheBuilder).distinct.size == 1,
+        "branches must share one cache — a second build = the 4x re-derivation regression")
+    } finally Caches.releaseScoped()
+  }
+}
