@@ -6,6 +6,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    // host-load metadata (VERDICT r3 item 2): r3's six runs drifted
+    // 40.7->55.9s tracking machine load; recording the 1-min loadavg at
+    // start and end makes load noise distinguishable from real
+    // regressions on the committed record.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
+    val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,9 +71,12 @@ object Bench {
         }
         name -> times
       }
+    // true median: even-length inputs average the two middle elements
+    // (upper-middle alone would report the max of 2 reps — biased high)
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
-      s(s.length / 2)
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
     // any failed rep marks the whole query failed (-1): a query that
     // crashes intermittently must not report its lucky-rep median
@@ -81,7 +92,9 @@ object Bench {
     val totalMin = sharedOk + ok.map(_._2.min).sum
     val totalMax = sharedOk + ok.map(_._2.max).sum
     val failed = med.values.count(_ < 0) + (if (sharedBuild < 0) 1 else 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"shared_build":$sharedBuild,"band":{"min":$totalMin,"max":$totalMax},"failed":$failed,"queries":${fmt(med)},"sf":"$sfDir"}""")
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"shared_build":$sharedBuild,"band":{"min":$totalMin,"max":$totalMax},"failed":$failed,"load_avg":{"start":$loadStart,"end":$loadEnd},"wall_sec":$wallSec,"queries":${fmt(med)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()
   }

@@ -33,8 +33,29 @@ object Caches {
   private val scoped = mutable.ArrayBuffer.empty[DataFrame]
   private val shared = mutable.LinkedHashMap.empty[String, DataFrame]
 
+  // sessionUUID (stable, never reused) rather than identityHashCode: an
+  // identity hash can be recycled after a stopped session is GC'd, which
+  // would hand a later session a DataFrame bound to the dead one. The
+  // UUID is private[sql] in Spark 4, hence the SessionBridge shim; the
+  // non-classic fallback can't collide in practice because stopped
+  // sessions are evicted eagerly below.
   private def sessionKey(spark: SparkSession, name: String, dir: String): String =
-    s"${System.identityHashCode(spark)}|$dir|$name"
+    s"${org.apache.spark.sql.graft.SessionBridge.uuid(spark)}|$dir|$name"
+
+  /** Drop (and unpersist) entries whose session has been stopped — they
+    * can never be served again, and holding them pins the dead session's
+    * plan graphs across test suites. Caller holds the lock. */
+  private def evictStopped(): Unit = {
+    val dead = shared.filter { case (_, df) =>
+      try df.sparkSession.sparkContext.isStopped
+      catch { case _: Throwable => true }
+    }
+    dead.foreach { case (k, df) =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      shared.remove(k)
+    }
+  }
 
   /** Persist `df` for the duration of the current query. */
   def scopedPersist(df: DataFrame): DataFrame = synchronized {
@@ -46,6 +67,7 @@ object Caches {
   /** Compute-once relation shared across queries of one (session, dir). */
   def sharedRelation(spark: SparkSession, dir: String, name: String)
                     (build: => DataFrame): DataFrame = synchronized {
+    evictStopped()
     shared.getOrElseUpdate(sessionKey(spark, name, dir),
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }

@@ -1,9 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 56-bit md5 hash: the first 7 digest bytes as a big-endian long —
@@ -19,16 +20,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * times per SF — so the string round-trip was the single hottest
   * scalar in the pipeline surface (same §2.5 rationale as [[DotProduct]]).
   */
-// No input-type mixin: AbstractDataType is private[sql] in Spark 4, so
-// the declared-input-types contract isn't available to third-party
-// expressions; like DotProduct, call sites are expected to pass the
-// right type. A non-string child RESOLVES but fails at execution (codegen
-// can't compile `<primitive>.getBytes()`; the interpreted path throws
-// ClassCastException) — acceptable for the internal call sites, and the
-// SQL registration guards arity below.
+// No input-type mixin (AbstractDataType is private[sql] in Spark 4), but
+// the type contract is still enforced at ANALYSIS time via
+// checkInputDataTypes: graft_hash56 is SQL-exposed, so a non-string
+// argument must surface as an analysis error like the arity guard —
+// not as a codegen compile failure or ClassCastException at execution.
 case class Hash56(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash56"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hash56 requires a STRING argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
     Hash56.hash(input.asInstanceOf[UTF8String].getBytes)

@@ -351,6 +351,16 @@ object PipelineQueries {
       // (the probed corpus sizes are nowhere near powers of two anyway)
       val nAv = all.count()
       val bandBits = math.max(8, 66 - java.lang.Long.numberOfLeadingZeros(nAv - 1))
+      // Packing invariant: 2 bands × bandBits sign bits share ONE signed
+      // Long, so bandBits must stay ≤ 31 — beyond that the oracle's
+      // CAST(pow(2, j) AS BIGINT) overflows at j = 63 and Scala's
+      // lit(1L << j) wraps mod 64 for j ≥ 64, silently assigning
+      // duplicate bit weights. That is a corpus ceiling of 2^29 vectors
+      // (~537 M embeddings); past it, widen to one column per band
+      // rather than raising the cap.
+      require(bandBits <= 31,
+        s"q57 signature would overflow its packed 64-bit Long at n=$nAv " +
+          s"(bandBits=$bandBits > 31) — split the signature into per-band columns")
       val nHyper = 2 * bandBits
       // hash56 twin: first 14 hex chars of md5, like TextOps.hash56 /
       // the oracle's substr(md5(j || '_' || i), 1, 14)

@@ -37,6 +37,24 @@ object FanOutPipeline {
     * drops (reference `frame_processing.py:176-179`). */
   final case class FanOutCounts(all: Long, sampled: Long, dropped: Long)
 
+  /** A sink path only exists once some micro-batch wrote to it; an empty
+    * input directory executes no batch, so reading unconditionally would
+    * throw instead of reporting zero rows (mirrors drainToFiles). */
+  private def countIfExists(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+  }
+
+  private def sumDropsIfExists(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(path)
+        .agg(coalesce(sum("dropped"), lit(0L))).head().getLong(0)
+    else 0L
+  }
+
   /** Deterministic dims bind from the batch's min-event_id record —
     * shared by [[run]] and [[runExactlyOnce]] so the bind rule cannot
     * drift between the at-least-once and exactly-once forms. */
@@ -111,8 +129,8 @@ object FanOutPipeline {
     finally query.stop()
 
     FanOutCounts(
-      spark.read.parquet(s"$outDir/all").count(),
-      spark.read.parquet(s"$outDir/sampled").count(),
+      countIfExists(spark, s"$outDir/all"),
+      countIfExists(spark, s"$outDir/sampled"),
       dropped)
   }
 
@@ -141,11 +159,10 @@ object FanOutPipeline {
       .start()
     try query.processAllAvailable()
     finally query.stop()
-    val dropped = spark.read.parquet(s"$outDir/drops")
-      .agg(coalesce(sum("dropped"), lit(0L))).head().getLong(0)
+    val dropped = sumDropsIfExists(spark, s"$outDir/drops")
     FanOutCounts(
-      spark.read.parquet(s"$outDir/all").count(),
-      spark.read.parquet(s"$outDir/sampled").count(),
+      countIfExists(spark, s"$outDir/all"),
+      countIfExists(spark, s"$outDir/sampled"),
       dropped)
   }
 

@@ -15,3 +15,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to `SparkSession.sessionUUID` (private[sql] in Spark 4): a
+  * stable, never-reused session identity for cache keys — unlike
+  * `System.identityHashCode`, which the JVM can recycle after a stopped
+  * session is GC'd. */
+object SessionBridge {
+  def uuid(spark: org.apache.spark.sql.SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => "idhash-" + System.identityHashCode(other).toString
+  }
+}

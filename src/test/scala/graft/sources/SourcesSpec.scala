@@ -86,4 +86,13 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(got._1 === got._2)
   }
+
+  test("graft_hash56 on a non-string argument is an ANALYSIS error, not a runtime one") {
+    graft.extensions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hash56(CAST(7 AS BIGINT)) AS h").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"),
+      s"expected the type-check message, got: ${e.getMessage.take(200)}")
+  }
 }

@@ -41,6 +41,19 @@ class FanOutSpec extends SparkSpec {
     assert(dropped2 === counts.dropped, "drop accounting must not double-count on retry")
   }
 
+  test("fan-out over an empty input directory reports zero counts, not an exception") {
+    // no input file -> no micro-batch executes -> no sink path ever
+    // exists; both run forms must report FanOutCounts(0,0,0) instead of
+    // throwing on the unconditional read-back
+    val emptyIn = Files.createTempDirectory("graft_fanout_emptyin").toString
+    val c1 = FanOutPipeline.run(spark, emptyIn,
+      Files.createTempDirectory("graft_fanout_e1").toString, 30)
+    assert(c1 === FanOutPipeline.FanOutCounts(0L, 0L, 0L))
+    val c2 = FanOutPipeline.runExactlyOnce(spark, emptyIn,
+      Files.createTempDirectory("graft_fanout_e2").toString, 30)
+    assert(c2 === FanOutPipeline.FanOutCounts(0L, 0L, 0L))
+  }
+
   test("sink A binds dims from the first record and drops mismatches") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft_fanout_mixed").toString
