@@ -55,4 +55,41 @@ object RowIds {
       .withColumn(idCol, row_number().over(withinW).cast("long") + col(off) - 1L)
       .drop(pid, off)
   }
+
+  /** Dense 0-based rank of a SUBSET of rows that already carry a global
+    * dense id (`idCol`, a [[withDenseId]] output) — e.g. a filtered slice
+    * of the session-shared sorted relation.
+    *
+    * No re-sort and no range-partitioner sampling pass: partitioning is
+    * pure ARITHMETIC on the existing id (`bucket = idCol div blockSize`).
+    * Buckets are disjoint, ordered id ranges by construction, so the
+    * two-pass offset scheme applies directly: per-bucket counts (tiny,
+    * one row per non-empty bucket) → cumulative offsets → within-bucket
+    * `row_number` (window partitioned by bucket — parallel). Cannot
+    * depend on physical partition layout, unlike a
+    * `spark_partition_id()`-based shortcut: a [[withDenseId]] output is
+    * hash-clustered by its internal pid, so its physical partition ORDER
+    * is unrelated to key order.
+    *
+    * The offsets window runs one task over `maxId/blockSize` rows — at
+    * 10^12 rows and the default 2^20 block, ~10^6 rows: broadcast-sized.
+    */
+  def subsetRank(df: DataFrame, idCol: String, outCol: String,
+                 blockSize: Long = 1L << 20): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val bkt = "__graft_bkt"
+    val off = "__graft_offset"
+    // SQL integer div, not IEEE divide-then-floor (exact past 2^53)
+    val tagged = df.withColumn(bkt, expr(s"$idCol div ${blockSize}L"))
+    val counts = tagged.groupBy(col(bkt)).count()
+    val cumW = Window.orderBy(col(bkt)).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn(off, coalesce(sum(col("count")).over(cumW), lit(0L)))
+      .drop("count")
+    val withinW = Window.partitionBy(col(bkt)).orderBy(col(idCol).asc)
+    tagged
+      .join(broadcast(offsets), bkt)
+      .withColumn(outCol, row_number().over(withinW).cast("long") + col(off) - 1L)
+      .drop(bkt, off)
+  }
 }

