@@ -43,7 +43,8 @@ object FlagshipPipeline {
       .option("numPartitions", 8)
       .load()
       .withColumn("payload", frameBufUdf(col("frame_number")))
-    runFromSource(spark, source, outDir, keyframeInterval, srcW, srcH)
+      .withColumn("w", lit(srcW)).withColumn("h", lit(srcH))
+    runFromSource(spark, source, outDir, keyframeInterval, channels = 1)
   }
 
   /** The same fan-out fed from an S1 image DIRECTORY — the reference's
@@ -53,29 +54,37 @@ object FlagshipPipeline {
     * corrupt frame mid-directory truncates the run BEFORE either sink
     * sees it — exactly the reference's scan-ending decode failure.
     *
-    * Files are raw `srcW`×`srcH` grayscale buffers (the codec stand-in,
-    * SURVEY.md §7.3); `unreadable` is the decode-failure predicate,
-    * threaded through to the source.
+    * Files are REAL images: [[graft.multimodal.ImageCodec]] decodes
+    * JPEG/PNG/BMP via the JDK's ImageIO into interleaved BGR exactly like
+    * the reference's `cv2.imread` (`frame_reader.py:96-104`), with
+    * per-image dimensions; a corrupt or truncated file decodes to NULL,
+    * which IS the stop-on-unreadable predicate — `imread → None → stop`.
+    * The decode runs once, inside the source's persisted scan, shared by
+    * the cut aggregate and both sinks.
     */
   def runFromImageDir(spark: SparkSession, dir: String, outDir: String,
-                      srcW: Int, srcH: Int,
-                      keyframeInterval: Int = EventStreams.KeyframeInterval,
-                      unreadable: org.apache.spark.sql.Column =
-                        col("length") === 0L || col("content").isNull): RunStats = {
-    val source = graft.sources.Sources.imageDir(spark, dir, unreadable = unreadable)
+                      keyframeInterval: Int = EventStreams.KeyframeInterval): RunStats = {
+    val source = graft.sources.Sources.imageDir(spark, dir,
+        derived = Seq("decoded" ->
+          graft.multimodal.ImageCodec.decodeUdf(col("content"))),
+        unreadable = col("decoded").isNull)
       .select(col("frame_number"),
         // same 30 fps synthetic clock as the connector stub: image files
         // carry no timestamps (integer div — no 2^53 double cliff)
         expr("1704067200000000 + frame_number * 1000000 div 30").as("ts_us"),
-        col("content").as("payload"))
-    runFromSource(spark, source, outDir, keyframeInterval, srcW, srcH)
+        col("decoded.pixels").as("payload"),
+        col("decoded.width").as("w"), col("decoded.height").as("h"))
+    runFromSource(spark, source, outDir, keyframeInterval, channels = 3)
   }
 
-  /** Source-agnostic flagship body: any (frame_number, ts_us, payload)
-    * relation with `srcW`×`srcH` byte payloads fans out to both sinks. */
+  /** Source-agnostic flagship body: any (frame_number, ts_us, payload,
+    * w, h) relation with row-major `channels`-interleaved byte payloads
+    * fans out to both sinks. Dimensions are per-ROW (a directory of mixed
+    * image sizes letterboxes each to the same square, like the
+    * reference). */
   private def runFromSource(spark: SparkSession, source0: org.apache.spark.sql.DataFrame,
                             outDir: String, keyframeInterval: Int,
-                            srcW: Int, srcH: Int): RunStats = {
+                            channels: Int): RunStats = {
     import spark.implicits._
 
     val target = 64
@@ -86,13 +95,14 @@ object FlagshipPipeline {
       .write.mode("overwrite").parquet(s"$outDir/all")
 
     // sampled branch: letterbox -> detect -> filter -> NMS -> send
-    val letterboxUdf = udf((p: Array[Byte]) =>
-      LetterboxKernel.letterbox(p, srcW, srcH, target))
+    val letterboxUdf = udf((p: Array[Byte], w: Int, h: Int) =>
+      LetterboxKernel.letterbox(p, w, h, target, channels))
     val detectUdf = udf((frame: Long, p: Array[Byte]) => {
       // stub detector: 0..3 boxes derived from buffer stats; a real model
       // replaces this lambda and nothing else changes. Stats sample the
-      // image CENTER — the letterbox pad rows are black.
-      val c = target * target / 2 + target / 2
+      // image CENTER (first channel = B for BGR) — the letterbox pad
+      // rows are black.
+      val c = (target * target / 2 + target / 2) * channels
       val n = ((p(c) + 256) % 4)
       (0 until n).map { i =>
         val x0 = ((frame * 13 + i * 97) % (target - 20)).toInt
@@ -104,7 +114,7 @@ object FlagshipPipeline {
 
     val detections = source
       .filter(col("frame_number") % keyframeInterval === 0)
-      .withColumn("resized", letterboxUdf(col("payload")))
+      .withColumn("resized", letterboxUdf(col("payload"), col("w"), col("h")))
       .select(col("frame_number"), col("ts_us"),
         explode(detectUdf(col("frame_number"), col("resized"))).as("d"))
       .select(col("frame_number").as("frame"),

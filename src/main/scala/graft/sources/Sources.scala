@@ -45,11 +45,19 @@ object Sources {
     * point is computed relationally — a one-row min-failed-id aggregate
     * broadcast against the scan — so the prefix filter is a map-side
     * test, not a driver collect.
+    *
+    * `derived` columns (e.g. a real decode:
+    * `"decoded" -> ImageCodec.decodeUdf(col("content"))`) are
+    * materialized INTO the persisted scan, so an expensive per-file
+    * computation runs once and is shared by the unreadable-cut aggregate
+    * and every downstream consumer — the predicate can reference them
+    * (`col("decoded").isNull` = the reference's `imread → None` stop).
     */
   def imageDir(spark: SparkSession, dir: String, glob: String = "*",
                unreadable: org.apache.spark.sql.Column =
                  col("length") === 0L || col("content").isNull,
-               extensions: Seq[String] = ImageExtensions): DataFrame = {
+               extensions: Seq[String] = ImageExtensions,
+               derived: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     // binaryFile's path column is a URI — percent-escapes would inject
     // digits the reference's Path.stem never sees ("frame 1.png" →
     // ".../frame%201.png" → digit run "201"), so decode the basename
@@ -73,11 +81,15 @@ object Sources {
       // the divergence from iterdir().)
       .withColumn("num_key",
         expr("try_cast(regexp_extract(regexp_replace(url_decode(reverse(split(path, '/'))[0]), '(.)\\\\.[^.]*$', '$1'), '([0-9]+)', 1) AS BIGINT)"))
+    val enriched = derived.foldLeft(files) { case (df, (name, c)) =>
+      df.withColumn(name, c)
+    }
     // nulls-last expressed as a MaxValue sentinel: RowIds keys must be
     // plain columns (it applies the sort direction itself).
     val framed = RowIds.withDenseId(
-      files, Seq(coalesce(col("num_key"), lit(Long.MaxValue)), col("path")), "frame_number")
-      .select("frame_number", "path", "length", "content")
+      enriched, Seq(coalesce(col("num_key"), lit(Long.MaxValue)), col("path")), "frame_number")
+      .select((Seq("frame_number", "path", "length", "content") ++
+        derived.map(_._1)).map(col): _*)
     // one I/O pass, not two: RowIds persists its sorted intermediate
     // (content column included), so this aggregate and the main scan
     // below both read the cache — files are decoded from disk once.

@@ -24,31 +24,47 @@ class FlagshipPipelineSpec extends SparkSpec {
     assert(up(7 * 8) === 3.toByte && up(63) === 4.toByte)
   }
 
-  test("flagship from an image directory: full fan-out incl. stop-on-unreadable cut") {
+  test("flagship from a directory of REAL PNGs: ImageIO decode, fan-out, stop-on-unreadable") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
     val w = 64; val h = 48
-    val magic = 'G'.toByte
     val dir = Files.createTempDirectory("graft_imgflag")
-    // 10 numbered frames of raw w*h grayscale; frame 7 is corrupt (bad
-    // magic byte) -> the S1 scan must END there: frames 0..6 flow, 7..9 never
+    // 10 numbered REAL PNG frames; frame 7 is a TRUNCATED PNG (valid
+    // signature, torn mid-stream) -> ImageIO decode fails -> the S1 scan
+    // must END there: frames 0..6 flow, 7..9 never
     (0 until 10).foreach { i =>
-      val buf = Array.tabulate(w * h)(p => ((i * 31 + p) % 256 - 128).toByte)
-      buf(0) = if (i == 7) 0.toByte else magic
-      Files.write(dir.resolve(f"frame_$i%04d.png"), buf)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = (i * 31 + y * w + x) % 256
+          img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256))
+        }
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", baos)
+      val bytes = baos.toByteArray
+      Files.write(dir.resolve(f"frame_$i%04d.png"),
+        if (i == 7) bytes.take(48) else bytes)
     }
     val out = Files.createTempDirectory("graft_imgflag_out").toString
     val stats = FlagshipPipeline.runFromImageDir(spark, dir.toString, out,
-      srcW = w, srcH = h, keyframeInterval = 2,
-      unreadable = substring(col("content"), 1, 1) =!= lit(Array(magic)))
-    assert(stats.framesSaved === 7L, "scan truncates at the first unreadable frame")
+      keyframeInterval = 2)
+    assert(stats.framesSaved === 7L, "scan truncates at the first undecodable frame")
     assert(stats.keyframes === 4L) // frames 0,2,4,6
     assert(stats.detectionsSent <= 4L * 3)
-    // sink A holds the original (uncut) buffers of the surviving prefix
+    // sink A holds the DECODED BGR buffers (w*h*3) of the surviving prefix
     val sizes = spark.read.parquet(s"$out/all")
       .select(length(col("payload"))).distinct().as[Int].collect()
-    assert(sizes.toSeq === Seq(w * h))
+    assert(sizes.toSeq === Seq(w * h * 3), "payloads are decoded 3-channel BGR")
     val framesSeen = spark.read.parquet(s"$out/all")
       .select("frame_number").as[Long].collect().sorted
     assert(framesSeen.toSeq === (0L to 6L))
+    // decoded content round-trips: frame 0's pixel (x=1,y=0) was RGB
+    // (1,3,7) -> BGR bytes (7,3,1) at offset 3
+    val p0 = spark.read.parquet(s"$out/all").filter(col("frame_number") === 0)
+      .select("payload").as[Array[Byte]].head()
+    assert((p0(3) & 0xff, p0(4) & 0xff, p0(5) & 0xff) === ((7, 3, 1)),
+      "BGR channel order must mirror cv2.imread")
   }
 
   test("flagship pipeline: record-all sink, sampled branch, NMS'd JSON payloads") {

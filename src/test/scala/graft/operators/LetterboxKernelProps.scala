@@ -58,4 +58,16 @@ object LetterboxKernelProps extends Properties("LetterboxKernel") {
     val src = Array.tabulate(target * target)(i => ((i + seed) % 251 + 1).toByte)
     LetterboxKernel.letterbox(src, target, target, target).toSeq == src.toSeq
   }
+
+  property("3-channel letterbox == per-channel 1-channel letterbox") =
+    forAllNoShrink(dims) { case (w, h) =>
+      val ch = 3
+      val src = Array.tabulate(w * h * ch)(i => (i % 251 + 1).toByte)
+      val inter = LetterboxKernel.letterbox(src, w, h, target, ch)
+      (0 until ch).forall { c =>
+        val plane = Array.tabulate(w * h)(i => src(i * ch + c))
+        val expect = LetterboxKernel.letterbox(plane, w, h, target)
+        (0 until target * target).forall(i => inter(i * ch + c) == expect(i))
+      }
+    }
 }
