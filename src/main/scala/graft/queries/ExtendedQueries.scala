@@ -246,6 +246,22 @@ object ExtendedQueries {
         .orderBy(col("event_type").asc_nulls_last, col("cohort").asc_nulls_last)
     },
 
+    // Skew-safe distinct count ([[Salting]], §2.5 skew handling) promoted
+    // into the oracle gate: event_type is the deliberately hot key (a
+    // handful of values over the whole table — every group is a hot key),
+    // and count(DISTINCT user_id) per type is the classic skew victim
+    // (all rows of a hot key meet in one reducer under the naive plan).
+    // The two-stage form shuffles stage 1 by the (type, user) PAIR —
+    // cardinality, not row count — so no task ever sees a hot key's full
+    // row stream. Salting must not change the answer: the oracle is the
+    // plain GROUP BY count(DISTINCT). PlanAuditSpec pins the pair-keyed
+    // exchange.
+    "q64_skew_distinct_users" -> { (s, d) =>
+      graft.operators.Salting.skewSafeDistinctCount(
+          Tables.events(s, d), "event_type", "user_id", "n_users")
+        .orderBy("event_type")
+    },
+
     // Error-tolerant execution (main.py:156-159; frame_processing.py:53-57,
     // 113-115): a failing operator yields null instead of killing the
     // stream; downstream coalesces a fallback and counts errors — the
@@ -358,6 +374,9 @@ object ExtendedQueries {
       """SELECT event_id, value / nullif(event_id % 5, 0) AS risky,
         |  value / nullif(event_id % 5, 0) IS NULL AS is_error,
         |  coalesce(value / nullif(event_id % 5, 0), -1.0) AS safe
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q64_skew_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -41,6 +41,15 @@ object TemporalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // The WATERMARKED append-mode face of q40 (VERDICT r3 item 6):
+    // sessions finalize and their state evicts once the watermark passes
+    // session end (last event + gap) — the form whose state stays finite
+    // on an unbounded stream. Oracle = the batch sessionization
+    // restricted to finalized sessions.
+    "q65_streaming_sessions" -> { (s, d) =>
+      graft.streaming.StreamingSessions.sessionsPerUserToFiles(s, d)
+    },
+
     // As-of join: each event enriched with the user's latest purchase
     // at-or-before it (telemetry-lookup shape; operator composed in
     // operators/AsOfJoin — union + keyed cumulative window).
@@ -79,6 +88,29 @@ object TemporalQueries {
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // Watermark mirrored at ms precision like q61; a session is emitted
+    // once its END (last event + gap) <= watermark, compared in µs so a
+    // sub-millisecond session end can't flip the cut.
+    "q65_streaming_sessions" ->
+      """WITH wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 600000 AS w_ms FROM events),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |g AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n_events
+        |FROM g, wm
+        |WHERE epoch_ns(session_end + INTERVAL 5 MINUTE) // 1000 <= wm.w_ms * 1000
+        |ORDER BY user_id, session_start""".stripMargin,
     "q44_asof_join" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS ord,

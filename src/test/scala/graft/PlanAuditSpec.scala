@@ -57,6 +57,12 @@ class PlanAuditSpec extends SparkSpec {
     } finally Caches.releaseScoped()
   }
 
+  test("q64: stage 1 shuffles on the (key, value) PAIR — no hot-key reducer funnel") {
+    val p = formatted("q64_skew_distinct_users")
+    assert("hashpartitioning\\(event_type#\\d+[^)]*user_id#\\d+".r.findFirstIn(p).isDefined,
+      "the dedup stage must be keyed by the pair (cardinality), not the hot key alone")
+  }
+
   test("q01/q09/q10/q15/q24 read the session-shared dense-id caches (one sort per session)") {
     def cacheBuilders(name: String) =
       try SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
