@@ -32,6 +32,7 @@ object ScaleProbe {
     spark.range(100000).selectExpr("sum(id)").count() // warm-up
     val t0 = System.nanoTime()
     queries.PipelineQueries.warmSharedRelations(spark, dir)
+    queries.SharedRelations.warm(spark, dir)
     Caches.releaseScoped()
     println(f"[probe] shared_build              ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     for (n <- names) {

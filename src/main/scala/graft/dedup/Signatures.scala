@@ -3,8 +3,6 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextOps
-
 /** Document-signature builders for near-duplicate detection at scale.
   *
   * Shape: explode the shingle set, hash with codegen'd expressions, and
@@ -26,19 +24,21 @@ object Signatures {
   /** Modulus for the universal-hash permutation family. */
   val P: Long = 1000000007L
 
-  /** MinHash LSH band buckets: each shingle is md5-hashed ONCE, then
+  /** MinHash LSH band buckets: shingles arrive PRE-HASHED (md5 ran once,
+    * fused into the shingle transform — [[TextOps.hashedShingles]]), then
     * `numHashes` permutations come from the universal-hash family
     * `h_s(x) = ((2s+1)·x + s) mod P` — pure arithmetic, so the 16×
     * expansion happens on codegen'd integers, not repeated md5 calls.
     * Signature slots pair into bands of two, each hashed to a bucket id.
     *
-    * Input: (doc_id, sh: array<string>); output: (doc_id, band, bucket).
+    * Input: (doc_id, sh: array<long>); output: (doc_id, band, bucket).
     * Two docs sharing any (band, bucket) are candidates —
     * P(candidate) = 1 - (1 - j²)^(numHashes/2) for true Jaccard j. */
   def minhashBandBuckets(shingleDocs: DataFrame, numHashes: Int): DataFrame = {
+    // generators can't nest in expressions — explode first, then mod
     val base = shingleDocs
       .select(col("doc_id"), explode(col("sh")).as("x"))
-      .withColumn("hb", TextOps.hash56(col("x")) % P)
+      .select(col("doc_id"), (col("x") % P).as("hb"))
     // all signature slots as aggregate COLUMNS of one groupBy (the same
     // shape as simhash56): pre-shuffle volume stays at doc×shingle — the
     // numHashes× expansion happens on agg expressions, not rows — and
@@ -55,8 +55,9 @@ object Signatures {
   }
 
   /** 56-bit SimHash: bit b of the signature is set iff the majority of
-    * shingle hashes have bit b set. Input: (doc_id, sh); output:
-    * (doc_id, simhash). Near-identical sets → small Hamming distance.
+    * (pre-hashed) shingles have bit b set. Input: (doc_id,
+    * sh: array<long>); output: (doc_id, simhash). Near-identical sets →
+    * small Hamming distance.
     *
     * The 56 per-bit majority sums are 56 aggregate COLUMNS of one
     * groupBy — not a 56× row explode — so the pre-shuffle row count stays
@@ -64,8 +65,7 @@ object Signatures {
     * doc. The bit weights fold back with compile-time literal shifts. */
   def simhash56(shingleDocs: DataFrame): DataFrame = {
     val hashed = shingleDocs
-      .select(col("doc_id"), explode(col("sh")).as("x"))
-      .withColumn("h", TextOps.hash56(col("x")))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
     val bitSums = (0 until 56).map(b =>
       sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1L).otherwise(-1L)).as(s"s$b"))
     hashed

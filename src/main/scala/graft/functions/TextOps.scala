@@ -25,6 +25,22 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct HASHED shingle set: [[shingles]] with [[hash56]] fused into
+    * the same single-level lambda, so the 3-gram string is a transient
+    * inside one transform — never materialized as an array, never
+    * persisted, never string-compared. The distinct/intersect/min/bit
+    * machinery downstream runs on 8-byte longs. Identical to hashing the
+    * string set (md5 is injective at any realistic corpus: a collision
+    * needs ~2^28 DISTINCT shingles per doc pair at 56 bits) and mirrored
+    * 1:1 by the oracle, which applies the same md5 inside its
+    * list_transform — a collision, were one to occur, would occur in both
+    * engines identically. */
+  def hashedShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => hash56(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      .otherwise(array().cast("array<long>"))
+
   /** Deterministic 56-bit hash: the first 14 hex chars of md5, parsed as an
     * integer. md5 is bit-identical across engines (unlike murmur/xxhash
     * whose seeds differ), and 56 bits keeps all downstream arithmetic

@@ -30,28 +30,41 @@ object PipelineQueries {
 
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
-  /** distinct 3-gram shingle set per doc (docs shorter than 3 tokens drop
-    * out — mirrored in the oracle). The documents table arrives as one
-    * parquet row group = one partition; repartition first so the
-    * shingle+hash work fans out across cores instead of one task.
+  /** distinct HASHED 3-gram shingle set per doc (docs shorter than 3
+    * tokens drop out — mirrored in the oracle). The documents table
+    * arrives as one parquet row group = one partition; repartition first
+    * so the shingle+hash work fans out across cores instead of one task.
     *
-    * Shared across the dedup trio (q30 signatures, q31/q60 verification)
-    * as an explicit compute-once relation — the reuse is in the code, not
-    * a plan-matched cache accident (VERDICT r2 item 8). */
+    * Hashing is FUSED into the shingle transform
+    * ([[TextOps.hashedShingles]], VERDICT r3 item 5): the persisted
+    * relation holds array<long>, not 3-gram strings, so the cache is
+    * ~4× smaller and every downstream set operation (minhash min,
+    * simhash bit sums, Jaccard intersect) runs on longs. The oracle
+    * applies the identical md5 inside its list_transform.
+    *
+    * Shared across the dedup trio (q30 signatures, q31/q60 verification,
+    * q34 simhash) as an explicit compute-once relation — the reuse is in
+    * the code, not a plan-matched cache accident (VERDICT r2 item 8). */
   private def shingleDocs(s: SparkSession, d: String): DataFrame =
     graft.Caches.sharedRelation(s, d, "shingle_docs") {
       Tables.documents(s, d)
         .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(tokensCol, 3)).as("sh"))
+        // tokens MATERIALIZED as a column before the shingle transform:
+        // an expression embedded in a lambda body re-evaluates per
+        // element, so inlining split() here would re-split the document
+        // once per shingle (~30% of the whole build, measured by
+        // TrioProfile). CollapseProject keeps the alias because split
+        // is non-cheap and multiply-referenced.
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), TextOps.hashedShingles(col("tk"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
     }
 
-  /** Shared oracle CTE prefix producing the same shingle sets. */
+  /** Shared oracle CTE prefix producing the same hashed shingle sets. */
   private val ShingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
-      |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |         i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14)) AS BIGINT))) AS sh
       |       FROM toks WHERE len(tk) >= 3)""".stripMargin
 
   /** MinHash LSH candidates, relationally: 16 hashes, 8 bands of 2.
@@ -98,8 +111,7 @@ object PipelineQueries {
 
   private val MinhashCandidatesSql =
     s"""$ShingleCte,
-       |hb AS (SELECT doc_id,
-       |         CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT) % 1000000007 AS hb
+       |hb AS (SELECT doc_id, x % 1000000007 AS hb
        |       FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
        |mh AS (SELECT doc_id, sd.seed,
        |         min(((2 * sd.seed + 1) * hb + sd.seed) % 1000000007) AS h
@@ -110,15 +122,14 @@ object PipelineQueries {
        |           '_' || CAST(min(CASE WHEN seed % 2 = 1 THEN h END) AS VARCHAR)) AS bucket
        |       FROM mh GROUP BY doc_id, seed // 2)""".stripMargin
 
-  /** Materializes the shared relations — the dedup trio (shingles →
-    * candidates → verified pairs) and the dense-id sorts
-    * ([[SharedRelations]]) — in one pass. Bench times this step
-    * separately and charges it to the total, so the compute-once cost of
-    * the shared relations is on the record instead of hiding in
-    * whichever query happens to run first. */
+  /** Materializes the shared dedup-trio relations (shingles → candidates
+    * → verified pairs) in one pass. Bench/ScaleProbe time this step (and
+    * [[SharedRelations.warm]], the dense-id family) separately and charge
+    * them to the total, so the compute-once cost of the shared relations
+    * is on the record instead of hiding in whichever query happens to run
+    * first. */
   def warmSharedRelations(s: SparkSession, d: String): Unit = {
     verifiedPairs(s, d).count()
-    SharedRelations.warm(s, d)
     ()
   }
 
@@ -581,13 +592,11 @@ object PipelineQueries {
     },
     "q34_simhash_neardup" ->
       s"""$ShingleCte,
-         |hs AS (SELECT doc_id, list_transform(sh, x ->
-         |    CAST(('0x' || substr(md5(x), 1, 14)) AS BIGINT)) AS hashes FROM sh),
          |sim AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 55), b ->
-         |    CASE WHEN list_sum(list_transform(hashes, h ->
+         |    CASE WHEN list_sum(list_transform(sh, h ->
          |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM hs),
+         |  FROM sh),
          |bands AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band * 14)) % 16384 AS bval
          |  FROM sim, (SELECT unnest(range(4)) AS band) b)
          |SELECT doc_a, doc_b, hamming FROM (

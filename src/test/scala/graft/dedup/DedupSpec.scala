@@ -11,7 +11,7 @@ class DedupSpec extends SparkSpec {
   private def shingleDf(docs: Seq[(Long, String)]) =
     docs.toDF("doc_id", "text")
       .select(col("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        TextOps.hashedShingles(TextOps.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
   private val corpus = Seq(
