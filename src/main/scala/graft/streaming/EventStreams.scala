@@ -46,6 +46,15 @@ object EventStreams {
   def drainToFiles(df: DataFrame, mode: String): DataFrame =
     drainToFilesCounting(df, mode)._1
 
+  /** Engine-reported stats of the most recent [[drainToFilesCounting]]
+    * run in this JVM: micro-batch count, peak stateful-operator state
+    * rows, and watermark drops — the observables the 10× streaming scale
+    * probe reads ([[graft.StreamProbe]], VERDICT r3 item 7). Captured
+    * from the same synchronous progress buffer the drop count uses. */
+  final case class StreamRunStats(batches: Int, stateRowsMax: Long,
+                                  stateRowsEnd: Long, dropped: Long)
+  @volatile var lastRunStats: Option[StreamRunStats] = None
+
   /** [[drainToFiles]] plus the number of input rows the stateful operators
     * dropped as later than the watermark. The count comes from the
     * engine's own `numRowsDroppedByWatermark` metric — an `Observation`
@@ -82,9 +91,20 @@ object EventStreams {
           .start()
         try query.processAllAvailable()
         finally query.stop()
-        query.recentProgress
-          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
-          .map(_.numRowsDroppedByWatermark).sum
+        val perBatch = query.recentProgress
+          .map(p => Option(p.stateOperators).toSeq.flatten)
+          .filter(_.nonEmpty)
+        val ops = perBatch.flatten
+        // stateRowsEnd = state surviving the LAST batch (after the final
+        // watermark advance evicted finalized windows/sessions) — the
+        // number that must stay horizon-bounded on an unbounded stream,
+        // where the peak legitimately includes pre-eviction build-up
+        lastRunStats = Some(StreamRunStats(
+          batches = query.recentProgress.length,
+          stateRowsMax = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max,
+          stateRowsEnd = perBatch.lastOption.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
+          dropped = ops.map(_.numRowsDroppedByWatermark).sum))
+        ops.map(_.numRowsDroppedByWatermark).sum
       } finally prevRetention match {
         case Some(v) => spark.conf.set(retentionKey, v)
         case None => spark.conf.unset(retentionKey)
