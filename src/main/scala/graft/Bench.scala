@@ -94,7 +94,10 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val ok = runs.filter(_._2.forall(_ >= 0))
-    val sharedOk = math.max(sharedBuild, 0.0)
+    // ok-portion per FAMILY: if one family failed, the other's cached
+    // build still benefited its queries and must stay charged — a
+    // combined -1 would zero BOTH, making a half-crashed run look faster
+    val sharedOk = math.max(sharedTrio, 0.0) + math.max(sharedDense, 0.0)
     val total = sharedOk + ok.map { case (_, ts) => median(ts) }.sum
     val totalMin = sharedOk + ok.map(_._2.min).sum
     val totalMax = sharedOk + ok.map(_._2.max).sum

@@ -64,12 +64,23 @@ object Caches {
     p
   }
 
-  /** Compute-once relation shared across queries of one (session, dir). */
+  /** Compute-once relation shared across queries of one (session, dir).
+    *
+    * Materialized EAGERLY: a shared build may internally register scoped
+    * persists (RowIds' sorted intermediate) whose two-pass consistency
+    * holds only while they are cached. Returning a lazy plan would let a
+    * caller construct it, releaseScoped(), and materialize later with
+    * the intermediate gone — re-running the range sort independently in
+    * each subtree. Counting here pins materialization inside the build's
+    * own scoped-persist window. */
   def sharedRelation(spark: SparkSession, dir: String, name: String)
                     (build: => DataFrame): DataFrame = synchronized {
     evictStopped()
-    shared.getOrElseUpdate(sessionKey(spark, name, dir),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    shared.getOrElseUpdate(sessionKey(spark, name, dir), {
+      val p = build.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
   }
 
   /** Unpersist every scoped relation registered since the last release.

@@ -9,7 +9,13 @@ import graft.functions.TextOps
 /** Stage-level profile of the shared dedup-trio build (VERDICT r3 item
   * 5): times shingles, minhash signature, band join, and verify
   * separately so optimization targets the measured hot stage, not a
-  * guessed one. Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.TrioProfile"`. */
+  * guessed one. Run: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.TrioProfile"`.
+  *
+  * KEEP IN SYNC with PipelineQueries' shingleDocs / minhashCandidates /
+  * verifiedPairs: the stages are inlined here (they are private and
+  * fused behind shared persists there) — if the production shapes change
+  * (threshold, band count, join form), mirror them or the profile times
+  * a pipeline that no longer runs. */
 object TrioProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,10 +29,16 @@ case class Hash56(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash56"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_hash56 requires a STRING argument, got ${child.dataType.catalogString}")
+  // isInstanceOf, not ==: Spark 4 string types may carry a collation.
+  // NullType passes too — graft_hash56(NULL) must keep resolving and
+  // returning NULL (UnaryExpression short-circuits before nullSafeEval),
+  // as it did before this check existed.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType | org.apache.spark.sql.types.NullType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash56 requires a STRING argument, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(input: Any): Any =
     Hash56.hash(input.asInstanceOf[UTF8String].getBytes)

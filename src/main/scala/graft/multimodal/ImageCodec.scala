@@ -38,6 +38,16 @@ object ImageCodec {
       else {
         val w = img.getWidth
         val h = img.getHeight
+        // explicit, not an accidental NegativeArraySizeException swallowed
+        // below: a >2^31-byte pixel buffer can't be one JVM array. Treated
+        // as unreadable (the reference stops its scan on ANY read error,
+        // frame_reader.py:105-109) but logged loudly, since the image
+        // itself is valid.
+        if (w.toLong * h * 3 > Int.MaxValue) {
+          System.err.println(
+            s"[imagecodec] ${w}x$h image exceeds the 2^31-byte buffer limit — treated as unreadable")
+          return None
+        }
         // one bulk ARGB fetch (ImageIO converts any source color model),
         // then repack to interleaved BGR
         val argb = img.getRGB(0, 0, w, h, null, 0, w)

@@ -17,10 +17,14 @@ object Salting {
 
   /** `count(DISTINCT valueCol) GROUP BY keyCol`, skew-safe: stage 1
     * dedups (key, value) pairs (shuffle keyed by the pair), stage 2
-    * counts the surviving pairs per key (tiny). */
+    * counts the surviving pairs per key (tiny). NULL values are excluded
+    * like SQL `count(DISTINCT)` excludes them — without the filter the
+    * pair-distinct would keep one (key, NULL) row and count it, a +1
+    * divergence from the aggregate this replaces. */
   def skewSafeDistinctCount(df: DataFrame, keyCol: String, valueCol: String,
                             outCol: String): DataFrame =
     df.select(keyCol, valueCol)
+      .where(col(valueCol).isNotNull)
       .distinct()
       .groupBy(keyCol)
       .agg(count(lit(1)).as(outCol))

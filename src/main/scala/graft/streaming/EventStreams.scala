@@ -99,9 +99,13 @@ object EventStreams {
         // watermark advance evicted finalized windows/sessions) — the
         // number that must stay horizon-bounded on an unbounded stream,
         // where the peak legitimately includes pre-eviction build-up
+        // peak = max over PER-BATCH SUMS of all stateful operators (a
+        // per-entry max would understate a multi-operator chain's state)
         lastRunStats = Some(StreamRunStats(
           batches = query.recentProgress.length,
-          stateRowsMax = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max,
+          stateRowsMax =
+            if (perBatch.isEmpty) 0L
+            else perBatch.map(_.map(_.numRowsTotal).sum).max,
           stateRowsEnd = perBatch.lastOption.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
           dropped = ops.map(_.numRowsDroppedByWatermark).sum))
         ops.map(_.numRowsDroppedByWatermark).sum

@@ -39,21 +39,27 @@ object FanOutPipeline {
 
   /** A sink path only exists once some micro-batch wrote to it; an empty
     * input directory executes no batch, so reading unconditionally would
-    * throw instead of reporting zero rows (mirrors drainToFiles). */
-  private def countIfExists(spark: SparkSession, path: String): Long = {
+    * throw instead of reporting zero rows (mirrors drainToFiles). A
+    * directory that exists but holds no parquet part files (every batch
+    * wrote zero rows → only _SUCCESS/metadata) fails one level deeper —
+    * at schema inference — so that AnalysisException also means zero. */
+  private def readSinkOrEmpty(spark: SparkSession,
+                              path: String): Option[org.apache.spark.sql.DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path).count() else 0L
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
-  private def sumDropsIfExists(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(path)
-        .agg(coalesce(sum("dropped"), lit(0L))).head().getLong(0)
-    else 0L
-  }
+  private def countIfExists(spark: SparkSession, path: String): Long =
+    readSinkOrEmpty(spark, path).map(_.count()).getOrElse(0L)
+
+  private def sumDropsIfExists(spark: SparkSession, path: String): Long =
+    readSinkOrEmpty(spark, path)
+      .map(_.agg(coalesce(sum("dropped"), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
 
   /** Deterministic dims bind from the batch's min-event_id record —
     * shared by [[run]] and [[runExactlyOnce]] so the bind rule cannot
