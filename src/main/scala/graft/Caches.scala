@@ -32,6 +32,11 @@ object Caches {
 
   private val scoped = mutable.ArrayBuffer.empty[DataFrame]
   private val shared = mutable.LinkedHashMap.empty[String, DataFrame]
+  // keys whose shared build is currently running OUTSIDE the monitor —
+  // waiters block on the latch, not on the global lock (a multi-second
+  // build under `synchronized` would stall every scopedPersist/release
+  // from other threads, e.g. a foreachBatch or parallel-suite thread).
+  private val inFlight = mutable.HashMap.empty[String, java.util.concurrent.CountDownLatch]
 
   // sessionUUID (stable, never reused) rather than identityHashCode: an
   // identity hash can be recycled after a stopped session is GC'd, which
@@ -72,15 +77,48 @@ object Caches {
     * caller construct it, releaseScoped(), and materialize later with
     * the intermediate gone — re-running the range sort independently in
     * each subtree. Counting here pins materialization inside the build's
-    * own scoped-persist window. */
+    * own scoped-persist window.
+    *
+    * The build (a full Spark job) runs OUTSIDE the global monitor: the
+    * lock guards only the map lookups. A concurrent caller of the same
+    * key waits on a per-key latch and re-checks; a caller of a DIFFERENT
+    * key (or of scopedPersist/releaseScoped) proceeds immediately. Nested
+    * builds (verified_pairs builds shingle_docs) use distinct keys, so
+    * the same thread never waits on its own latch. */
   def sharedRelation(spark: SparkSession, dir: String, name: String)
-                    (build: => DataFrame): DataFrame = synchronized {
-    evictStopped()
-    shared.getOrElseUpdate(sessionKey(spark, name, dir), {
-      val p = build.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    })
+                    (build: => DataFrame): DataFrame = {
+    val key = sessionKey(spark, name, dir)
+    val claim = synchronized {
+      evictStopped()
+      shared.get(key) match {
+        case Some(df) => Some(Right(df))
+        case None => inFlight.get(key) match {
+          case Some(latch) => Some(Left(latch))
+          case None =>
+            inFlight(key) = new java.util.concurrent.CountDownLatch(1)
+            None
+        }
+      }
+    }
+    claim match {
+      case Some(Right(df)) => df
+      case Some(Left(latch)) =>
+        latch.await()
+        // built by the other thread — or its build failed, in which case
+        // the key is free again and this call retries the build itself.
+        sharedRelation(spark, dir, name)(build)
+      case None =>
+        val latch = synchronized(inFlight(key))
+        try {
+          val p = build.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          synchronized { shared(key) = p }
+          p
+        } finally {
+          synchronized { inFlight.remove(key) }
+          latch.countDown()
+        }
+    }
   }
 
   /** Unpersist every scoped relation registered since the last release.

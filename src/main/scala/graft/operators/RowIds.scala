@@ -79,8 +79,12 @@ object RowIds {
     require(blockSize > 0, s"blockSize must be positive, got $blockSize")
     val bkt = "__graft_bkt"
     val off = "__graft_offset"
-    // SQL integer div, not IEEE divide-then-floor (exact past 2^53)
-    val tagged = df.withColumn(bkt, expr(s"$idCol div ${blockSize}L"))
+    // SQL integer div, not IEEE divide-then-floor (exact past 2^53).
+    // idCol is spliced into SQL text, so quote it: backticks (with
+    // embedded backticks doubled) keep names with dots/spaces/hyphens
+    // resolving as one column instead of failing to parse.
+    val quoted = "`" + idCol.replace("`", "``") + "`"
+    val tagged = df.withColumn(bkt, expr(s"$quoted div ${blockSize}L"))
     val counts = tagged.groupBy(col(bkt)).count()
     val cumW = Window.orderBy(col(bkt)).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts

@@ -20,12 +20,25 @@ object Salting {
     * counts the surviving pairs per key (tiny). NULL values are excluded
     * like SQL `count(DISTINCT)` excludes them — without the filter the
     * pair-distinct would keep one (key, NULL) row and count it, a +1
-    * divergence from the aggregate this replaces. */
+    * divergence from the aggregate this replaces.
+    *
+    * Groups come from the UNFILTERED keys: a key whose values are all
+    * NULL must still surface, with count 0, exactly as the plain GROUP BY
+    * emits it (deriving groups from the filtered pairs would drop it).
+    * The join is null-safe because a NULL key is itself a group in SQL.
+    * The extra distinct-keys pass is skew-tolerant (partial aggregation
+    * collapses hot keys map-side) and its output is one row per key —
+    * broadcast-sized at any realistic cardinality. */
   def skewSafeDistinctCount(df: DataFrame, keyCol: String, valueCol: String,
-                            outCol: String): DataFrame =
-    df.select(keyCol, valueCol)
+                            outCol: String): DataFrame = {
+    val pairCounts = df.select(col(keyCol), col(valueCol))
       .where(col(valueCol).isNotNull)
       .distinct()
-      .groupBy(keyCol)
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as(outCol))
+      .withColumnRenamed(keyCol, "__graft_key")
+    df.select(col(keyCol)).distinct()
+      .join(pairCounts, col(keyCol) <=> col("__graft_key"), "left")
+      .select(col(keyCol), coalesce(col(outCol), lit(0L)).as(outCol))
+  }
 }

@@ -415,10 +415,16 @@ object PipelineQueries {
     // in the last ulp, a ratio does not.
     "q42_tfidf_top_terms" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokensCol).as("token"))
-      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      // ONE explode over the corpus: tf already holds one row per
+      // (doc, token), so document frequency is a count of tf rows per
+      // token — deriving it from tf instead of a second explode+distinct
+      // halves the token-stream work and drops a corpus-wide shuffle.
+      // Scoped persist: tf feeds both the join probe side and dfreq.
+      val tf = graft.Caches.scopedPersist(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokensCol).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
       tf.join(broadcast(dfreq), "token")

@@ -50,7 +50,14 @@ object FanOutPipeline {
     if (!fs.exists(p)) None
     else
       try Some(spark.read.parquet(path))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        // ONLY the no-data-files condition means "sink exists but is
+        // empty" (a streaming sink dir holding just _spark_metadata).
+        // Any other AnalysisException — corrupt footer, permission,
+        // schema bug — must surface as an error, not as zero counts.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
   }
 
   private def countIfExists(spark: SparkSession, path: String): Long =
