@@ -434,10 +434,137 @@ object PipelineQueries {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("token"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("score").desc, col("token"))
+    },
+
+    // Deterministic stratified sampling: per-stratum keep rates applied
+    // via a cross-engine hash of the row key — the reproducible form of
+    // `sampleBy` (seeded Bernoulli is engine-specific; md5 is not). Pure
+    // codegen map over the scan, zero shuffles before the output sort:
+    // the shape survives any scale-up unchanged, and re-running the
+    // pipeline reproduces the exact sample (the property training-data
+    // curation actually needs — resumable, auditable subsets).
+    "q66_stratified_sample" -> { (s, d) =>
+      val rates = typedLit(Map(
+        "click" -> 50L, "view" -> 100L, "purchase" -> 900L,
+        "signup" -> 250L, "error" -> 0L))
+      Tables.events(s, d)
+        .filter(TextOps.hash56(col("event_id").cast("string")) % 1000L <
+          element_at(rates, col("event_type")))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id")
+    },
+
+    // Gopher-style repetition quality signals: duplicate-token ratio
+    // (1 - distinct/total, array-local — no shuffle) and top-2-gram
+    // fraction (most frequent word bigram / all bigrams). The bigram
+    // mode goes through an explode + two keyed aggregations — both
+    // partial-aggregated map-side, keyed by doc, so no task ever holds
+    // more than one doc's bigram space.
+    "q67_repetition_quality" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          (lit(1.0) - size(array_distinct(col("tk"))).cast("double") /
+            size(col("tk"))).as("dup_token_ratio"))
+      val grams = base
+        .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 2)).as("g2"))
+        .groupBy("doc_id", "g2").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_g"))
+      base.join(grams, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+          (col("top_c").cast("double") / col("n_g")).as("top_2gram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Language-balanced subsampling: the k docs with the smallest
+    // key-hash per language — a deterministic quota sample for corpus
+    // mixing. Uses the bounded TopK aggregator, NOT a row_number window
+    // partitioned by lang: a handful of language values makes that
+    // window the textbook hot-partition plan, while the aggregator
+    // ships at most k rows per language per map task (partial
+    // aggregation), so the shuffle is O(k·langs·tasks) at any corpus
+    // size. Score is the NEGATED hash (TopK keeps largest-first; ids
+    // break ties ascending, mirrored by the oracle's ORDER BY hv, id).
+    "q68_balanced_sample" -> { (s, d) =>
+      val topk = udaf(new graft.expressions.TopK(20))
+      // % 1e12 keeps the score exactly representable as a double (the
+      // raw 56-bit hash is wider than a double's 53-bit mantissa, and a
+      // rounded score would order differently than the oracle's exact
+      // BIGINT comparison).
+      val h = TextOps.hash56(col("doc_id").cast("string")) % 1000000000000L
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), (-h).cast("double").as("neg_h"))
+        .groupBy("lang")
+        .agg(topk(col("neg_h"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("entry._2").as("doc_id"))
+        .orderBy("lang", "rank")
+    },
+
+    // Fixed-width token chunking with stride overlap (width 100, stride
+    // 80) — context-window packing / RAG chunk prep. Chunk boundaries
+    // are computed array-locally (sequence + slice: one generated row
+    // per chunk, no self-join), so the operator is a pure per-row
+    // flatMap shape: it scales with token volume and nothing else.
+    "q69_token_chunks" -> { (s, d) =>
+      val width = 100
+      val stride = 80
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
+            lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_id"),
+          slice(col("tk"), col("start") + 1, lit(width)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_chunk_tokens"),
+          array_join(col("ck"), " ").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_stratified_sample" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14)) AS BIGINT) % 1000
+        |  < CASE event_type WHEN 'click' THEN 50 WHEN 'view' THEN 100
+        |      WHEN 'purchase' THEN 900 WHEN 'signup' THEN 250 ELSE 0 END
+        |ORDER BY event_id""".stripMargin,
+    "q67_repetition_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_token_ratio,
+        |    list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]) AS g2
+        |  FROM t),
+        |g AS (SELECT doc_id, gram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(g2) AS gram FROM s) GROUP BY doc_id, gram),
+        |m AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM g GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens, s.dup_token_ratio,
+        |  CAST(m.top_c AS DOUBLE) / m.n_g AS top_2gram_frac
+        |FROM s JOIN m ON s.doc_id = m.doc_id ORDER BY s.doc_id""".stripMargin,
+    "q68_balanced_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        |      % 1000000000000 AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rank
+        |  FROM h)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id FROM r
+        |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+    "q69_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |    unnest(generate_series(0, greatest(len(tk) - 1, 0), 80)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 80 AS BIGINT) AS chunk_id,
+        |  CAST(len(tk[start + 1 : start + 100]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(tk[start + 1 : start + 100], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q26_token_count" ->
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe, n_chars

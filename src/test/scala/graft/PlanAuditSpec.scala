@@ -63,6 +63,19 @@ class PlanAuditSpec extends SparkSpec {
       "the dedup stage must be keyed by the pair (cardinality), not the hot key alone")
   }
 
+  test("q66: stratified sampling is a pure map — no hash shuffle anywhere") {
+    val p = formatted("q66_stratified_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the hash-rate filter must run on the scan; the only exchange is the output sort's range partitioning")
+  }
+
+  test("q68: balanced sampling partial-aggregates topk map-side — no lang-partitioned window") {
+    val p = formatted("q68_balanced_sample")
+    assert(p.contains("partial_topk"),
+      "each map task must ship at most k rows per language; a window over lang = hot-partition funnel")
+    assert(!p.contains("Window"), "must not regress to row_number over a low-cardinality partition")
+  }
+
   test("q01/q09/q10/q15/q24 read the session-shared dense-id caches (one sort per session)") {
     def cacheBuilders(name: String) =
       try SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan

@@ -57,6 +57,49 @@ class QueriesSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("stratified sample respects per-stratum rates: zero-rate stratum absent, subset of source") {
+    val sampled = SparkEntry.queries("q66_stratified_sample")(spark, sf0001)
+    val byType = sampled.groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(!byType.contains("error"), "rate-0 stratum must be dropped entirely")
+    // purchase keeps 90%, click 5% — the sampled ordering must reflect it
+    assert(byType("purchase") > byType("click"))
+    val total = Tables.events(spark, sf0001).count()
+    assert(sampled.count() < total)
+  }
+
+  test("repetition quality: ratios live in [0,1] and cover every document") {
+    val rows = SparkEntry.queries("q67_repetition_quality")(spark, sf0001)
+      .select("dup_token_ratio", "top_2gram_frac").as[(Double, Double)].collect()
+    assert(rows.length === Tables.documents(spark, sf0001).count())
+    rows.foreach { case (dup, top) =>
+      assert(dup >= 0.0 && dup <= 1.0); assert(top > 0.0 && top <= 1.0)
+    }
+  }
+
+  test("balanced sample keeps at most 20 docs per language, ranked 1..n") {
+    val perLang = SparkEntry.queries("q68_balanced_sample")(spark, sf0001)
+      .groupBy("lang").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .select("n", "mx").as[(Long, Long)].collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (n, mx) => assert(n <= 20 && mx === n) }
+  }
+
+  test("token chunks: stride-80 boundaries, width<=100, last chunk covers the tail") {
+    val chunks = SparkEntry.queries("q69_token_chunks")(spark, sf0001)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(max("chunk_id").as("mx"), count(lit(1)).as("n"), max("n_chunk_tokens").as("w"))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+    val joined = perDoc.join(docs, "doc_id")
+      .select("mx", "n", "w", "nt").as[(Long, Long, Long, Long)].collect()
+    joined.foreach { case (mx, n, w, nt) =>
+      assert(w <= 100)
+      assert(mx === (nt - 1) / 80, s"chunk count must tile the token stream (nt=$nt)")
+      assert(n === mx + 1, "chunk_ids must be dense")
+    }
+  }
+
   test("multimodal frame sampling: every 2nd frame, counts derived from payload") {
     val frames = SparkEntry.queries("q35_multimodal_frames")(spark, sf0001)
     val perDoc = frames.groupBy("doc_id")
