@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash56"),
       new ExpressionInfo(classOf[Hash56].getName, "graft_hash56"),
       mkHash56))
+    // the native as-of join: whole-operator chain (logical plan +
+    // optimizer rule + planner strategy + physical exec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
 

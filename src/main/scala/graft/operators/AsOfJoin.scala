@@ -58,4 +58,34 @@ object AsOfJoin {
         (leftCols.map(c => col(s"__lrow.$c").as(c)) ++
           payloadCols.map(c => col(s"__last.$c").as(c))): _*)
   }
+
+  /** [[lastAtOrBefore]] through the NATIVE operator
+    * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec): identical semantics
+    * and column contract, but executed as a dedicated sort-merge walk —
+    * no tagged union, no window state. Installs the planner strategy +
+    * pushdown rule on the session (idempotent) and hands the resolved
+    * child plans to the custom logical node. */
+  def lastAtOrBeforeNative(left: DataFrame, right: DataFrame,
+                           key: String, ts: String, rightOrder: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinNative.install(spark)
+    val lPlan = left.queryExecution.analyzed
+    // left and right usually derive from one base relation (self as-of),
+    // so their plans share exprIds. The analyzer's DeduplicateRelations
+    // would renew the right child's attributes WITHOUT remapping this
+    // node's stored key/ts/payload expressions (it only knows built-in
+    // nodes), leaving the exec to bind stale ids. Minting fresh exprIds
+    // on the right side up front leaves nothing to deduplicate.
+    val rPlan = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val payload = rPlan.output.filterNot(a => a.name == key || a.name == ts)
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key),
+        attr(lPlan, ts), attr(rPlan, ts),
+        attr(rPlan, rightOrder), payload))
+  }
 }

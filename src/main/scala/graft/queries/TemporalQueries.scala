@@ -61,6 +61,22 @@ object TemporalQueries {
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       AsOfJoin.lastAtOrBefore(left, right, "user_id", "ts", "purchase_id")
         .orderBy("event_id")
+    },
+
+    // The same as-of semantics through the NATIVE operator chain
+    // (plans/AsOfJoinNative: custom LogicalPlan -> optimizer Rule ->
+    // SparkStrategy -> sort-merge-walk SparkPlan). Oracled identically
+    // to q44, so the two forms are cross-checked by the gate itself;
+    // AsOfJoinSpec additionally asserts row-level parity and the
+    // PlanAudit pins the exec node + left-filter pushdown.
+    "q70_asof_native" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val left = e.select("event_id", "user_id", "ts")
+      val right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.lastAtOrBeforeNative(left, right, "user_id", "ts", "purchase_id")
+        .orderBy("event_id")
     }
   )
 
@@ -111,24 +127,29 @@ object TemporalQueries {
         |FROM g, wm
         |WHERE epoch_ns(session_end + INTERVAL 5 MINUTE) // 1000 <= wm.w_ms * 1000
         |ORDER BY user_id, session_start""".stripMargin,
-    "q44_asof_join" ->
-      """WITH tagged AS (
-        |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS ord,
-        |    event_id, NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
-        |  FROM events
-        |  UNION ALL
-        |  SELECT user_id, ts, 0, event_id, NULL, event_id, value
-        |  FROM events WHERE event_type = 'purchase'),
-        |w AS (
-        |  SELECT *,
-        |    last_value(p_id IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY ts, side, ord NULLS LAST
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id,
-        |    last_value(p_val IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY ts, side, ord NULLS LAST
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
-        |  FROM tagged)
-        |SELECT event_id, user_id, ts, purchase_id, purchase_value
-        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
+    "q44_asof_join" -> AsOfOracleSql,
+    // composed and native as-of forms share one oracle: the gate itself
+    // cross-checks the two implementations against the same SQL truth.
+    "q70_asof_native" -> AsOfOracleSql
   )
+
+  private lazy val AsOfOracleSql =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS ord,
+      |    event_id, NULL::BIGINT AS p_id, NULL::DOUBLE AS p_val
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, ts, 0, event_id, NULL, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT *,
+      |    last_value(p_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, side, ord NULLS LAST
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id,
+      |    last_value(p_val IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts, side, ord NULLS LAST
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+      |  FROM tagged)
+      |SELECT event_id, user_id, ts, purchase_id, purchase_value
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 }

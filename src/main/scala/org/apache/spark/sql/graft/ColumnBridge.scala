@@ -16,6 +16,18 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge to `Dataset.ofRows` (private[sql]): wraps a custom logical
+  * plan — here [[graft.plans.AsOfJoinPlan]] — back into a public
+  * DataFrame, the standard move for third-party operators that extend
+  * the planner. */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
 /** Bridge to `SparkSession.sessionUUID` (private[sql] in Spark 4): a
   * stable, never-reused session identity for cache keys — unlike
   * `System.identityHashCode`, which the JVM can recycle after a stopped

@@ -76,6 +76,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "must not regress to row_number over a low-cardinality partition")
   }
 
+  test("q70: plans through the native AsOfJoin exec — co-partitioned, no tagged union") {
+    val p = formatted("q70_asof_native")
+    assert(p.contains("AsOfJoin"), "the custom strategy must plan the native exec node")
+    assert(!p.contains("Union"), "must not fall back to the composed union+window form")
+    assert(!p.contains("Window"), "the native walk replaces the cumulative window")
+  }
+
+  test("native as-of join: left-only filters push below the join into the scan") {
+    val e = Tables.events(spark, sf0001)
+    val left = e.select("event_id", "user_id", "ts")
+    val right = e.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id").as("purchase_id"))
+    val joined = graft.operators.AsOfJoin
+      .lastAtOrBeforeNative(left, right, "user_id", "ts", "purchase_id")
+      .filter(org.apache.spark.sql.functions.col("event_id") < 100)
+    val p = try joined.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    finally Caches.releaseScoped()
+    assert(p.contains("LessThan(event_id,100)"),
+      "PushFilterThroughAsOfJoin must move the probe-side conjunct into PushedFilters")
+  }
+
   test("q01/q09/q10/q15/q24 read the session-shared dense-id caches (one sort per session)") {
     def cacheBuilders(name: String) =
       try SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
