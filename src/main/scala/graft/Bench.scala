@@ -95,12 +95,22 @@ object Bench {
     // mid-JSON, "parsed": null). Keep the whole line comfortably inside
     // that window: per-query keys shortened to their qNN prefix (the
     // driver's own contract example uses "q1") and values rounded to ms.
-    def ms(v: Double): String = f"$v%.3f"
-    def fmt(m: Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) =>
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale (de_DE etc.) would render 45,300 — invalid
+    // JSON, the exact parse failure this line exists to avoid
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(m: Map[String, Double]): String = {
+      val entries = m.toSeq.sortBy(_._1).map { case (k, v) =>
         val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
-        "\"" + short + "\":" + ms(v)
-      }.mkString("{", ",", "}")
+        short -> ms(v)
+      }
+      // duplicate qNN prefixes would collapse silently under json.loads
+      // (last key wins) — a query's committed timing must never vanish
+      require(entries.map(_._1).distinct.size == entries.size,
+        s"duplicate short query keys: ${entries.map(_._1).diff(entries.map(_._1).distinct)}")
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }
     val ok = runs.filter(_._2.forall(_ >= 0))
     // ok-portion per FAMILY: if one family failed, the other's cached
     // build still benefited its queries and must stay charged — a

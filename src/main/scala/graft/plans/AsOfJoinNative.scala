@@ -36,8 +36,23 @@ case class AsOfJoinPlan(
     leftTs: Expression, rightTs: Expression,
     rightOrder: Expression,
     payload: Seq[Attribute]) extends BinaryNode {
+  // the merge walk compares left/right key (and ts) values with ONE
+  // ordering built from the left types — silent garbage if they differ
+  // (the composed form would widen via union instead)
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
+  // the default stats visitor estimates an unknown binary node as the
+  // PRODUCT of its children's sizes (~cross join), which would stop any
+  // downstream broadcast above this node; as-of output is exactly one
+  // row per left row, so size ≈ left + carried payload (bounded by right)
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      rowCount = left.stats.rowCount)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -54,8 +69,11 @@ case class AsOfJoinPlan(
 object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
+      // deterministic-only, like the stock PushDownPredicates: rand()
+      // has empty references and would otherwise push (changing which
+      // rows it samples), input_file_name() would change value entirely
       val (push, keep) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(j.left.outputSet))
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
       if (push.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(push.reduce(And), j.left))
@@ -93,8 +111,12 @@ case class AsOfJoinExec(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
       SortOrder(rightOrder, Ascending)))
-  // left rows stream through in their sorted order
+  // left rows stream through in their sorted order, still hash-clustered
+  // on the key — reporting UnknownPartitioning would cost any downstream
+  // keyed operation a redundant shuffle of the join output
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     // nullability-widened BEFORE binding: the output projection must

@@ -447,9 +447,13 @@ object PipelineQueries {
       val rates = typedLit(Map(
         "click" -> 50L, "view" -> 100L, "purchase" -> 900L,
         "signup" -> 250L, "error" -> 0L))
+      // try_element_at, not element_at: ANSI mode (Spark 4 default)
+      // throws MAP_KEY_DOES_NOT_EXIST for a stratum outside the literal
+      // map, where the oracle's CASE ... ELSE 0 silently drops the row.
+      // A null rate makes the comparison null → row filtered, = ELSE 0.
       Tables.events(s, d)
         .filter(TextOps.hash56(col("event_id").cast("string")) % 1000L <
-          element_at(rates, col("event_type")))
+          try_element_at(rates, col("event_type")))
         .select(col("event_id"), col("event_type"), col("user_id"))
         .orderBy("event_id")
     },
@@ -472,7 +476,11 @@ object PipelineQueries {
         .groupBy("doc_id", "g2").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_g"))
-      base.join(grams, "doc_id")
+      // LEFT join: a sub-2-token doc has no bigrams and would silently
+      // vanish from the quality report under an inner join — exactly the
+      // degenerate doc a repetition filter must still score. Its
+      // top_2gram_frac is null (mirrored by the oracle's LEFT JOIN).
+      base.join(grams, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
           (col("top_c").cast("double") / col("n_g")).as("top_2gram_frac"))
         .orderBy("doc_id")
@@ -545,7 +553,7 @@ object PipelineQueries {
         |m AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_g FROM g GROUP BY doc_id)
         |SELECT s.doc_id, s.n_tokens, s.dup_token_ratio,
         |  CAST(m.top_c AS DOUBLE) / m.n_g AS top_2gram_frac
-        |FROM s JOIN m ON s.doc_id = m.doc_id ORDER BY s.doc_id""".stripMargin,
+        |FROM s LEFT JOIN m ON s.doc_id = m.doc_id ORDER BY s.doc_id""".stripMargin,
     "q68_balanced_sample" ->
       """WITH h AS (SELECT lang, doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
