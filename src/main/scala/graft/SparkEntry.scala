@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, ExtendedQueries, JoinQueries, PipelineQueries, SpatialQueries, TemporalQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtendedQueries, JoinQueries, PipelineQueries, ScaleQueries, SpatialQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtendedQueries.queries ++
       PipelineQueries.queries ++ SpatialQueries.queries ++
-      TemporalQueries.queries ++ AnalyticsQueries.queries ++ JoinQueries.queries
+      TemporalQueries.queries ++ AnalyticsQueries.queries ++ JoinQueries.queries ++
+      ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtendedQueries.oracles ++
       PipelineQueries.oracles ++ SpatialQueries.oracles ++
-      TemporalQueries.oracles ++ AnalyticsQueries.oracles ++ JoinQueries.oracles
+      TemporalQueries.oracles ++ AnalyticsQueries.oracles ++ JoinQueries.oracles ++
+      ScaleQueries.oracles
 }

@@ -45,7 +45,7 @@ object PipelineQueries {
     * Shared across the dedup trio (q30 signatures, q31/q60 verification,
     * q34 simhash) as an explicit compute-once relation — the reuse is in
     * the code, not a plan-matched cache accident (VERDICT r2 item 8). */
-  private def shingleDocs(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingleDocs(s: SparkSession, d: String): DataFrame =
     graft.Caches.sharedRelation(s, d, "shingle_docs") {
       Tables.documents(s, d)
         .repartition(col("doc_id"))
@@ -61,7 +61,7 @@ object PipelineQueries {
     }
 
   /** Shared oracle CTE prefix producing the same hashed shingle sets. */
-  private val ShingleCte =
+  private[queries] val ShingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
       |         i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14)) AS BIGINT))) AS sh

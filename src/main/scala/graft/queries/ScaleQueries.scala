@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{BucketedTables, Tables}
+import graft.operators.BloomDedup
+
+/** Round-5 scale-architecture surface: the operators whose POINT is how
+  * they behave at 100 TB — two-stream state (q71), runtime-filter-pruned
+  * incremental dedup (q72), shuffle-free co-located joins (q73), and
+  * train/test n-gram decontamination (q74). Each is oracled; the plan
+  * properties that make them scale are pinned in PlanAuditSpec.
+  */
+object ScaleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Incoming-batch split for q72: every 5th doc plays the "today's
+    * ingest" batch, the rest the standing corpus. */
+  private val IngestMod = 5
+
+  /** Test split for q74: every 10th doc plays the eval set. */
+  private val TestMod = 10
+
+  val queries: Map[String, Q] = Map(
+    // Stream-stream event-time interval join (both sides unbounded,
+    // per-side keyed state, watermark-bounded horizon) — see
+    // streaming/StreamStreamJoin.scala for the state argument.
+    "q71_stream_stream_join" -> { (s, d) =>
+      graft.streaming.StreamStreamJoin.purchaseErrorPairs(s, d)
+        .orderBy("user_id", "purchase_id", "error_id")
+    },
+
+    // Bloom-screened incremental dedup: new docs of the ingest batch vs
+    // the standing corpus. The bloom pre-screen is a correctness no-op
+    // (see operators/BloomDedup.scala), so the oracle is the plain
+    // exact anti-join — the gate proves the accelerated plan changes
+    // nothing. expectedItems is sized from the corpus count's order of
+    // magnitude; fpp 1%.
+    "q72_bloom_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val incoming = docs.filter(col("doc_id") % IngestMod === 0)
+      val corpus = docs.filter(col("doc_id") % IngestMod =!= 0)
+      BloomDedup.newRows(incoming, corpus.select("text"), "text",
+          expectedItems = 1000000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Co-located big-big join over the bucketed layout: lineitem ⋈
+    // orders on orderkey with ZERO shuffle exchanges in the join
+    // subtree (both scans already report the bucket HashPartitioning).
+    // The merge hint keeps the plan SMJ at every SF so the property
+    // under test doesn't silently degrade to a broadcast at small
+    // scale. Oracle = the same join over the raw parquet.
+    "q73_bucketed_colocated_join" -> { (s, d) =>
+      val t = BucketedTables.lineitemOrders(s, d)
+      val li = s.table(t.lineitem)
+      val o = s.table(t.orders)
+      li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(18,4)").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Train/test contamination check (GPT-3-style n-gram overlap
+    // decontamination): for each eval doc, the fraction of its hashed
+    // 3-gram shingles that occur ANYWHERE in the train split. Reuses
+    // the dedup trio's compute-once shingle relation; the overlap is a
+    // keyed equi-join on shingle hash + two partial-agg'd counts —
+    // never a doc×doc comparison, so it scales with shingle volume.
+    // LEFT join keeps zero-overlap eval docs in the report (a
+    // decontamination pass must show clean docs as clean, not omit
+    // them).
+    "q74_contamination_check" -> { (s, d) =>
+      val sh = PipelineQueries.shingleDocs(s, d)
+      val test = sh.filter(col("doc_id") % TestMod === 0)
+      // distinct AFTER the explode: many train docs share shingles, and
+      // the join must count each distinct train shingle once.
+      val trainShingles = sh.filter(col("doc_id") % TestMod =!= 0)
+        .select(explode(col("sh")).as("h")).distinct()
+      val overlap = test.select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(trainShingles, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      test.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_shingles")).as("contamination"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Batch twin of the interval join (6 h = 21600000000 µs).
+    // Comparisons run on epoch MICROseconds: Spark truncates the
+    // parquet ns timestamps to µs, DuckDB keeps ns — comparing raw ns
+    // timestamps against a µs-derived bound could flip a pair that
+    // lands inside the sub-µs window.
+    "q71_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+        |  epoch_us(e.ts) - epoch_us(p.ts) AS delta_us
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND epoch_us(e.ts) >= epoch_us(p.ts)
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |ORDER BY p.user_id, purchase_id, error_id""".stripMargin,
+    "q72_bloom_incremental_dedup" ->
+      s"""SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id % $IngestMod = 0
+         |  AND NOT EXISTS (SELECT 1 FROM documents c
+         |    WHERE c.doc_id % $IngestMod <> 0 AND c.text = d.text)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q73_bucketed_colocated_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q74_contamination_check" ->
+      s"""${PipelineQueries.ShingleCte},
+         |te AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE doc_id % $TestMod = 0),
+         |tr AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % $TestMod <> 0),
+         |ov AS (SELECT te.doc_id, count(*) AS n_overlap
+         |  FROM te JOIN tr USING (h) GROUP BY te.doc_id),
+         |base AS (SELECT doc_id, len(sh) AS n_shingles FROM sh
+         |  WHERE doc_id % $TestMod = 0)
+         |SELECT b.doc_id, CAST(b.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / b.n_shingles AS contamination
+         |FROM base b LEFT JOIN ov o ON b.doc_id = o.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+  )
+}

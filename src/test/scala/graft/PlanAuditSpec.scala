@@ -100,6 +100,20 @@ class PlanAuditSpec extends SparkSpec {
       "PushFilterThroughAsOfJoin must move the probe-side conjunct into PushedFilters")
   }
 
+  test("q72: the bloom probe is a codegen'd predicate; exact verify survives for candidates") {
+    val p = formatted("q72_bloom_incremental_dedup")
+    assert(p.contains("might_contain"),
+      "the bloom pre-screen must be the native BloomFilterMightContain predicate, not a UDF")
+    assert(p.contains("LeftAnti"),
+      "candidates must still flow through the exact anti-join (fpp correctness depends on it)")
+  }
+
+  test("q74: contamination overlap partial-aggregates before the doc-keyed shuffle") {
+    val p = formatted("q74_contamination_check")
+    assert(p.contains("partial_count"),
+      "per-doc overlap counts must map-side combine; shipping raw matched shingles is the scale bug")
+  }
+
   test("q01/q09/q10/q15/q24 read the session-shared dense-id caches (one sort per session)") {
     def cacheBuilders(name: String) =
       try SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan

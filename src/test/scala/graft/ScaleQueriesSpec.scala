@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomDedup
+
+/** Round-5 scale-architecture queries (q71–q74): semantics vs in-Spark
+  * twins, plus the plan properties that make each one scale. */
+class ScaleQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** collect that descends through AQE wrappers (AdaptiveSparkPlanExec
+    * and materialized query stages are leaves to the stock collect). */
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(collectAll(_)(pf))
+  }
+
+  test("q72 bloom-screened dedup equals the plain exact anti-join") {
+    val docs = Tables.documents(spark, sf0001)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val got = BloomDedup.newRows(incoming, corpus.select("text"), "text", 1000000L)
+      .select("doc_id").as[Long].collect().toSet
+    val want = incoming.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+  }
+
+  test("bloom screen never false-negatives: true dups all reach the verify side") {
+    // tiny adversarial fpp: even a filter sized 100× too small must
+    // still route every true duplicate into the exact anti-join
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w")).toDF("id", "text")
+    val b = Seq(Tuple1("y"), Tuple1("w")).toDF("text")
+    val got = BloomDedup.newRows(a, b, "text", expectedItems = 1L, fpp = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  test("q71 stream-stream interval join equals its batch twin") {
+    val stream = SparkEntry.queries("q71_stream_stream_join")(spark, sf0001)
+      .collect().toSeq
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    val batch = p.join(e, col("user_id") === col("eu") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("interval 6 hours"))
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
+      .orderBy("user_id", "purchase_id", "error_id")
+      .collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
+  test("q73 bucketed join equals the raw-parquet join and its SMJ subtree has no shuffle") {
+    val got = SparkEntry.queries("q73_bucketed_colocated_join")(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    val want = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(got.collect().toSeq === want.collect().toSeq)
+
+    // the property that IS the feature: co-located bucket scans leave
+    // nothing for EnsureRequirements to fix — no exchange anywhere
+    // below the join
+    val plan = got.queryExecution.executedPlan
+    val smj = collectAll(plan) { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a SortMergeJoin in:\n$plan")
+    val shufflesBelowJoin = collectAll[SparkPlan](smj.head) { case s: ShuffleExchangeExec => s }
+    assert(shufflesBelowJoin.isEmpty,
+      s"bucketed join must not shuffle its inputs:\n${smj.head}")
+  }
+
+  test("q74 contamination is a complete, bounded report over the test split") {
+    val out = SparkEntry.queries("q74_contamination_check")(spark, sf0001)
+      .select($"doc_id", $"n_shingles", $"n_overlap", $"contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0 && size(split(col("text"), " ")) >= 3)
+      .count()
+    assert(out.length === expected, "every shingled test doc is reported")
+    assert(out.forall { case (_, n, ov, c) =>
+      ov >= 0 && ov <= n && c >= 0.0 && c <= 1.0 })
+    assert(out.forall { case (_, n, ov, c) => c === ov.toDouble / n })
+  }
+}
