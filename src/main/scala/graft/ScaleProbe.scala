@@ -20,7 +20,9 @@ object ScaleProbe {
         "q14_tumbling_window", "q22_segment_range_join", "q24_union_reassembly",
         "q30_minhash_banding", "q31_ngram_jaccard", "q34_simhash_neardup",
         "q40_session_windows", "q44_asof_join",
-        "q57_embedding_neardup_srp", "q60_dedup_clusters")
+        "q57_embedding_neardup_srp", "q60_dedup_clusters",
+        "q72_bloom_incremental_dedup", "q73_bucketed_colocated_join",
+        "q74_contamination_check")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +35,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     queries.PipelineQueries.warmSharedRelations(spark, dir)
     queries.SharedRelations.warm(spark, dir)
+    BucketedTables.warm(spark, dir)
     Caches.releaseScoped()
     println(f"[probe] shared_build              ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     for (n <- names) {

@@ -22,7 +22,8 @@ object StreamProbe {
       if (args.length > 1) args(1).split(",").toSeq
       else Seq("q25_streaming_tumbling", "q55_frame_stream",
         "q58_stream_static_join", "q61_watermarked_tumbling",
-        "q62_stream_dedup", "q63_stateful_monitor", "q65_streaming_sessions")
+        "q62_stream_dedup", "q63_stateful_monitor", "q65_streaming_sessions",
+        "q71_stream_stream_join")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
