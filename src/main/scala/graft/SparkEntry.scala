@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, ExtendedQueries, JoinQueries, PipelineQueries, ScaleQueries, SpatialQueries, TemporalQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, ExtendedQueries, JoinQueries, PipelineQueries, ScaleQueries, SpatialQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
     CoreQueries.queries ++ ExtendedQueries.queries ++
       PipelineQueries.queries ++ SpatialQueries.queries ++
       TemporalQueries.queries ++ AnalyticsQueries.queries ++ JoinQueries.queries ++
-      ScaleQueries.queries
+      ScaleQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     CoreQueries.oracles ++ ExtendedQueries.oracles ++
       PipelineQueries.oracles ++ SpatialQueries.oracles ++
       TemporalQueries.oracles ++ AnalyticsQueries.oracles ++ JoinQueries.oracles ++
-      ScaleQueries.oracles
+      ScaleQueries.oracles ++ CurationQueries.oracles
 }

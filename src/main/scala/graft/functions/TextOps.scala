@@ -41,6 +41,19 @@ object TextOps {
         i => hash56(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
       .otherwise(array().cast("array<long>"))
 
+  /** POSITIONAL hashed shingles: [[hashedShingles]] WITHOUT the distinct —
+    * one entry per token position, duplicates preserved. This is the form
+    * the duplicated-span metric (q75) needs: "what fraction of the
+    * document's positions sit inside an n-gram that also occurs
+    * elsewhere" is a statement about positions, not about the set of
+    * distinct n-grams. DuckDB twin: the same list_transform without
+    * list_distinct. */
+  def positionalHashedShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => hash56(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+
   /** Deterministic 56-bit hash: the first 14 hex chars of md5, parsed as an
     * integer. md5 is bit-identical across engines (unlike murmur/xxhash
     * whose seeds differ), and 56 bits keeps all downstream arithmetic

@@ -67,6 +67,43 @@ object PipelineQueries {
       |         i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14)) AS BIGINT))) AS sh
       |       FROM toks WHERE len(tk) >= 3)""".stripMargin
 
+  /** Shared oracle CTE prefix replaying the ENTIRE IVF training +
+    * assignment pipeline in SQL — md5-seeded init, two UNROLLED Lloyd
+    * iterations (fixed iteration count needs no recursion), argmax cell
+    * assignment with the same (cos DESC, centroid_id ASC) tie-break as
+    * Spark's lexicographic max(struct). Means mirror
+    * [[graft.similarity.Ann.trainCentroids]] exactly: decimal-exact sum,
+    * cast to double, ONE IEEE division. Ends at `asg(vec_id, cell, nv,
+    * nn)` — q33 appends its probe/rank phase, q77 its within-cell pair
+    * phase. */
+  private[queries] val IvfCte: String = {
+    def iter(i: Int, o: Int): String =
+      s"""a$o AS (SELECT vec_id, cell, nv FROM (
+         |    SELECT n.vec_id, c$i.centroid_id AS cell, n.nv,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY list_dot_product(n.nv, c$i.cv) / (n.nn * c$i.cn) DESC, c$i.centroid_id) AS rn
+         |    FROM n, c$i) WHERE rn = 1),
+         |m$o AS (SELECT cell, g.i AS dim,
+         |           CAST(sum(CAST(nv[g.i + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+         |         FROM a$o, (SELECT unnest(range(64)) AS i) g
+         |         GROUP BY cell, g.i),
+         |c$o AS (SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+         |    SELECT cell AS centroid_id, list(m ORDER BY dim) AS cv FROM m$o GROUP BY cell))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+       |n AS (SELECT vec_id, nv, sqrt(list_dot_product(nv, nv)) AS nn FROM v),
+       |c0 AS (SELECT centroid_id, nv AS cv, nn AS cn FROM (
+       |    SELECT vec_id, nv, nn,
+       |      row_number() OVER (ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT) ASC, vec_id ASC) - 1 AS centroid_id
+       |    FROM n) WHERE centroid_id < 16),
+       |${iter(0, 1)},
+       |${iter(1, 2)},
+       |asg AS (SELECT vec_id, cell, nv, nn FROM (
+       |    SELECT n.vec_id, c2.centroid_id AS cell, n.nv, n.nn,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.nv, c2.cv) / (n.nn * c2.cn) DESC, c2.centroid_id) AS rn
+       |    FROM n, c2) WHERE rn = 1)""".stripMargin
+  }
+
   /** MinHash LSH candidates, relationally: 16 hashes, 8 bands of 2.
     * Signature rows are reduced map-side; only (band, bucket) keys
     * shuffle, then an equi-join surfaces candidate pairs. */
@@ -683,45 +720,16 @@ object PipelineQueries {
         |    list_dot_product(x.ve, y.ve) / (x.nrm * y.nrm) AS c
         |  FROM cand c JOIN n x ON c.id_a = x.vec_id JOIN n y ON c.id_b = y.vec_id)
         |WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin,
-    // q33: the full IVF pipeline replayed — md5-seeded init, two UNROLLED
-    // Lloyd iterations (the iteration CTE template below is stamped twice;
-    // fixed iteration count needs no recursion), argmax cell assignment
-    // with the same (cos DESC, centroid_id ASC) tie-break as Spark's
-    // lexicographic max(struct), nprobe=4 probe, rank over the ROUNDED
-    // cosine. Means mirror Ann.trainCentroids exactly: decimal-exact sum,
-    // cast to double, ONE IEEE division.
+    // q33: the shared IVF replay ([[IvfCte]]) + the nprobe=4 probe and
+    // rank-over-ROUNDED-cosine phase.
     "q33_ann_ivf" -> {
-      def iter(i: Int, o: Int): String =
-        s"""a$o AS (SELECT vec_id, cell, nv FROM (
-           |    SELECT n.vec_id, c$i.centroid_id AS cell, n.nv,
-           |      row_number() OVER (PARTITION BY n.vec_id
-           |        ORDER BY list_dot_product(n.nv, c$i.cv) / (n.nn * c$i.cn) DESC, c$i.centroid_id) AS rn
-           |    FROM n, c$i) WHERE rn = 1),
-           |m$o AS (SELECT cell, g.i AS dim,
-           |           CAST(sum(CAST(nv[g.i + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
-           |         FROM a$o, (SELECT unnest(range(64)) AS i) g
-           |         GROUP BY cell, g.i),
-           |c$o AS (SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
-           |    SELECT cell AS centroid_id, list(m ORDER BY dim) AS cv FROM m$o GROUP BY cell))""".stripMargin
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
-         |n AS (SELECT vec_id, nv, sqrt(list_dot_product(nv, nv)) AS nn FROM v),
-         |c0 AS (SELECT centroid_id, nv AS cv, nn AS cn FROM (
-         |    SELECT vec_id, nv, nn,
-         |      row_number() OVER (ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT) ASC, vec_id ASC) - 1 AS centroid_id
-         |    FROM n) WHERE centroid_id < 16),
-         |${iter(0, 1)},
-         |${iter(1, 2)},
+      s"""$IvfCte,
          |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
          |pr AS (SELECT query_id, qv, qn, centroid_id AS cell FROM (
          |    SELECT q.query_id, q.qv, q.qn, c2.centroid_id,
          |      row_number() OVER (PARTITION BY q.query_id
          |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
          |    FROM q, c2) WHERE r <= 4),
-         |asg AS (SELECT vec_id, cell, nv, nn FROM (
-         |    SELECT n.vec_id, c2.centroid_id AS cell, n.nv, n.nn,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY list_dot_product(n.nv, c2.cv) / (n.nn * c2.cn) DESC, c2.centroid_id) AS rn
-         |    FROM n, c2) WHERE rn = 1),
          |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
          |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
          |         FROM pr JOIN asg a USING (cell) WHERE a.vec_id <> pr.query_id),

@@ -147,6 +147,43 @@ object Ann {
       .select(col("vec_id"), col("nv"), col("nn"), (-col("best.nc")).as("cell"))
   }
 
+  /** SemDeDup-style semantic dedup: a vector is DROPPED when a vector
+    * with a smaller `vec_id` sits in the same IVF cell at
+    * `round(cos, 4) >= threshold`. Comparing only within a cell is the
+    * point — the candidate set is cell-bounded (never all-pairs), and at
+    * 100 TB the codebook size k is raised so cells stay bounded; the
+    * within-cell pair join is keyed on `cell`, so it shuffles by cell id
+    * and each task sees one cell's vectors. Cross-cell near-dups are
+    * forfeit by design (the SemDeDup trade: recall for a k× cut in
+    * candidate pairs).
+    *
+    * Output: (vec_id, cell, best_prior_cos, kept 0/1) — a complete
+    * report (kept docs appear with kept=1, like q74's clean docs);
+    * `best_prior_cos` is the max round(cos,4) against any smaller-id
+    * vector of the same cell (null when the vector is its cell's lowest
+    * id), so the decision margin is visible, not just the bit. Totally
+    * ordered by the caller. */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    // both sides of the pair join + the final report read the assignment
+    val asg = graft.Caches.scopedPersist(assignCells(vectors, centroids))
+    val lower = asg.select(col("cell"), col("vec_id").as("keep_id"),
+      col("nv").as("knv"), col("nn").as("knn"))
+    // per-vector max prior cosine: partial-aggregated map-side, so the
+    // shuffle after the cell join carries one row per (partition, vec)
+    val best = asg.join(lower, Seq("cell"))
+      .filter(col("keep_id") < col("vec_id"))
+      .groupBy("vec_id")
+      .agg(max(round(cos(col("knv"), col("knn"), col("nv"), col("nn")), 4))
+        .as("best_prior_cos"))
+    asg.select(col("vec_id"), col("cell").cast("long"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("best_prior_cos"),
+        when(col("best_prior_cos").isNull
+          || col("best_prior_cos") < threshold, lit(1L)).otherwise(lit(0L))
+          .as("kept"))
+  }
+
   /** IVF search: `centroids` is the coarse codebook (id, embedding);
     * every vector joins to its nearest centroid once (broadcast), queries
     * probe the `nprobe` nearest centroid cells only. */

@@ -114,6 +114,36 @@ class PlanAuditSpec extends SparkSpec {
       "per-doc overlap counts must map-side combine; shipping raw matched shingles is the scale bug")
   }
 
+  test("q75: span counts partial-aggregate before the hash-keyed shuffles") {
+    val p = formatted("q75_duplicated_spans")
+    assert(p.contains("partial_count"),
+      "per-hash doc counts and per-doc dup counts must map-side combine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the dup-hash join must stay a keyed equi-join, never doc×doc")
+  }
+
+  test("q76: the 64-row stats and the quantized query vector broadcast; the corpus never shuffles") {
+    val p = formatted("q76_quantized_similarity")
+    assert(p.contains("BroadcastExchange"),
+      "stats/query-vector must broadcast to the corpus scan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not be a global sort of the scored corpus")
+  }
+
+  test("q77: the pair search is keyed by cell — no all-pairs join") {
+    val p = formatted("q77_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pairing must shuffle by cell id, never cross-join the corpus")
+    assert(p.contains("partial_max"),
+      "the per-vector margin must map-side combine before the vec-keyed shuffle")
+  }
+
+  test("q79: the derived rate table broadcasts back onto a map-only filter") {
+    val p = formatted("q79_temperature_mixing")
+    assert(p.contains("BroadcastExchange"),
+      "the 5-row rate table must broadcast; a shuffle join over docs is the scale bug")
+  }
+
   test("q01/q09/q10/q15/q24 read the session-shared dense-id caches (one sort per session)") {
     def cacheBuilders(name: String) =
       try SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
