@@ -108,6 +108,75 @@ object AnalyticsQueries {
             .cast("double").as("running_value"),
           count(lit(1)).over(w).as("running_n"))
         .orderBy("event_id")
+    },
+
+    // Change-log compaction (the CDC/upsert "latest row per key" pass a
+    // lakehouse runs on every merge): one hash aggregate with max_by
+    // keyed on the (ts, event_id) struct — partial-aggregated map-side,
+    // so a key's candidates collapse to ONE row per input partition
+    // before the shuffle. The window-sort formulation (row_number = 1,
+    // what the oracle runs) would range-shuffle and fully sort every
+    // partition; at 100 TB the agg form moves one row per (key,
+    // partition) instead. The ordering struct is unique per key (event_id
+    // breaks ts ties), so the surviving row is deterministic.
+    "q80_latest_compaction" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max_by(struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("last"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          col("last_ts"), col("n_versions"))
+        .orderBy("user_id")
+    },
+
+    // Ordered-funnel analysis: per user, the earliest view, the earliest
+    // click within 12 h AFTER that view, the earliest purchase within
+    // 12 h AFTER that click — the stage reached is the sequence-pattern
+    // analytics class (the reference's detection cascade is the same
+    // shape over frames). The conversion window is load-bearing twice:
+    // semantically (an unbounded funnel saturates — on this fixture every
+    // user eventually converts) and at scale (it is what lets the
+    // streaming analog bound state). Each stage is a filtered partial-agg
+    // min plus ONE keyed equi-join on user_id — never a per-user
+    // collect_list or ordered window, so the plan is all hash aggregates
+    // + hash joins and survives any user cardinality. Strict '>'
+    // throughout: a same-instant event does not advance the funnel
+    // (matches the oracle exactly).
+    "q81_funnel_stages" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val users = e.select("user_id").distinct()
+      val win = expr("interval 12 hours")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").select("user_id", "ts")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").select("user_id", "ts")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + win)
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      // stage timestamps go out as nullable epoch-µs BIGINTs: a NULL
+      // TIMESTAMP column round-trips as NaT in the driver's pandas
+      // compare, which equates neither with None nor NaN — nullable
+      // integers are the proven-safe null carrier (q44).
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, lit(3L))
+            .when(col("t_click").isNotNull, lit(2L))
+            .when(col("t_view").isNotNull, lit(1L))
+            .otherwise(lit(0L)).as("stage"),
+          unix_micros(col("t_view")).as("t_view_us"),
+          unix_micros(col("t_click")).as("t_click_us"),
+          unix_micros(col("t_purchase")).as("t_purchase_us"))
+        .orderBy("user_id")
     }
   )
 
@@ -149,6 +218,39 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // The oracle runs the window-sort formulation the Spark side
+    // deliberately avoids — same answer, different physical shape.
+    "q80_latest_compaction" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value, ts AS last_ts, CAST(n_versions AS BIGINT) AS n_versions
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q81_funnel_stages" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |        AND e.ts <= v.t_view + INTERVAL 12 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 12 HOUR GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |            WHEN c.t_click IS NOT NULL THEN 2
+        |            WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  epoch_us(v.t_view) AS t_view_us,
+        |  epoch_us(c.t_click) AS t_click_us,
+        |  epoch_us(p.t_purchase) AS t_purchase_us
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin
   )
 }

@@ -144,6 +144,20 @@ class PlanAuditSpec extends SparkSpec {
       "the 5-row rate table must broadcast; a shuffle join over docs is the scale bug")
   }
 
+  test("q80: compaction is one hash aggregate — no per-key window sort") {
+    val p = formatted("q80_latest_compaction")
+    assert(p.contains("max_by"), "the latest-row pick must be the max_by aggregate")
+    assert(!p.contains("Window"),
+      "a row_number window here = full range-sort of every partition at 100 TB")
+  }
+
+  test("q81: funnel stages are keyed aggs + equi-joins — no window, no collect") {
+    val p = formatted("q81_funnel_stages")
+    assert(!p.contains("Window"), "per-user ordered windows must not appear")
+    assert(p.contains("partial_min"),
+      "stage timestamps must partial-aggregate map-side before the user_id shuffle")
+  }
+
   test("q01/q09/q10/q15/q24 read the session-shared dense-id caches (one sort per session)") {
     def cacheBuilders(name: String) =
       try SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
