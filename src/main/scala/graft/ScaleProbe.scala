@@ -36,6 +36,7 @@ object ScaleProbe {
     queries.PipelineQueries.warmSharedRelations(spark, dir)
     queries.SharedRelations.warm(spark, dir)
     BucketedTables.warm(spark, dir)
+    PartitionedTables.warm(spark, dir)
     Caches.releaseScoped()
     println(f"[probe] shared_build              ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     for (n <- names) {

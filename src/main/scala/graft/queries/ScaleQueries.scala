@@ -3,13 +3,14 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{BucketedTables, Tables}
+import graft.{BucketedTables, PartitionedTables, Tables}
 import graft.operators.BloomDedup
 
 /** Round-5 scale-architecture surface: the operators whose POINT is how
   * they behave at 100 TB — two-stream state (q71), runtime-filter-pruned
-  * incremental dedup (q72), shuffle-free co-located joins (q73), and
-  * train/test n-gram decontamination (q74). Each is oracled; the plan
+  * incremental dedup (q72), shuffle-free co-located joins (q73),
+  * train/test n-gram decontamination (q74), and partition-pruned scans
+  * over a Hive-partitioned layout (q82). Each is oracled; the plan
   * properties that make them scale are pinned in PlanAuditSpec.
   */
 object ScaleQueries {
@@ -92,6 +93,24 @@ object ScaleQueries {
           (coalesce(col("n_overlap"), lit(0L)).cast("double") /
             col("n_shingles")).as("contamination"))
         .orderBy("doc_id")
+    },
+
+    // Partition-pruned scan: the same selective aggregate every
+    // monitoring dashboard runs, over the events-by-type partitioned
+    // layout. The IN-list never reaches row scanning — it prunes at
+    // file listing (PartitionFilters; 2 of 5 directories opened,
+    // spec-counted), so scan cost tracks predicate selectivity, not
+    // table size. Oracle = the identical aggregate over the RAW events
+    // parquet: the layout must not change the answer.
+    "q82_partition_pruned_scan" -> { (s, d) =>
+      val base = PartitionedTables.eventsByType(s, d)
+      s.read.parquet(base)
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }
   )
 
@@ -134,6 +153,12 @@ object ScaleQueries {
          |  CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
          |  CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / b.n_shingles AS contamination
          |FROM base b LEFT JOIN ov o ON b.doc_id = o.doc_id
-         |ORDER BY b.doc_id""".stripMargin
+         |ORDER BY b.doc_id""".stripMargin,
+    "q82_partition_pruned_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type IN ('purchase', 'error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

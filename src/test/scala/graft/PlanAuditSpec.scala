@@ -144,6 +144,12 @@ class PlanAuditSpec extends SparkSpec {
       "the 5-row rate table must broadcast; a shuffle join over docs is the scale bug")
   }
 
+  test("q82: the type predicate prunes at file listing — PartitionFilters, not data filters") {
+    val p = formatted("q82_partition_pruned_scan")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      "the IN-list must prune partitions during listing, before any file opens")
+  }
+
   test("q80: compaction is one hash aggregate — no per-key window sort") {
     val p = formatted("q80_latest_compaction")
     assert(p.contains("max_by"), "the latest-row pick must be the max_by aggregate")

@@ -89,6 +89,30 @@ class ScaleQueriesSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs:\n${smj.head}")
   }
 
+  test("q82 partition-pruned scan equals the raw-table aggregate and opens 2 of 5 directories") {
+    val got = SparkEntry.queries("q82_partition_pruned_scan")(spark, sf0001)
+    val want = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+    assert(got.collect().toSeq === want.collect().toSeq)
+
+    // the property that IS the feature: the excluded event_type
+    // directories are never listed into the scan
+    val scans = collectAll(got.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a file scan over the partitioned layout")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "the IN predicate must land in partitionFilters, not a post-scan Filter")
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      s"2 of 5 event_type directories must survive pruning, " +
+        s"got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("q74 contamination is a complete, bounded report over the test split") {
     val out = SparkEntry.queries("q74_contamination_check")(spark, sf0001)
       .select($"doc_id", $"n_shingles", $"n_overlap", $"contamination")
