@@ -53,7 +53,9 @@ object BucketedTables {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val names = Names(s"graft_bkt_${tag}_lineitem", s"graft_bkt_${tag}_orders")
-      val base = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-bkt-")
+      TempDirs.cleanupOnExit(baseDir) // tables live until the JVM exits
+      val base = baseDir.toString
       Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
         .repartition(NumBuckets, col("l_orderkey"))

@@ -38,8 +38,9 @@ object PartitionedTables {
     * [[BucketedTables]]. */
   def eventsByType(spark: SparkSession, dir: String): String = synchronized {
     built.getOrElseUpdate(key(spark, dir), {
-      val base = java.nio.file.Files.createTempDirectory("graft-part-")
-        .toString + "/events"
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-part-")
+      TempDirs.cleanupOnExit(baseDir) // layout lives until the JVM exits
+      val base = baseDir.toString + "/events"
       Tables.events(spark, dir)
         .repartition(col("event_type"))
         .write.partitionBy("event_type").parquet(base)

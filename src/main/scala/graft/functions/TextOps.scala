@@ -36,13 +36,11 @@ object TextOps {
     * list_transform — a collision, were one to occur, would occur in both
     * engines identically. */
   def hashedShingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => hash56(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
-      .otherwise(array().cast("array<long>"))
+    array_distinct(positionalHashedShingles(toks, n))
 
-  /** POSITIONAL hashed shingles: [[hashedShingles]] WITHOUT the distinct —
-    * one entry per token position, duplicates preserved. This is the form
+  /** POSITIONAL hashed shingles — one entry per token position,
+    * duplicates preserved; the single definition of the hashed-shingle
+    * lambda ([[hashedShingles]] is its array_distinct). This is the form
     * the duplicated-span metric (q75) needs: "what fraction of the
     * document's positions sit inside an n-gram that also occurs
     * elsewhere" is a statement about positions, not about the set of

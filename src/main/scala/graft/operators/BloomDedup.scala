@@ -26,23 +26,28 @@ import org.apache.spark.sql.types.BinaryType
   *     incoming batch: a map-side, shuffle-free pre-screen.
   *  3. '''verify''' — only the `mightContain` survivors (true dups +
   *     fpp·|new| false positives) reach the exact anti-join; the
-  *     definite-new rows bypass the shuffle entirely.
+  *     definite-new rows bypass the shuffle entirely. The CORPUS side of
+  *     that join is screened the same way in reverse: a second bloom,
+  *     built over the candidate keys, filters the corpus scan map-side
+  *     before its distinct — so the join shuffles a candidate-matching
+  *     sliver of the corpus, never the corpus.
   *
-  * Correctness does NOT depend on the filter's fpp: a bloom filter has
-  * no false negatives (a key inserted always reports present), so every
-  * true duplicate is routed to the exact verify and removed there; a
-  * false positive merely wastes one row's trip through the anti-join.
-  * xxhash64 collisions are likewise safe — a colliding non-dup reports
-  * `mightContain = true` and survives the exact textual anti-join. The
-  * result is therefore bit-identical to the plain anti-join at every
-  * fpp, which is what lets q72 share the exact oracle.
+  * Correctness does NOT depend on either filter's fpp: a bloom filter
+  * has no false negatives (a key inserted always reports present), so
+  * every true duplicate is routed to the exact verify (forward filter)
+  * and every corpus key equal to a candidate key survives to the join's
+  * build side (reverse filter); a false positive merely wastes one
+  * row's trip through the anti-join. xxhash64 collisions are likewise
+  * safe — a colliding non-dup reports `mightContain = true` and is
+  * removed by the exact textual anti-join. The result is therefore
+  * bit-identical to the plain anti-join at every fpp, which is what
+  * lets q72 share the exact oracle.
   *
-  * At 100 TB: the corpus side is touched once by the filter build (a
-  * scan + tiny shuffle of partial filters); the incoming batch — the
-  * small side, but still billions of rows — shuffles only its candidate
-  * sliver. Size `expectedItems` from the corpus key count and spend bits
-  * to keep fpp ≲ 1%: the anti-join's shuffle volume is
-  * `|dups| + fpp·|new|` rows instead of `|incoming|`.
+  * At 100 TB: the corpus is SCANNED twice (filter build + reverse-probe
+  * pass, both map-side) but never shuffled — the anti-join exchanges
+  * `|dups| + fpp·|new|` incoming rows against a similarly-sized corpus
+  * sliver, instead of `|incoming|` vs `|corpus|`. Size `expectedItems`
+  * from the corpus key count and spend bits to keep fpp ≲ 1%.
   */
 object BloomDedup {
 
@@ -77,9 +82,26 @@ object BloomDedup {
     val bytes = buildFilter(corpus, col(keyCol), expectedItems, fpp)
     val probe = mightContain(bytes, col(keyCol))
     val definiteNew = incoming.filter(!probe)
-    val candidates = incoming.filter(probe)
-    val verified = candidates.join(
-      corpus.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    definiteNew.unionByName(verified)
+    // persisted: read once for the emptiness gate + reverse-filter build,
+    // once as the join probe side (without it the whole incoming screen
+    // runs twice)
+    val candidates = graft.Caches.scopedPersist(incoming.filter(probe))
+    // `stat.bloomFilter` NPEs on an empty relation, and an empty
+    // candidate set (no duplicates in the batch) is the COMMON case on a
+    // clean ingest — nothing to verify, the anti-join is vacuous
+    if (candidates.isEmpty) definiteNew
+    else {
+      // reverse runtime filter: the corpus side of the verify join is
+      // bloom-screened by the CANDIDATE keys before its distinct, so only
+      // a candidate-matching sliver of the corpus enters the join shuffle
+      // (no false negatives → every corpus key equal to a candidate key
+      // survives; see the class doc's correctness argument)
+      val candBytes = buildFilter(candidates, col(keyCol), expectedItems, fpp)
+      val corpusSliver = corpus.select(col(keyCol))
+        .filter(mightContain(candBytes, col(keyCol)))
+        .distinct()
+      val verified = candidates.join(corpusSliver, Seq(keyCol), "left_anti")
+      definiteNew.unionByName(verified)
+    }
   }
 }

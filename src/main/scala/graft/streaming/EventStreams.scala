@@ -64,12 +64,21 @@ object EventStreams {
     * file IO whether or not the partitions hold state. Sizing it to state
     * volume rather than inheriting the batch shuffle width halved every
     * stateful query at sf0.1 (q71 6.0→2.2 s, family 17.6→9.6 s measured
-    * at 32 vs 8). On a real cluster this is the same knob sized UP —
-    * hundreds of partitions for TB-scale state; results are
-    * partition-count-independent either way (every query-path stream
-    * re-sorts after the drain). Env-overridable for cluster runs. */
-  val StreamShufflePartitions: Int =
-    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt
+    * at 32 vs 8 by [[graft.StreamPartProbe]], which sweeps this var). On
+    * a real cluster this is the same knob sized UP — hundreds of
+    * partitions for TB-scale state; results are partition-count-
+    * independent either way (every query-path stream re-sorts after the
+    * drain). Env-overridable for cluster runs; parsed with a named error
+    * because a typo'd env var surfacing as ExceptionInInitializerError
+    * from an unrelated EventStreams touch is undebuggable. */
+  @volatile var StreamShufflePartitions: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+    val parsed = raw.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_PARTS must be a positive int, got '$raw'"))
+    require(parsed > 0, s"SPARK_GRAFT_STREAM_PARTS must be > 0, got $parsed")
+    parsed
+  }
 
   /** [[drainToFiles]] plus the number of input rows the stateful operators
     * dropped as later than the watermark. The count comes from the
@@ -150,21 +159,10 @@ object EventStreams {
   }
 
   // The drained parquet must outlive this call (the returned DataFrame
-  // reads it lazily), so deletion happens at JVM exit: one hook, shared
-  // list — repeated drains don't stack shutdown hooks or leak /tmp
-  // copies across harness runs.
-  private val drainDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
-  private lazy val installCleanupHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => drainDirs.synchronized {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
-      }
-      drainDirs.foreach(p => del(p.toFile))
-    }))
-  private def cleanupOnExit(p: java.nio.file.Path): Unit = {
-    installCleanupHook
-    drainDirs.synchronized { drainDirs += p; () }
-  }
+  // reads it lazily), so deletion happens at JVM exit via the shared
+  // graft.TempDirs registry.
+  private def cleanupOnExit(p: java.nio.file.Path): Unit =
+    graft.TempDirs.cleanupOnExit(p)
 
   /** Runs a (bounded) streaming DataFrame to completion through a memory
     * sink and returns the MATERIALIZED result; the sink table is dropped

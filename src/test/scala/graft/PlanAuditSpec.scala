@@ -100,10 +100,28 @@ class PlanAuditSpec extends SparkSpec {
       "PushFilterThroughAsOfJoin must move the probe-side conjunct into PushedFilters")
   }
 
-  test("q72: the bloom probe is a codegen'd predicate; exact verify survives for candidates") {
-    val p = formatted("q72_bloom_incremental_dedup")
+  test("q72: the bloom probes are codegen'd predicates; exact verify survives for candidates") {
+    // driven on a fixture WITH a real duplicate: on a dup-free corpus
+    // (the sf0.001 fixture) the empty-candidate gate correctly elides
+    // the whole verify branch, and there would be no anti-join to audit
+    import spark.implicits._
+    // RDD-backed inputs: a Seq.toDF LocalRelation gets constant-folded by
+    // ConvertToLocalRelation, evaluating the probes at planning time and
+    // leaving no might_contain in the physical plan to audit
+    val incoming = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((1L, "dup"), (2L, "fresh"))))
+      .toDF("doc_id", "text")
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Tuple1("dup"), Tuple1("other"))))
+      .toDF("text")
+    val df = graft.operators.BloomDedup.newRows(incoming, corpus, "text", 1000L)
+    val p = try df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    finally Caches.releaseScoped()
     assert(p.contains("might_contain"),
       "the bloom pre-screen must be the native BloomFilterMightContain predicate, not a UDF")
+    assert(p.sliding("might_contain".length).count(_ == "might_contain") >= 2,
+      "the corpus side must carry the REVERSE candidate-key screen before the join")
     assert(p.contains("LeftAnti"),
       "candidates must still flow through the exact anti-join (fpp correctness depends on it)")
   }
