@@ -95,6 +95,36 @@ object ScaleQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental rollup maintenance: a standing per-(type, minute)
+    // aggregate is MERGED with a new ingest batch instead of recomputed
+    // from history. Count and decimal-sum are decomposable aggregates:
+    // re-aggregating {standing partial rows} ∪ {delta partial rows}
+    // equals the full recompute (the oracle runs the full recompute —
+    // the gate proves the merge is exact). At 100 TB this is the
+    // materialized-view pattern: the standing agg is minutes×types rows
+    // where history is trillions, so the nightly merge touches the
+    // DELTA's volume only. The decimal sum carries exactness through
+    // the two-level aggregation — a double sum would round differently
+    // merged vs recomputed.
+    "q83_incremental_rollup" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      def partial(df: DataFrame) = df
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+      // history = first 4 of every 5 events (the standing corpus),
+      // delta = the rest (today's ingest); the standing agg would be a
+      // persisted table in a deployment — recomputing it here keeps the
+      // query self-contained on the read-only fixtures
+      val standing = partial(e.filter(col("event_id") % 5 =!= 0))
+      val delta = partial(e.filter(col("event_id") % 5 === 0))
+      standing.unionByName(delta)
+        .groupBy("event_type", "minute")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_dec")).cast("double").as("sum_value"))
+        .orderBy("event_type", "minute")
+    },
+
     // Partition-pruned scan: the same selective aggregate every
     // monitoring dashboard runs, over the events-by-type partitioned
     // layout. The IN-list never reaches row scanning — it prunes at
@@ -159,6 +189,13 @@ object ScaleQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE event_type IN ('purchase', 'error')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the FULL recompute — the merge on the Spark side must equal it
+    "q83_incremental_rollup" ->
+      """SELECT event_type, date_trunc('minute', ts) AS minute,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, date_trunc('minute', ts)
+        |ORDER BY event_type, minute""".stripMargin
   )
 }

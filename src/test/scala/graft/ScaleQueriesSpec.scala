@@ -89,6 +89,16 @@ class ScaleQueriesSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs:\n${smj.head}")
   }
 
+  test("q83 merged rollup equals the full recompute (decomposable-aggregate exactness)") {
+    val got = SparkEntry.queries("q83_incremental_rollup")(spark, sf0001)
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type", "minute")
+    assert(got.collect().toSeq === want.collect().toSeq)
+  }
+
   test("q82 partition-pruned scan equals the raw-table aggregate and opens 2 of 5 directories") {
     val got = SparkEntry.queries("q82_partition_pruned_scan")(spark, sf0001)
     val want = Tables.events(spark, sf0001)
