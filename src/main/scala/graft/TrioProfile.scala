@@ -36,16 +36,19 @@ object TrioProfile {
 
     val docs = Tables.documents(spark, sfDir)
     time("raw_scan")(docs.count())
-    // tokens-first, mirroring shingleDocs: split() materialized as a
-    // column so it runs once per row, not once per shingle element
-    // (the embedded-lambda form measured ~1s slower at sf0.1)
-    val sh = docs
+    // tokens-first, mirroring positionalShingleDocs: split() materialized
+    // as a column so it runs once per row, not once per shingle element
+    // (the embedded-lambda form measured ~1s slower at sf0.1); the md5
+    // pass lands in the POSITIONAL base, the distinct sets derive from it
+    val pos = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), TextOps.hashedShingles(col("tk"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), TextOps.positionalHashedShingles(col("tk"), 3).as("sp"))
+      .filter(size(col("sp")) > 0)
       .persist()
-    time("shingles_persist")(sh.count())
+    time("positional_persist")(pos.count())
+    val sh = pos.select(col("doc_id"), array_distinct(col("sp")).as("sh")).persist()
+    time("distinct_sets_persist")(sh.count())
     val sig = Signatures.minhashBandBuckets(sh, 16).persist()
     time("minhash_bands_persist")(sig.count())
     val a = sig.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))

@@ -31,18 +31,13 @@ object CurationQueries {
     * observed tail and exercises both branches of the keep decision. */
   private val SemThreshold = 0.45
 
-  /** Positional hashed 3-gram shingles per doc — q75's base relation.
-    * NOT shared with the dedup trio's `shingleDocs`: that one is
-    * distinct-set-valued (set semantics for Jaccard/minhash); this one
-    * keeps one entry per token position, which is the whole point of a
-    * span metric. */
+  /** Positional hashed 3-gram shingles per doc — q75's base relation,
+    * the SHARED positional base the dedup trio's distinct sets also
+    * derive from ([[PipelineQueries.positionalShingleDocs]]): the md5
+    * per position runs once per (session, dir) for the whole shingle
+    * family. */
   private def positionalShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        TextOps.positionalHashedShingles(col("tk"), 3).as("sp"))
-      .filter(size(col("sp")) > 0)
+    PipelineQueries.positionalShingleDocs(s, d)
 
   val queries: Map[String, Q] = Map(
     // Duplicated-span fraction (the Lee et al. "fraction of tokens
@@ -53,7 +48,7 @@ object CurationQueries {
     // 56-bit hash. Never doc×doc. LEFT join keeps clean docs in the
     // report with 0, like q74.
     "q75_duplicated_spans" -> { (s, d) =>
-      val sh = graft.Caches.scopedPersist(positionalShingles(s, d))
+      val sh = positionalShingles(s, d) // session-shared, already persisted
       val pos = graft.Caches.scopedPersist(
         sh.select(col("doc_id"), explode(col("sp")).as("h")))
       val dupHashes = pos.select("doc_id", "h").distinct()

@@ -30,23 +30,27 @@ object PipelineQueries {
 
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
-  /** distinct HASHED 3-gram shingle set per doc (docs shorter than 3
-    * tokens drop out — mirrored in the oracle). The documents table
-    * arrives as one parquet row group = one partition; repartition first
-    * so the shingle+hash work fans out across cores instead of one task.
+  /** POSITIONAL hashed 3-gram shingles per doc — one entry per token
+    * position, duplicates preserved (docs shorter than 3 tokens drop out
+    * — mirrored in the oracles). The documents table arrives as one
+    * parquet row group = one partition; repartition first so the
+    * shingle+hash work fans out across cores instead of one task.
+    *
+    * This is the BASE relation of the whole shingle family: the md5 per
+    * position runs HERE and nowhere else. The dedup trio's distinct sets
+    * ([[shingleDocs]]) are its `array_distinct`, and the duplicated-span
+    * metric (q75) consumes it directly — before this was shared, q75
+    * re-ran the full positional md5 pass the trio had already paid
+    * (21 s of the 10× bench, the single largest per-query row).
     *
     * Hashing is FUSED into the shingle transform
-    * ([[TextOps.hashedShingles]], VERDICT r3 item 5): the persisted
-    * relation holds array<long>, not 3-gram strings, so the cache is
-    * ~4× smaller and every downstream set operation (minhash min,
-    * simhash bit sums, Jaccard intersect) runs on longs. The oracle
-    * applies the identical md5 inside its list_transform.
-    *
-    * Shared across the dedup trio (q30 signatures, q31/q60 verification,
-    * q34 simhash) as an explicit compute-once relation — the reuse is in
-    * the code, not a plan-matched cache accident (VERDICT r2 item 8). */
-  private[queries] def shingleDocs(s: SparkSession, d: String): DataFrame =
-    graft.Caches.sharedRelation(s, d, "shingle_docs") {
+    * ([[TextOps.positionalHashedShingles]], VERDICT r3 item 5): the
+    * persisted relation holds array<long>, not 3-gram strings, so the
+    * cache is ~4× smaller and every downstream set operation (minhash
+    * min, simhash bit sums, Jaccard intersect) runs on longs. The
+    * oracles apply the identical md5 inside their list_transform. */
+  private[queries] def positionalShingleDocs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.sharedRelation(s, d, "positional_shingles") {
       Tables.documents(s, d)
         .repartition(col("doc_id"))
         // tokens MATERIALIZED as a column before the shingle transform:
@@ -56,8 +60,20 @@ object PipelineQueries {
         // TrioProfile). CollapseProject keeps the alias because split
         // is non-cheap and multiply-referenced.
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-        .select(col("doc_id"), TextOps.hashedShingles(col("tk"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), TextOps.positionalHashedShingles(col("tk"), 3).as("sp"))
+        .filter(size(col("sp")) > 0)
+    }
+
+  /** distinct HASHED 3-gram shingle set per doc: `array_distinct` over
+    * the shared positional base — no second md5 pass.
+    *
+    * Shared across the dedup trio (q30 signatures, q31/q60 verification,
+    * q34 simhash) as an explicit compute-once relation — the reuse is in
+    * the code, not a plan-matched cache accident (VERDICT r2 item 8). */
+  private[queries] def shingleDocs(s: SparkSession, d: String): DataFrame =
+    graft.Caches.sharedRelation(s, d, "shingle_docs") {
+      positionalShingleDocs(s, d)
+        .select(col("doc_id"), array_distinct(col("sp")).as("sh"))
     }
 
   /** Shared oracle CTE prefix producing the same hashed shingle sets. */
