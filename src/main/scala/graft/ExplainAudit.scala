@@ -25,7 +25,13 @@ object ExplainAudit {
         // exchange per branch = the round-2 4x regression resurfacing)
         "q24_union_reassembly",
         "q30_minhash_banding", "q32_embedding_knn", "q44_asof_join",
-        "q50_revenue_by_nation", "q56_seeded_segments", "q57_embedding_neardup_srp")
+        "q50_revenue_by_nation", "q56_seeded_segments", "q57_embedding_neardup_srp",
+        // round-5 scale-architecture additions: native as-of exec node,
+        // double-bloom anti-join, shuffle-free bucketed SMJ, max_by
+        // compaction (no Window), partition-pruned scan (PartitionFilters)
+        "q70_asof_native", "q72_bloom_incremental_dedup",
+        "q73_bucketed_colocated_join", "q80_latest_compaction",
+        "q82_partition_pruned_scan")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
