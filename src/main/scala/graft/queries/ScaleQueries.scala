@@ -141,6 +141,30 @@ object ScaleQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
+    },
+
+    // Dynamic partition pruning: the star-join form of q82. The filter
+    // sits on the DIMENSION (category), not the fact's partition column
+    // — static pruning can't apply; Catalyst inserts a runtime subquery
+    // (`dynamicpruningexpression(event_type IN dynamicpruning#N)`,
+    // PlanAudit-pinned) that evaluates the broadcast dim side FIRST and
+    // prunes the fact's directories with the surviving join keys. At
+    // 100 TB this is THE star-schema lever: the fact scan is sized by
+    // the dimension predicate without anyone spelling the partition
+    // filter by hand. RDD-backed dim: a LocalRelation would be folded
+    // at planning and there'd be no runtime pruning left to exercise.
+    "q84_dpp_star_join" -> { (s, d) =>
+      val base = PartitionedTables.eventsByType(s, d)
+      val facts = s.read.parquet(base)
+      val dim = s.createDataFrame(s.sparkContext.parallelize(Seq(
+        ("view", "browse"), ("click", "engage"), ("purchase", "convert"),
+        ("signup", "acct"), ("error", "ops")))).toDF("event_type", "category")
+      facts.join(dim, Seq("event_type"))
+        .filter(col("category").isin("convert", "ops"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("category")
     }
   )
 
@@ -190,6 +214,15 @@ object ScaleQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events WHERE event_type IN ('purchase', 'error')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q84_dpp_star_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('view','browse'), ('click','engage'), ('purchase','convert'),
+        |  ('signup','acct'), ('error','ops'))
+        |SELECT category, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN dim USING (event_type)
+        |WHERE category IN ('convert', 'ops')
+        |GROUP BY category ORDER BY category""".stripMargin,
     // the FULL recompute — the merge on the Spark side must equal it
     "q83_incremental_rollup" ->
       """SELECT event_type, date_trunc('minute', ts) AS minute,

@@ -168,6 +168,13 @@ class PlanAuditSpec extends SparkSpec {
       "the IN-list must prune partitions during listing, before any file opens")
   }
 
+  test("q84: the dimension filter prunes the fact scan at runtime (DPP subquery)") {
+    val p = formatted("q84_dpp_star_join")
+    assert(p.contains("dynamicpruningexpression"),
+      "the category filter must reach the fact's PartitionFilters through a " +
+        "runtime dynamic-pruning subquery — static pruning cannot see a dim-side predicate")
+  }
+
   test("q80: compaction is one hash aggregate — no per-key window sort") {
     val p = formatted("q80_latest_compaction")
     assert(p.contains("max_by"), "the latest-row pick must be the max_by aggregate")
