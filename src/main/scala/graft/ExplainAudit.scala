@@ -28,10 +28,11 @@ object ExplainAudit {
         "q50_revenue_by_nation", "q56_seeded_segments", "q57_embedding_neardup_srp",
         // round-5 scale-architecture additions: native as-of exec node,
         // double-bloom anti-join, shuffle-free bucketed SMJ, max_by
-        // compaction (no Window), partition-pruned scan (PartitionFilters)
+        // compaction (no Window), partition-pruned scan (PartitionFilters),
+        // runtime DPP subquery
         "q70_asof_native", "q72_bloom_incremental_dedup",
         "q73_bucketed_colocated_join", "q80_latest_compaction",
-        "q82_partition_pruned_scan")
+        "q82_partition_pruned_scan", "q84_dpp_star_join")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

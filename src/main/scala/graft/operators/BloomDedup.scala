@@ -88,15 +88,21 @@ object BloomDedup {
     val candidates = graft.Caches.scopedPersist(incoming.filter(probe))
     // `stat.bloomFilter` NPEs on an empty relation, and an empty
     // candidate set (no duplicates in the batch) is the COMMON case on a
-    // clean ingest — nothing to verify, the anti-join is vacuous
-    if (candidates.isEmpty) definiteNew
+    // clean ingest — nothing to verify, the anti-join is vacuous.
+    // count(), not isEmpty: the same job that gates also SIZES the
+    // reverse filter — corpus-scale expectedItems here would allocate
+    // corpus-scale bits on the driver for a candidate set of
+    // |dups| + fpp·|new| rows and ship them to every corpus task as a
+    // plan literal, defeating the screen's purpose.
+    val candidateCount = candidates.count()
+    if (candidateCount == 0) definiteNew
     else {
       // reverse runtime filter: the corpus side of the verify join is
       // bloom-screened by the CANDIDATE keys before its distinct, so only
       // a candidate-matching sliver of the corpus enters the join shuffle
       // (no false negatives → every corpus key equal to a candidate key
       // survives; see the class doc's correctness argument)
-      val candBytes = buildFilter(candidates, col(keyCol), expectedItems, fpp)
+      val candBytes = buildFilter(candidates, col(keyCol), candidateCount, fpp)
       val corpusSliver = corpus.select(col(keyCol))
         .filter(mightContain(candBytes, col(keyCol)))
         .distinct()

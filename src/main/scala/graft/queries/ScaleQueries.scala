@@ -9,9 +9,11 @@ import graft.operators.BloomDedup
 /** Round-5 scale-architecture surface: the operators whose POINT is how
   * they behave at 100 TB — two-stream state (q71), runtime-filter-pruned
   * incremental dedup (q72), shuffle-free co-located joins (q73),
-  * train/test n-gram decontamination (q74), and partition-pruned scans
-  * over a Hive-partitioned layout (q82). Each is oracled; the plan
-  * properties that make them scale are pinned in PlanAuditSpec.
+  * train/test n-gram decontamination (q74), partition-pruned scans over
+  * a Hive-partitioned layout (q82), incremental rollup maintenance
+  * (q83), and dynamic partition pruning through a star join (q84). Each
+  * is oracled; the plan properties that make them scale are pinned in
+  * PlanAuditSpec.
   */
 object ScaleQueries {
   type Q = (SparkSession, String) => DataFrame

@@ -68,10 +68,16 @@ object EventStreams {
     * a real cluster this is the same knob sized UP — hundreds of
     * partitions for TB-scale state; results are partition-count-
     * independent either way (every query-path stream re-sorts after the
-    * drain). Env-overridable for cluster runs; parsed with a named error
-    * because a typo'd env var surfacing as ExceptionInInitializerError
-    * from an unrelated EventStreams touch is undebuggable. */
-  @volatile var StreamShufflePartitions: Int = {
+    * drain). Env-overridable for cluster runs; the env parse is LAZY
+    * (not object-init) so a typo'd value surfaces as a named
+    * IllegalArgumentException at the first stream start — an eager field
+    * would wrap it in ExceptionInInitializerError and poison every later
+    * EventStreams touch with a message-less NoClassDefFoundError. */
+  def StreamShufflePartitions: Int = partsOverride.getOrElse(envStreamParts)
+  /** Probe/test hook ([[graft.StreamPartProbe]] sweeps this). */
+  def StreamShufflePartitions_=(v: Int): Unit = { partsOverride = Some(v) }
+  @volatile private var partsOverride: Option[Int] = None
+  private lazy val envStreamParts: Int = {
     val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
     val parsed = raw.toIntOption.getOrElse(
       throw new IllegalArgumentException(

@@ -120,7 +120,11 @@ class PlanAuditSpec extends SparkSpec {
     finally Caches.releaseScoped()
     assert(p.contains("might_contain"),
       "the bloom pre-screen must be the native BloomFilterMightContain predicate, not a UDF")
-    assert(p.sliding("might_contain".length).count(_ == "might_contain") >= 2,
+    // >= 3 because the single-bloom form already prints TWO occurrences
+    // (the NOT-probe on definiteNew + the candidates probe inside the
+    // persisted relation's cached plan) — only the reverse corpus-side
+    // screen pushes the count to three
+    assert(p.sliding("might_contain".length).count(_ == "might_contain") >= 3,
       "the corpus side must carry the REVERSE candidate-key screen before the join")
     assert(p.contains("LeftAnti"),
       "candidates must still flow through the exact anti-join (fpp correctness depends on it)")
@@ -170,9 +174,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q84: the dimension filter prunes the fact scan at runtime (DPP subquery)") {
     val p = formatted("q84_dpp_star_join")
-    assert(p.contains("dynamicpruningexpression"),
+    // a LIVE pruning subquery, not the planned-away form: when DPP is
+    // inserted but later deemed not worthwhile it is rewritten to
+    // dynamicpruningexpression(true), whose text would still satisfy a
+    // bare substring check while the scan reads all 5 partitions
+    assert(p.contains("IN dynamicpruning#"),
       "the category filter must reach the fact's PartitionFilters through a " +
         "runtime dynamic-pruning subquery — static pruning cannot see a dim-side predicate")
+    assert(!p.contains("dynamicpruningexpression(true)"),
+      "the pruning subquery must not have been planned away to a constant")
   }
 
   test("q80: compaction is one hash aggregate — no per-key window sort") {

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.BloomDedup
 
-/** Round-5 scale-architecture queries (q71–q74): semantics vs in-Spark
-  * twins, plus the plan properties that make each one scale. */
+/** Round-5 scale-architecture queries (q71–q74, q82–q84): semantics vs
+  * in-Spark twins, plus the plan properties that make each one scale. */
 class ScaleQueriesSpec extends SparkSpec {
   import spark.implicits._
 
