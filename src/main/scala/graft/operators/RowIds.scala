@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InternalRowBridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scalable dense 0-based row-id assignment over a total order.
@@ -21,7 +23,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *  2. count rows per physical partition (narrow pass; the driver holds
   *     one long per partition — broadcast-sized at any scale);
   *  3. add `cumulative_offset(partition) + local_index` in a NARROW
-  *     `mapPartitionsWithIndex` pass — no second exchange.
+  *     per-partition pass — no second exchange.
+  *
+  * Steps 2+3 are literally `RDD.zipWithIndex` — over the BINARY
+  * `InternalRow` RDD (`QueryExecution.toRdd`), not the public `df.rdd`:
+  * the public RDD deserializes every row through the encoder in BOTH
+  * passes, and re-encodes in `createDataFrame`, just to append one long.
+  * `zipWithIndex` also counts with Long arithmetic (an `Iterator.size`
+  * count pass overflows Int on a >2^31-row partition) and runs both
+  * passes over the SAME RDD object, so the cached partition layout is
+  * shared by construction.
   *
   * Step 3 deliberately leaves the DataFrame API: the within-partition
   * `row_number()` window this replaces required
@@ -53,25 +64,21 @@ object RowIds {
       .repartitionByRange(order.map(_.asc): _*)
       .sortWithinPartitions(order.map(_.asc): _*))
 
-    // pass 2: one (partition, count) pair per partition, collected to the
-    // driver — ≤ #partitions entries, the same bound the broadcast had
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex((p, it) => Iterator((p, it.size.toLong)),
-        preservesPartitioning = true)
-      .collect()
-    val offsets = new Array[Long](sorted.rdd.getNumPartitions)
-    counts.sortBy(_._1).foldLeft(0L) { case (acc, (p, n)) =>
-      offsets(p) = acc; acc + n
-    }
-
-    // pass 3: narrow per-partition numbering over the SAME cached layout
+    // passes 2+3: zipWithIndex runs the per-partition count job at
+    // construction (driver holds one long per partition) and numbers in a
+    // narrow map — all on binary rows, no encoder round-trip. The reused
+    // JoinedRow/id-row wrappers are safe: the scan that consumes this RDD
+    // projects each row to UnsafeRow before the next element is produced.
     val outSchema = StructType(
       sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val numbered = sorted.rdd.mapPartitionsWithIndex({ (p, it) =>
-      var i = offsets(p)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
-    }, preservesPartitioning = true)
-    spark.createDataFrame(numbered, outSchema)
+    val numbered = InternalRowBridge.toInternalRdd(sorted)
+      .zipWithIndex()
+      .mapPartitions[org.apache.spark.sql.catalyst.InternalRow] { it =>
+        val idRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        it.map { case (row, idx) => idRow.setLong(0, idx); joined(row, idRow) }
+      }
+    InternalRowBridge.internalCreateDataFrame(spark, numbered, outSchema)
   }
 
   /** Dense 0-based rank of a SUBSET of rows that already carry a global

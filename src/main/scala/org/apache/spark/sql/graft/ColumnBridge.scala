@@ -28,6 +28,28 @@ object DatasetBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
 
+/** Bridges between DataFrames and their binary `RDD[InternalRow]` form
+  * (`QueryExecution.toRdd` / `internalCreateDataFrame`, both
+  * private[sql]) — used by the dense-id numbering pass
+  * ([[graft.operators.RowIds]]), whose map appends one long to rows that
+  * are otherwise passed through untouched: going through the public
+  * `df.rdd` + `createDataFrame` instead would deserialize and re-encode
+  * every row just to add a counter. */
+object InternalRowBridge {
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+}
+
 /** Bridge to `SparkSession.sessionUUID` (private[sql] in Spark 4): a
   * stable, never-reused session identity for cache keys — unlike
   * `System.identityHashCode`, which the JVM can recycle after a stopped
