@@ -64,9 +64,11 @@ object Bench {
     val sharedDense = timed(graft.queries.SharedRelations.warm(spark, sfDir))
     val sharedBuckets = timed(BucketedTables.warm(spark, sfDir))
     val sharedParts = timed(PartitionedTables.warm(spark, sfDir))
+    val sharedIvf = timed(graft.similarity.IvfIndex.warm(spark, sfDir))
     val sharedBuild =
-      if (sharedTrio < 0 || sharedDense < 0 || sharedBuckets < 0 || sharedParts < 0) -1.0
-      else sharedTrio + sharedDense + sharedBuckets + sharedParts
+      if (sharedTrio < 0 || sharedDense < 0 || sharedBuckets < 0 ||
+        sharedParts < 0 || sharedIvf < 0) -1.0
+      else sharedTrio + sharedDense + sharedBuckets + sharedParts + sharedIvf
     val runs: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
@@ -119,7 +121,8 @@ object Bench {
     // build still benefited its queries and must stay charged — a
     // combined -1 would zero BOTH, making a half-crashed run look faster
     val sharedOk = math.max(sharedTrio, 0.0) + math.max(sharedDense, 0.0) +
-      math.max(sharedBuckets, 0.0) + math.max(sharedParts, 0.0)
+      math.max(sharedBuckets, 0.0) + math.max(sharedParts, 0.0) +
+      math.max(sharedIvf, 0.0)
     val total = sharedOk + ok.map { case (_, ts) => median(ts) }.sum
     val totalMin = sharedOk + ok.map(_._2.min).sum
     val totalMax = sharedOk + ok.map(_._2.max).sum
@@ -129,7 +132,7 @@ object Bench {
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()
   }

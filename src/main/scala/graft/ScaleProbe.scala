@@ -37,6 +37,7 @@ object ScaleProbe {
     queries.SharedRelations.warm(spark, dir)
     BucketedTables.warm(spark, dir)
     PartitionedTables.warm(spark, dir)
+    similarity.IvfIndex.warm(spark, dir)
     Caches.releaseScoped()
     println(f"[probe] shared_build              ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     for (n <- names) {

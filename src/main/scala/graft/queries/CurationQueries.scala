@@ -108,9 +108,12 @@ object CurationQueries {
     // replays the full Lloyd chain via the shared IvfCte prefix). Report
     // form: every vector with its cell and kept 0/1.
     "q77_semantic_dedup" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      val centroids = Ann.trainCentroids(e, k = 16, iters = 2)
-      Ann.semanticDedup(e, centroids, SemThreshold).orderBy("vec_id")
+      // literally the same trained codebook and cell assignment as q33 —
+      // both read the shared IVF index, so "same partitioning" is
+      // structural, not a retrained coincidence
+      Ann.semanticDedupAssigned(
+        graft.similarity.IvfIndex.assignments(s, d), SemThreshold)
+        .orderBy("vec_id")
     },
 
     // Greedy sequence packing per lang (capacity = 1000 chars): the

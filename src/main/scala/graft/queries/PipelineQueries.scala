@@ -279,9 +279,12 @@ object PipelineQueries {
     // replays it end-to-end; recall vs the exact q32 stays spec'd too.
     "q33_ann_ivf" -> { (s, d) =>
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val centroids = Ann.trainCentroids(e, k = 16, iters = 2)
       val queries = e.filter(col("vec_id") < 32)
-      Ann.ivfKnn(e, queries, centroids, k = 5, nprobe = 4)
+      // codebook + inverted file come from the shared IVF index (built
+      // once per session, charged as the ivf_index shared-build step);
+      // the query-side probe selection runs here.
+      Ann.ivfKnnAssigned(graft.similarity.IvfIndex.assignments(s, d),
+          queries, graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     },
 

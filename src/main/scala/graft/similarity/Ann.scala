@@ -164,9 +164,14 @@ object Ann {
     * id), so the decision margin is visible, not just the bit. Totally
     * ordered by the caller. */
   def semanticDedup(vectors: DataFrame, centroids: DataFrame,
-                    threshold: Double): DataFrame = {
+                    threshold: Double): DataFrame =
     // both sides of the pair join + the final report read the assignment
-    val asg = graft.Caches.scopedPersist(assignCells(vectors, centroids))
+    semanticDedupAssigned(
+      graft.Caches.scopedPersist(assignCells(vectors, centroids)), threshold)
+
+  /** [[semanticDedup]] over a prebuilt (already persisted) assignment —
+    * the shared-index path ([[IvfIndex.assignments]]). */
+  def semanticDedupAssigned(asg: DataFrame, threshold: Double): DataFrame = {
     val lower = asg.select(col("cell"), col("vec_id").as("keep_id"),
       col("nv").as("knv"), col("nn").as("knn"))
     // per-vector max prior cosine: partial-aggregated map-side, so the
@@ -188,13 +193,20 @@ object Ann {
     * every vector joins to its nearest centroid once (broadcast), queries
     * probe the `nprobe` nearest centroid cells only. */
   def ivfKnn(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
-             k: Int, nprobe: Int): DataFrame = {
+             k: Int, nprobe: Int): DataFrame =
+    // one pass: nearest centroid per vector (broadcast join, argmax agg —
+    // fully parallel)
+    ivfKnnAssigned(assignCells(vectors, centroids), queries, centroids, k, nprobe)
+
+  /** [[ivfKnn]] over a prebuilt assignment ([[IvfIndex.assignments]]) —
+    * the per-vector partitioning pass is the index build, not part of
+    * the search. `assigned` carries [[assignCells]]'s schema. */
+  def ivfKnnAssigned(assigned0: DataFrame, queries: DataFrame,
+                     centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val c = withNorm(centroids, "embedding")
       .select(col("centroid_id"), col("__v").as("cv"), col("__norm").as("cn"))
 
-    // one pass: nearest centroid per vector (broadcast join, window
-    // partitioned by vector — fully parallel)
-    val assigned = assignCells(vectors, centroids)
+    val assigned = assigned0
       .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"), col("cell"))
 
     // per query: the nprobe closest cells
