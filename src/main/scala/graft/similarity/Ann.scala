@@ -163,15 +163,9 @@ object Ann {
     * vector of the same cell (null when the vector is its cell's lowest
     * id), so the decision margin is visible, not just the bit. Totally
     * ordered by the caller. */
-  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
-                    threshold: Double): DataFrame =
-    // both sides of the pair join + the final report read the assignment
-    semanticDedupAssigned(
-      graft.Caches.scopedPersist(assignCells(vectors, centroids)), threshold)
-
-  /** [[semanticDedup]] over a prebuilt (already persisted) assignment —
-    * the shared-index path ([[IvfIndex.assignments]]). */
   def semanticDedupAssigned(asg: DataFrame, threshold: Double): DataFrame = {
+    // both sides of the pair join + the final report read `asg`, so the
+    // caller hands in a persisted assignment ([[IvfIndex.assignments]])
     val lower = asg.select(col("cell"), col("vec_id").as("keep_id"),
       col("nv").as("knv"), col("nn").as("knn"))
     // per-vector max prior cosine: partial-aggregated map-side, so the

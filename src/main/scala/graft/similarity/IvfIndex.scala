@@ -48,10 +48,12 @@ object IvfIndex {
     }
 
   /** Materializes codebook + assignments (Bench/ScaleProbe time this as
-    * the `ivf_index` shared-build part). */
+    * the `ivf_index` shared-build part). One call suffices: the
+    * assignments build nests the codebook build, and `sharedRelation`
+    * already counts each relation at materialization — an extra count
+    * here would just rescan the cached corpus into the timed number. */
   def warm(s: SparkSession, d: String): Unit = {
-    codebook(s, d).count()
-    assignments(s, d).count()
+    assignments(s, d)
     ()
   }
 }
