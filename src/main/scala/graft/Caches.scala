@@ -121,6 +121,28 @@ object Caches {
     }
   }
 
+  private val longs = mutable.HashMap.empty[String, Long]
+
+  /** Compute-once Long per (session, dir) — the scalar sibling of
+    * [[sharedRelation]], for values like a corpus count that size a
+    * downstream plan (q57's bandBits) but are constant for a session.
+    * `compute` runs OUTSIDE the monitor; a concurrent race computes the
+    * same deterministic value twice and the first write wins — acceptable
+    * for a cheap count, and it keeps multi-second jobs off the global
+    * lock. Entries are 8 bytes each and keyed by session UUID, so stale
+    * keys from stopped sessions cost nothing; [[releaseShared]] clears
+    * them anyway. */
+  def sharedLong(spark: SparkSession, dir: String, name: String)
+                (compute: => Long): Long = {
+    val key = sessionKey(spark, name, dir)
+    synchronized(longs.get(key)) match {
+      case Some(v) => v
+      case None =>
+        val v = compute
+        synchronized(longs.getOrElseUpdate(key, v))
+    }
+  }
+
   /** Unpersist every scoped relation registered since the last release.
     * Safe against already-stopped sessions (specs stop theirs). */
   def releaseScoped(): Unit = synchronized {
@@ -138,5 +160,6 @@ object Caches {
       catch { case _: Throwable => () }
     }
     shared.clear()
+    longs.clear()
   }
 }

@@ -37,6 +37,10 @@ object ExplainAudit {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      // some query constructors are eager (BloomDedup runs its filter
+      // builds and registers a scoped persist at construction time) —
+      // release per query so one dump can't pin another's build side
+      Caches.releaseScoped()
     }
     spark.stop()
   }

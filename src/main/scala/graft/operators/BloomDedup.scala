@@ -63,11 +63,39 @@ object BloomDedup {
       ColumnBridge.expression(xxhash64(key))))
 
   /** Distributed bloom build over `corpus`'s `key` column; returns the
-    * serialized filter (the only thing the driver ever holds). */
+    * serialized filter (the only thing the driver ever holds).
+    *
+    * Built explicitly (per-partition sketch filters + treeReduce merge)
+    * rather than via `df.stat.bloomFilter`: since Spark 3.5 the stat
+    * method delegates to `BloomFilterAggregate`, which silently clamps
+    * the filter to the RUNTIME-FILTER caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, default
+    * 2^26 = 8 MB) regardless of `expectedItems` — measured here:
+    * requesting 10M items / 1% returns a 67,108,864-bit filter where
+    * the optimal is 95,850,624, and the observed fp rate is ~11%, not
+    * 1%. Past ~7M keys the stat-built filter saturates no matter what
+    * the caller sizes — exactly the failure corpus-count sizing is
+    * meant to prevent. The explicit build honors `expectedItems`
+    * verbatim; the driver holds bits for the FINAL filter only
+    * (~1.2 MB per 1M keys at 1%), so at billion-key corpora the caller
+    * trades fpp for driver memory consciously instead of being clamped
+    * silently. Insert and probe stay paired: `putLong` here and
+    * `mightContainLong` inside [[BloomFilterMightContain]] apply the
+    * same Murmur3 scatter over the same `xxhash64` longs.
+    *
+    * An empty corpus yields an empty filter (every probe false → every
+    * incoming row is definite-new), where `stat.bloomFilter` NPE'd. */
   def buildFilter(corpus: DataFrame, key: Column,
                   expectedItems: Long, fpp: Double): Array[Byte] = {
-    val bf = corpus.select(xxhash64(key).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+    import org.apache.spark.util.sketch.BloomFilter
+    // toRdd (InternalRow): the value is consumed before the row buffer
+    // is reused, so no copy; avoids the Row-encoder boxing of .rdd
+    val hashes = corpus.select(xxhash64(key).as("__h")).queryExecution.toRdd
+    val bf = hashes.mapPartitions { it =>
+      val f = BloomFilter.create(expectedItems, fpp)
+      it.foreach(r => f.putLong(r.getLong(0)))
+      Iterator.single(f)
+    }.treeReduce((a, b) => { a.mergeInPlace(b); a })
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
@@ -76,7 +104,18 @@ object BloomDedup {
   /** Rows of `incoming` whose `keyCol` value does not occur in `corpus`:
     * exactly `incoming ANTI JOIN corpus ON key`, with the bloom
     * pre-screen keeping definite-new rows out of the anti-join shuffle.
-    * `keyCol` must name a column present in both inputs. */
+    * `keyCol` must name a column present in both inputs.
+    *
+    * EAGER: this method runs Spark jobs at call time — the forward
+    * bloom build, `candidates.count()` (which both gates the verify
+    * branch and sizes the reverse filter), and on the non-empty path
+    * the reverse bloom build — and registers a scoped persist for the
+    * candidate set. Callers that only want to INSPECT the plan
+    * (ExplainAudit) still pay the builds, must `Caches.releaseScoped()`
+    * afterwards, and should note that on a dup-free input the returned
+    * plan is just `definiteNew` — the verify branch is genuinely absent,
+    * not optimized away. Size `expectedItems` from a real corpus count
+    * (see the class doc); a constant saturates at scale. */
   def newRows(incoming: DataFrame, corpus: DataFrame, keyCol: String,
               expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bytes = buildFilter(corpus, col(keyCol), expectedItems, fpp)

@@ -38,14 +38,20 @@ object ScaleQueries {
     // the standing corpus. The bloom pre-screen is a correctness no-op
     // (see operators/BloomDedup.scala), so the oracle is the plain
     // exact anti-join — the gate proves the accelerated plan changes
-    // nothing. expectedItems is sized from the corpus count's order of
-    // magnitude; fpp 1%.
+    // nothing. expectedItems is sized from an ACTUAL corpus count
+    // (VERDICT r5 item 2: the previous 1M constant saturates at 100× —
+    // fpp → 1 and the screen silently degrades to a no-op; correctness
+    // survives via the exact verify join, but the runtime filter stops
+    // filtering). The count is a per-(session, dir) sharedLong memo, so
+    // it is one job per session, not one per bench rep; saturation
+    // behavior is pinned in BloomDedupSpec.
     "q72_bloom_incremental_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val incoming = docs.filter(col("doc_id") % IngestMod === 0)
       val corpus = docs.filter(col("doc_id") % IngestMod =!= 0)
+      val corpusN = graft.Caches.sharedLong(s, d, "q72_corpus_n")(corpus.count())
       BloomDedup.newRows(incoming, corpus.select("text"), "text",
-          expectedItems = 1000000L)
+          expectedItems = math.max(1024L, corpusN))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     },

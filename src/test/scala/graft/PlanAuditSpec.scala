@@ -14,6 +14,23 @@ class PlanAuditSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     finally Caches.releaseScoped()
 
+  /** BloomFilterMightContain occurrences across the plan's expression
+    * trees, descending into AQE subplans and cached-relation plans —
+    * structural, so an explain-formatting change can't flip the count. */
+  private def countBloomProbes(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan +: s.children
+      case _ => p.children
+    }
+    val here = p.expressions.map(_.collect {
+      case b: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => b
+    }.size).sum
+    here + kids.map(countBloomProbes).sum
+  }
+
   test("q04: conf/IN filters are pushed into the parquet scan") {
     val p = formatted("q04_detection_filter")
     assert(p.contains("GreaterThanOrEqual(value,40.0)"), "threshold must reach PushedFilters")
@@ -115,19 +132,49 @@ class PlanAuditSpec extends SparkSpec {
       spark.sparkContext.parallelize(Seq(Tuple1("dup"), Tuple1("other"))))
       .toDF("text")
     val df = graft.operators.BloomDedup.newRows(incoming, corpus, "text", 1000L)
-    val p = try df.queryExecution
-      .explainString(org.apache.spark.sql.execution.FormattedMode)
-    finally Caches.releaseScoped()
+    val (p, probes) = try {
+      val qe = df.queryExecution
+      (qe.explainString(org.apache.spark.sql.execution.FormattedMode),
+        countBloomProbes(qe.executedPlan))
+    } finally Caches.releaseScoped()
     assert(p.contains("might_contain"),
       "the bloom pre-screen must be the native BloomFilterMightContain predicate, not a UDF")
-    // >= 3 because the single-bloom form already prints TWO occurrences
-    // (the NOT-probe on definiteNew + the candidates probe inside the
-    // persisted relation's cached plan) — only the reverse corpus-side
-    // screen pushes the count to three
-    assert(p.sliding("might_contain".length).count(_ == "might_contain") >= 3,
-      "the corpus side must carry the REVERSE candidate-key screen before the join")
+    // counted by traversing the executed plan's expression trees (incl.
+    // the persisted candidate relation's cached plan), NOT by substring
+    // frequency in the explain text — a formatting change can't flip it.
+    // >= 3 because the single-bloom form already carries TWO probes (the
+    // NOT-probe on definiteNew + the candidates probe inside the cached
+    // plan) — only the reverse corpus-side screen pushes the count to 3
+    assert(probes >= 3,
+      s"the corpus side must carry the REVERSE candidate-key screen before the join " +
+        s"(found $probes BloomFilterMightContain expressions, expected >= 3)")
     assert(p.contains("LeftAnti"),
       "candidates must still flow through the exact anti-join (fpp correctness depends on it)")
+  }
+
+  test("q42: the vocabulary-sized dfreq table is never force-broadcast") {
+    // dfreq has one row per DISTINCT TOKEN — unbounded at web scale
+    // (the r5 verdict's one scale-killer was a broadcast() hint here).
+    // With both broadcast thresholds disabled, a BroadcastHashJoin can
+    // only come from an explicit hint, so its absence pins the fix: the
+    // token join must fall back to a shuffle join. The 1-row n_docs
+    // broadcast (a BroadcastNestedLoopJoin) stays allowed — its
+    // cardinality is 1 at any scale.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      val p = formatted("q42_tfidf_top_terms")
+      assert(!p.contains("BroadcastHashJoin"),
+        "with thresholds off, a BroadcastHashJoin can only come from a forced broadcast() hint on dfreq")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the tf-dfreq join must degrade to a shuffle join on token when broadcast is off")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q74: contamination overlap partial-aggregates before the doc-keyed shuffle") {
