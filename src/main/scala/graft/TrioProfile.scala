@@ -36,10 +36,10 @@ object TrioProfile {
 
     val docs = Tables.documents(spark, sfDir)
     time("raw_scan")(docs.count())
-    // tokens-first, mirroring positionalShingleDocs: split() materialized
-    // as a column so it runs once per row, not once per shingle element
-    // (the embedded-lambda form measured ~1s slower at sf0.1); the md5
-    // pass lands in the POSITIONAL base, the distinct sets derive from it
+    // mirrors positionalShingleDocs: the shingle+hash pass is the fused
+    // native PositionalShingleHash expression (3.6 s -> 1.5 s at sf0.1
+    // vs the interpreted HOF pipeline); the md5 pass lands in the
+    // POSITIONAL base, the distinct sets derive from it
     val pos = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))

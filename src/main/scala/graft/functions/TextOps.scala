@@ -40,13 +40,25 @@ object TextOps {
 
   /** POSITIONAL hashed shingles — one entry per token position,
     * duplicates preserved; the single definition of the hashed-shingle
-    * lambda ([[hashedShingles]] is its array_distinct). This is the form
-    * the duplicated-span metric (q75) needs: "what fraction of the
+    * semantics ([[hashedShingles]] is its array_distinct). This is the
+    * form the duplicated-span metric (q75) needs: "what fraction of the
     * document's positions sit inside an n-gram that also occurs
     * elsewhere" is a statement about positions, not about the set of
     * distinct n-grams. DuckDB twin: the same list_transform without
-    * list_distinct. */
+    * list_distinct.
+    *
+    * Native ([[graft.expressions.PositionalShingleHash]]: one fused md5
+    * loop — the composed transform/slice/concat_ws pipeline runs
+    * interpreted and cost ~13 µs/position, dominating the shared trio
+    * build); [[positionalHashedShinglesComposed]] is the original
+    * built-in formulation, kept as the independent cross-check
+    * (FunctionsSpec) exactly like `hash56Composed` / `dotHof`. */
   def positionalHashedShingles(toks: Column, n: Int): Column =
+    graft.expressions.PositionalShingleHash(toks, n)
+
+  /** Built-in-function formulation of [[positionalHashedShingles]] —
+    * cross-check only. */
+  def positionalHashedShinglesComposed(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => hash56(concat_ws(" ", slice(toks, i + 1, lit(n))))))

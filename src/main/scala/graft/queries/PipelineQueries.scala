@@ -53,12 +53,13 @@ object PipelineQueries {
     graft.Caches.sharedRelation(s, d, "positional_shingles") {
       Tables.documents(s, d)
         .repartition(col("doc_id"))
-        // tokens MATERIALIZED as a column before the shingle transform:
-        // an expression embedded in a lambda body re-evaluates per
-        // element, so inlining split() here would re-split the document
-        // once per shingle (~30% of the whole build, measured by
-        // TrioProfile). CollapseProject keeps the alias because split
-        // is non-cheap and multiply-referenced.
+        // the shingle+hash pass is ONE fused native expression
+        // (PositionalShingleHash): the earlier transform/slice/concat_ws
+        // formulation ran interpreted (ArrayTransform is CodegenFallback)
+        // and cost ~13 µs/position — it was the dominant stage of this
+        // build (3.6 s of the sf0.1 profile; 1.5 s fused). tokens() is
+        // referenced once, so split() runs once per row inside the
+        // collapsed projection.
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .select(col("doc_id"), TextOps.positionalHashedShingles(col("tk"), 3).as("sp"))
         .filter(size(col("sp")) > 0)

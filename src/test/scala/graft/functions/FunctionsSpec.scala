@@ -39,6 +39,33 @@ class FunctionsSpec extends SparkSpec {
     assert(diffs === 0L, "digest-byte path must reproduce the hex-string path exactly")
   }
 
+  test("native PositionalShingleHash equals the composed transform/concat_ws/md5 form in bulk") {
+    val diffs = graft.Tables.documents(spark, sf0001)
+      .select(TextOps.tokens(col("text")).as("tk"))
+      .select(TextOps.positionalHashedShingles(col("tk"), 3).as("a"),
+        TextOps.positionalHashedShinglesComposed(col("tk"), 3).as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(diffs === 0L, "fused md5 loop must reproduce the interpreted HOF pipeline exactly")
+  }
+
+  test("PositionalShingleHash edge cases: short, exact-width, null input -> empty/whole-doc") {
+    val df = Seq(Some("a b"), Some("a b c"), None).toDF("text")
+    val got = df
+      .select(TextOps.positionalHashedShingles(TextOps.tokens(col("text")), 3).as("sp"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got(0) === Seq.empty, "doc shorter than n must yield an empty array")
+    def ref(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    assert(got(1) === Seq(ref("a b c")), "exact-width doc is its own single shingle")
+    // the composed form's when() folds a null token array to the empty
+    // array (never null) — the native expression must do the same
+    assert(got(2) === Seq.empty, "null input must yield an empty array like the composed when()")
+  }
+
   test("cosine: orthogonal -> 0, identical -> 1, known angle") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(0.0, 1.0)),
