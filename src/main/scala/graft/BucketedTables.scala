@@ -36,20 +36,18 @@ object BucketedTables {
 
   final case class Names(lineitem: String, orders: String)
 
-  private val built = mutable.HashMap.empty[String, Names]
-
   private def key(spark: SparkSession, dir: String): String =
     s"${org.apache.spark.sql.graft.SessionBridge.uuid(spark)}|$dir"
 
   val NumBuckets = 8
 
   /** Ensures both bucketed tables exist for (session, dir); returns
-    * their catalog names. The multi-second write runs under the monitor
-    * — acceptable here because (unlike Caches) nothing else contends on
-    * this registry: it has exactly one caller family (q73 + warm). */
-  def lineitemOrders(spark: SparkSession, dir: String): Names = synchronized {
+    * their catalog names. The multi-second write runs OUTSIDE any
+    * monitor via [[Caches.memo]]'s per-key latch, so a concurrent
+    * caller for a different (session, dir) proceeds immediately. */
+  def lineitemOrders(spark: SparkSession, dir: String): Names = {
     val k = key(spark, dir)
-    built.getOrElseUpdate(k, {
+    Caches.memo(spark, dir, "bucketed_lineitem_orders") {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val names = Names(s"graft_bkt_${tag}_lineitem", s"graft_bkt_${tag}_orders")
@@ -67,7 +65,7 @@ object BucketedTables {
         .write.bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").saveAsTable(names.orders)
       names
-    })
+    }
   }
 
   /** Materializes the layout (Bench times this as shared build). */

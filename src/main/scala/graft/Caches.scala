@@ -143,6 +143,50 @@ object Caches {
     }
   }
 
+  private val memos = mutable.HashMap.empty[String, Any]
+  private val memoInFlight = mutable.HashMap.empty[String, java.util.concurrent.CountDownLatch]
+
+  /** Compute-once value per (session, dir, name) with the build OUTSIDE
+    * the monitor — the registry primitive for standing layouts
+    * ([[BucketedTables]], [[PartitionedTables]]) whose build is a
+    * multi-second Spark write job. Same per-key-latch discipline as
+    * [[sharedRelation]]: a concurrent caller of the same key waits on
+    * the latch and re-checks (retrying if the first build failed); a
+    * caller of a different key never blocks behind the write. Unlike
+    * [[sharedLong]] the build runs at most once per key — layout writes
+    * are not idempotent-cheap, so the lose-the-race-recompute stance
+    * doesn't apply. */
+  def memo[T](spark: SparkSession, dir: String, name: String)(build: => T): T = {
+    val key = sessionKey(spark, name, dir)
+    val claim = synchronized {
+      memos.get(key) match {
+        case Some(v) => Some(Right(v))
+        case None => memoInFlight.get(key) match {
+          case Some(latch) => Some(Left(latch))
+          case None =>
+            memoInFlight(key) = new java.util.concurrent.CountDownLatch(1)
+            None
+        }
+      }
+    }
+    claim match {
+      case Some(Right(v)) => v.asInstanceOf[T]
+      case Some(Left(latch)) =>
+        latch.await()
+        memo(spark, dir, name)(build)
+      case None =>
+        val latch = synchronized(memoInFlight(key))
+        try {
+          val v = build
+          synchronized { memos(key) = v }
+          v
+        } finally {
+          synchronized { memoInFlight.remove(key) }
+          latch.countDown()
+        }
+    }
+  }
+
   /** Unpersist every scoped relation registered since the last release.
     * Safe against already-stopped sessions (specs stop theirs). */
   def releaseScoped(): Unit = synchronized {
@@ -161,5 +205,9 @@ object Caches {
     }
     shared.clear()
     longs.clear()
+    // memoized layout PATHS/names go too — the temp dirs themselves are
+    // JVM-lifetime (TempDirs.cleanupOnExit), but a fresh session must
+    // rebuild its own entries rather than see a stopped session's
+    memos.clear()
   }
 }

@@ -26,18 +26,14 @@ import org.apache.spark.sql.functions.col
   */
 object PartitionedTables {
 
-  private val built = mutable.HashMap.empty[String, String]
-
-  private def key(spark: SparkSession, dir: String): String =
-    s"${org.apache.spark.sql.graft.SessionBridge.uuid(spark)}|$dir"
-
   /** Ensures the events-by-type layout exists for (session, dir);
     * returns its root path. The pre-write repartition aligns write tasks
     * with partition directories (one file per event_type instead of one
-    * per (task × type)). Single-caller registry, same locking stance as
-    * [[BucketedTables]]. */
-  def eventsByType(spark: SparkSession, dir: String): String = synchronized {
-    built.getOrElseUpdate(key(spark, dir), {
+    * per (task × type)). The write job runs outside any monitor via
+    * [[Caches.memo]]'s per-key latch — a concurrent caller for another
+    * (session, dir) is never blocked behind it. */
+  def eventsByType(spark: SparkSession, dir: String): String =
+    Caches.memo(spark, dir, "partitioned_events") {
       val baseDir = java.nio.file.Files.createTempDirectory("graft-part-")
       TempDirs.cleanupOnExit(baseDir) // layout lives until the JVM exits
       val base = baseDir.toString + "/events"
@@ -45,8 +41,7 @@ object PartitionedTables {
         .repartition(col("event_type"))
         .write.partitionBy("event_type").parquet(base)
       base
-    })
-  }
+    }
 
   /** Materializes the layout (Bench times this as shared build). */
   def warm(spark: SparkSession, dir: String): Unit = {

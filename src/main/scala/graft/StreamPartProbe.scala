@@ -23,7 +23,6 @@ object StreamPartProbe {
     val streaming = Seq("q71_stream_stream_join", "q25_streaming_tumbling",
       "q61_watermarked_tumbling", "q62_stream_dedup", "q63_stateful_monitor",
       "q65_streaming_sessions", "q58_stream_static_join", "q55_frame_stream")
-    val defaultParts = graft.streaming.EventStreams.StreamShufflePartitions
     try for (p <- parts) {
       graft.streaming.EventStreams.StreamShufflePartitions = p
       for (q <- streaming) {
@@ -37,7 +36,7 @@ object StreamPartProbe {
         val times = (1 to 3).map(_ => rep()).sorted
         println(f"parts=$p%-3d $q%-28s median=${times(1)}%.2f (${times.head}%.2f-${times.last}%.2f)")
       }
-    } finally graft.streaming.EventStreams.StreamShufflePartitions = defaultParts
+    } finally graft.streaming.EventStreams.resetStreamShufflePartitions()
     spark.stop()
   }
 }

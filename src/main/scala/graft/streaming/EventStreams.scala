@@ -76,6 +76,11 @@ object EventStreams {
   def StreamShufflePartitions: Int = partsOverride.getOrElse(envStreamParts)
   /** Probe/test hook ([[graft.StreamPartProbe]] sweeps this). */
   def StreamShufflePartitions_=(v: Int): Unit = { partsOverride = Some(v) }
+  /** Clears any probe override so the env/default read applies again —
+    * sweeps must restore via this, not by re-assigning the captured
+    * default, or a later SPARK_GRAFT_STREAM_PARTS read is masked for
+    * the rest of the JVM. */
+  def resetStreamShufflePartitions(): Unit = { partsOverride = None }
   @volatile private var partsOverride: Option[Int] = None
   private lazy val envStreamParts: Int = {
     val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")

@@ -17,6 +17,33 @@ class RowIdsSegmentsSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
   }
 
+  test("withDenseId rows survive a non-codegen collect (reused-row contract)") {
+    // the numbering mapPartitions reuses one GenericInternalRow/JoinedRow
+    // pair per partition — safe only while the consuming scan projects
+    // each element to an UnsafeRow before the iterator advances. Pin that
+    // cross-layer contract on the INTERPRETED path too: with whole-stage
+    // codegen off, RDDScanExec's per-element UnsafeProjection is the only
+    // thing standing between the caller and n copies of the same buffer,
+    // so aliasing would surface here as every row holding the LAST id.
+    val n = 5000
+    val keys = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.range(n).select((col("id") * 7919 % n).as("k")).repartition(8)
+      val rows = RowIds.withDenseId(df.toDF(), Seq(col("k")), "rid")
+        .select("k", "rid").as[(Long, Long)].collect()
+      assert(rows.map(_._2).sorted.toSeq === (0L until n.toLong),
+        "each collected row must hold its own id (no aliased buffers)")
+      assert(rows.sortBy(_._2).map(_._1).toSeq === rows.map(_._1).sorted.toSeq,
+        "id order must match key order through the interpreted path")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dense id on single row and on tiny frames") {
     val one = RowIds.withDenseId(Seq(42L).toDF("k"), Seq(col("k")), "rid")
     assert(one.select("rid").as[Long].collect().toSeq === Seq(0L))
