@@ -183,6 +183,33 @@ class PlanAuditSpec extends SparkSpec {
       "per-doc overlap counts must map-side combine; shipping raw matched shingles is the scale bug")
   }
 
+  test("the fused shingle hash compiles into a whole-stage codegen span") {
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.functions.col
+    // the raw shingle-base shape (not the shared cached relation): the
+    // point of PositionalShingleHash over the composed HOF pipeline is
+    // that doGenCode keeps the projection inside codegen — ArrayTransform
+    // was CodegenFallback, which is exactly the regression this guards
+    val df = Tables.documents(spark, sf0001)
+      .select(functions.TextOps.tokens(col("text")).as("tk"))
+      .select(functions.TextOps.positionalHashedShingles(col("tk"), 3).as("sp"))
+    def hasFused(p: SparkPlan): Boolean =
+      p.expressions.exists(_.collectFirst {
+        case e: graft.expressions.PositionalShingleHash => e
+      }.nonEmpty) || p.children.exists(hasFused)
+    val spans = df.queryExecution.executedPlan.collect { case w: WholeStageCodegenExec => w }
+    val fusedSpans = spans.filter(hasFused)
+    assert(fusedSpans.nonEmpty,
+      "PositionalShingleHash must sit inside a WholeStageCodegen span, not fall back to interpreted eval")
+    // plan membership alone doesn't prove the generated Java COMPILES —
+    // a codegen bug surfaces at runtime as a logged fallback, silently
+    // restoring the 13 µs/position interpreted cost. Compile it here.
+    fusedSpans.foreach { w =>
+      val (_, code) = w.doCodeGen()
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compile(code)
+    }
+  }
+
   test("q75: span counts partial-aggregate before the hash-keyed shuffles") {
     val p = formatted("q75_duplicated_spans")
     assert(p.contains("partial_count"),
