@@ -30,9 +30,35 @@ import org.apache.spark.sql.functions._
   */
 object StreamStreamJoin {
 
+  /** Equi-key time bucket width — EXACTLY the interval width. State is
+    * keyed by (user, bucket), so a probe scans only candidates whose
+    * bucket can satisfy the range condition instead of the user's whole
+    * buffer. */
+  private val BucketUs: Long = 6L * 3600 * 1000000L
+
   /** (user_id, purchase_id, error_id, delta_us) for error events within
     * six hours after a purchase by the same user. Drained through the
-    * executor-parallel file sink. */
+    * executor-parallel file sink.
+    *
+    * The equi-key is (user, 6-hour time bucket), not user alone. Spark's
+    * symmetric hash join stores each side's buffer keyed by the EQUI
+    * columns only; the range condition filters AFTER the per-key scan.
+    * With a fixed user domain, keying by user makes each probe scan all
+    * of that user's buffered rows — per-batch cost Σ_user |P_u|·|E_u|,
+    * QUADRATIC in data scale (measured by the 60× probe: 15.2 s at 30×
+    * → 82.5 s at 60× on the single-batch bounded replay, output exactly
+    * linear). Bucketing by the interval width restores linearity: a
+    * match needs `e_ts ∈ [p_ts, p_ts+6h]`, which forces
+    * `bucket(p_ts) ∈ {bucket(e_ts)−1, bucket(e_ts)}`, so the error side
+    * emits each row under both candidate buckets (2× error state — the
+    * price) and every probe touches only temporally-plausible rows.
+    * Each pair still matches EXACTLY once (under `bucket(p_ts)`: the
+    * two exploded buckets are distinct, and only one equals it). Same
+    * trick a batch engine uses to turn an interval join into an
+    * equi-join; here it also sizes the per-key state scan. Probed
+    * (same rows at every scale): 30× 15.2→6.5 s, 60× 82.5→8.6 s —
+    * the quadratic term is gone; what remains is the fixed micro-batch
+    * machinery. */
   def purchaseErrorPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // Two independent readStream instances: each side of a
     // stream-stream join must be its own source node (a shared one
@@ -42,13 +68,18 @@ object StreamStreamJoin {
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
+      .withColumn("bkt", expr(s"unix_micros(p_ts) div $BucketUs"))
     val errors = EventStreams.eventsStream(spark, sfDir)
       .filter(col("event_type") === "error")
       .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
         col("ts").as("e_ts"))
       .withWatermark("e_ts", "1 hour")
+      .withColumn("e_bkt", explode(array(
+        expr(s"unix_micros(e_ts) div $BucketUs"),
+        expr(s"unix_micros(e_ts) div $BucketUs - 1"))))
     val joined = purchases.join(errors,
       col("user_id") === col("e_user_id") &&
+        col("bkt") === col("e_bkt") &&
         col("e_ts") >= col("p_ts") &&
         col("e_ts") <= col("p_ts") + expr("interval 6 hours"))
       .select(col("user_id"), col("purchase_id"), col("error_id"),
