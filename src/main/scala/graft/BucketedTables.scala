@@ -51,6 +51,16 @@ object BucketedTables {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val names = Names(s"graft_bkt_${tag}_lineitem", s"graft_bkt_${tag}_orders")
+      // Idempotent retry: Caches.memo frees the key when a build throws,
+      // but the deterministic MD5 tag reproduces the same table names —
+      // if a prior attempt died between the two saveAsTable calls, the
+      // leftover catalog entry would fail every retry for the rest of
+      // the session. Drop both names up front so the memoized block
+      // composes with partial failures. (External-path tables: DROP
+      // removes only the catalog entry; the orphaned temp dir is already
+      // registered for exit cleanup.)
+      spark.sql(s"DROP TABLE IF EXISTS ${names.lineitem}")
+      spark.sql(s"DROP TABLE IF EXISTS ${names.orders}")
       val baseDir = java.nio.file.Files.createTempDirectory("graft-bkt-")
       TempDirs.cleanupOnExit(baseDir) // tables live until the JVM exits
       val base = baseDir.toString

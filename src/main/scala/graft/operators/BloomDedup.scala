@@ -84,22 +84,51 @@ object BloomDedup {
     * same Murmur3 scatter over the same `xxhash64` longs.
     *
     * An empty corpus yields an empty filter (every probe false → every
-    * incoming row is definite-new), where `stat.bloomFilter` NPE'd. */
+    * incoming row is definite-new), where `stat.bloomFilter` NPE'd.
+    * That path is explicit: an empty relation plans to a ZERO-partition
+    * RDD (`LocalTableScanExec` uses `sparkContext.emptyRDD` when it has
+    * no rows), and `treeReduce` on a zero-partition RDD throws
+    * `UnsupportedOperationException("empty collection")` — so the
+    * zero-partition case short-circuits to a fresh filter without
+    * running a job.
+    *
+    * Each build task allocates a full `expectedItems`-sized filter and
+    * ships it whole through the merge — at billion-key sizing (~1.2 GB
+    * of bits at 1%) that is a PER-TASK executor cost, not just the
+    * driver-memory trade-off: every concurrently-running partition task
+    * holds and serializes its own full-size filter. The hash RDD is
+    * therefore coalesced (no shuffle) to at most
+    * [[BloomDedup.MaxBuildPartitions]] build tasks; `putLong` is cheap
+    * enough that the bounded width, not the insert, sets the build's
+    * wall clock. */
   def buildFilter(corpus: DataFrame, key: Column,
                   expectedItems: Long, fpp: Double): Array[Byte] = {
     import org.apache.spark.util.sketch.BloomFilter
     // toRdd (InternalRow): the value is consumed before the row buffer
     // is reused, so no copy; avoids the Row-encoder boxing of .rdd
-    val hashes = corpus.select(xxhash64(key).as("__h")).queryExecution.toRdd
-    val bf = hashes.mapPartitions { it =>
-      val f = BloomFilter.create(expectedItems, fpp)
-      it.foreach(r => f.putLong(r.getLong(0)))
-      Iterator.single(f)
-    }.treeReduce((a, b) => { a.mergeInPlace(b); a })
+    val raw = corpus.select(xxhash64(key).as("__h")).queryExecution.toRdd
+    val bf =
+      if (raw.getNumPartitions == 0) BloomFilter.create(expectedItems, fpp)
+      else {
+        val hashes =
+          if (raw.getNumPartitions > MaxBuildPartitions) raw.coalesce(MaxBuildPartitions)
+          else raw
+        hashes.mapPartitions { it =>
+          val f = BloomFilter.create(expectedItems, fpp)
+          it.foreach(r => f.putLong(r.getLong(0)))
+          Iterator.single(f)
+        }.treeReduce((a, b) => { a.mergeInPlace(b); a })
+      }
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
   }
+
+  /** Upper bound on concurrent per-task filter allocations in
+    * [[buildFilter]] — each task holds `expectedItems`-sized bits, so
+    * peak executor memory for the build is `MaxBuildPartitions` filters
+    * cluster-wide regardless of the corpus's scan width. */
+  val MaxBuildPartitions = 16
 
   /** Rows of `incoming` whose `keyCol` value does not occur in `corpus`:
     * exactly `incoming ANTI JOIN corpus ON key`, with the bloom

@@ -71,6 +71,38 @@ class ScaleQueriesSpec extends SparkSpec {
         "the measured reason q72 derives expectedItems from a corpus count")
   }
 
+  test("buildFilter on an empty corpus returns a working empty filter (zero-partition RDD path)") {
+    // an empty relation plans to a ZERO-partition RDD (LocalTableScanExec
+    // → emptyRDD), where treeReduce throws "empty collection"; the doc's
+    // "empty corpus yields an empty filter" guarantee is the guard for
+    // exactly that path
+    val empty = spark.range(0).select(concat(lit("doc_"), col("id")).as("text"))
+    assert(empty.queryExecution.toRdd.getNumPartitions === 0,
+      "fixture must exercise the zero-partition plan or the guard is untested")
+    val bytes = BloomDedup.buildFilter(empty, col("text"), 1000L, 0.01)
+    val probes = Seq(Tuple1("a"), Tuple1("b"), Tuple1("c")).toDF("text")
+    assert(probes.filter(BloomDedup.mightContain(bytes, col("text"))).count() === 0L,
+      "an empty filter must report every probe absent (all incoming rows definite-new)")
+    // and the full operator: empty corpus → everything is new
+    val got = BloomDedup.newRows(probes, empty, "text", expectedItems = 1000L)
+      .select("text").as[String].collect().toSet
+    assert(got === Set("a", "b", "c"))
+  }
+
+  test("buildFilter bounds concurrent per-task filter allocations to MaxBuildPartitions") {
+    // each build task allocates a full expectedItems-sized filter; a
+    // 64-partition scan must coalesce to the bounded build width, not
+    // run 64 concurrent full-size allocations
+    val wide = spark.range(0, 10000, 1, 64)
+      .select(concat(lit("doc_"), col("id")).as("text"))
+    assert(wide.queryExecution.toRdd.getNumPartitions > BloomDedup.MaxBuildPartitions)
+    val bytes = BloomDedup.buildFilter(wide, col("text"), 10000L, 0.01)
+    // the bounded build must still produce a correct filter: every
+    // inserted key reports present (no false negatives)
+    val present = wide.filter(BloomDedup.mightContain(bytes, col("text"))).count()
+    assert(present === 10000L)
+  }
+
   test("q71 stream-stream interval join equals its batch twin") {
     val stream = SparkEntry.queries("q71_stream_stream_join")(spark, sf0001)
       .collect().toSeq
@@ -112,6 +144,28 @@ class ScaleQueriesSpec extends SparkSpec {
     val shufflesBelowJoin = collectAll[SparkPlan](smj.head) { case s: ShuffleExchangeExec => s }
     assert(shufflesBelowJoin.isEmpty,
       s"bucketed join must not shuffle its inputs:\n${smj.head}")
+  }
+
+  test("bucketed-table build is idempotent: a leftover same-name catalog entry does not poison the retry") {
+    // Caches.memo frees the key when a build throws, but the
+    // deterministic MD5 tag reproduces the same table names — a prior
+    // attempt that died after saveAsTable(lineitem) leaves a catalog
+    // entry the retry must be able to overwrite. Simulate the leftover
+    // with a conflicting table under the exact name the builder derives.
+    // Trailing slash = same data, fresh memo key (the key is the raw
+    // dir string), so the memoized block genuinely runs here.
+    val dir = sf0001 + "/"
+    val k = s"${org.apache.spark.sql.graft.SessionBridge.uuid(spark)}|$dir"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val leftover = s"graft_bkt_${tag}_lineitem"
+    spark.sql(s"CREATE TABLE $leftover (poison INT) USING parquet")
+    assert(spark.catalog.tableExists(leftover))
+    val names = BucketedTables.lineitemOrders(spark, dir)
+    assert(names.lineitem === leftover, "fixture must collide with the derived name")
+    assert(spark.table(names.lineitem).columns.contains("l_orderkey"),
+      "retry must replace the leftover entry with the real bucketed table")
+    assert(spark.table(names.orders).columns.contains("o_orderkey"))
   }
 
   test("q83 merged rollup equals the full recompute (decomposable-aggregate exactness)") {

@@ -46,9 +46,12 @@ class CheckpointRecoverySpec extends SparkSpec {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), streamSchema)
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString + "/p")
-    val part = Files.list(Paths.get(tmp.toString, "p")).toArray.map(_.asInstanceOf[Path])
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(fail(s"no part file written for slice $name"))
+    val listing = Files.list(Paths.get(tmp.toString, "p"))
+    val part =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written for slice $name"))
+      finally listing.close()
     val dest = in.resolve(s"$name.parquet")
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dest, FileTime.fromMillis(modMs))
@@ -100,9 +103,18 @@ class CheckpointRecoverySpec extends SparkSpec {
         .start()
     }
 
+    // explicit schema: if a fixture shift made phase A emit ZERO
+    // finalized windows, schema inference would fail here with an
+    // unable-to-infer error instead of reaching the diagnostic
+    // `afterA > 0` assertion below
+    val outSchema = StructType(Seq(
+      StructField("day", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n", LongType)))
+
     val q1 = startQuery()
     try q1.processAllAvailable() finally q1.stop()
-    val afterA = spark.read.parquet(out).count()
+    val afterA = spark.read.schema(outSchema).parquet(out).count()
 
     writeSlice(in, "slice3", base + 10 * 60000L, phaseB :+ sentinel)
     val q2 = startQuery()
@@ -119,7 +131,7 @@ class CheckpointRecoverySpec extends SparkSpec {
       s"restart must resume from committed offsets: processed $phaseBInputRows rows, " +
         s"expected only phase B's ${phaseB.length} + 1 sentinel")
 
-    val got = spark.read.parquet(out)
+    val got = spark.read.schema(outSchema).parquet(out)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
     val want = graft.Tables.events(spark, sf0001)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
