@@ -77,6 +77,27 @@ object FlagshipPipeline {
     runFromSource(spark, source, outDir, keyframeInterval, channels = 3)
   }
 
+  /** The same fan-out fed from a REAL video container — the reference's
+    * primary production path (`main.py:88-96`: point the pipeline at an
+    * `.mp4`/RTSP url). Here the container is MJPEG/AVI, decoded
+    * entirely in-JVM ([[graft.multimodal.AviCodec]]: RIFF chunk walk →
+    * per-frame JPEG → ImageIO → BGR), flowing through the S2
+    * DataSourceV2 connector — container-probed metadata, partition-
+    * parallel decode, pushdown/pruning intact. The payload bytes are
+    * byte-identical to decoding the same JPEGs from an S1 image
+    * directory, so the two ingest paths are cross-checkable
+    * (FlagshipPipelineSpec pins that equality). */
+  def runFromAvi(spark: SparkSession, aviPath: String, outDir: String,
+                 keyframeInterval: Int = EventStreams.KeyframeInterval): RunStats = {
+    val source = spark.read.format("graft-frames")
+      .option("path", aviPath)
+      .option("numPartitions", 4)
+      .load()
+      .select(col("frame_number"), col("ts_us"), col("payload"),
+        col("width").as("w"), col("height").as("h"))
+    runFromSource(spark, source, outDir, keyframeInterval, channels = 3)
+  }
+
   /** Source-agnostic flagship body: any (frame_number, ts_us, payload,
     * w, h) relation with row-major `channels`-interleaved byte payloads
     * fans out to both sinks. Dimensions are per-ROW (a directory of mixed

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * frame_number/shape/fps metadata), generalized to any modality.
   *
   * The decode step is where a codec (OpenCV/ffmpeg in the reference,
-  * `/root/reference/uav/frame_reader.py:143`) would run. Those libraries
-  * are not in this container, so [[StubCodec.decode]] is a clearly-marked
-  * deterministic stand-in; everything around it — the binary schema, the
-  * typed `Dataset` boundary, per-partition batch processing, the
-  * frame-sampling explode — is the real Spark plumbing a production codec
-  * UDF would drop into.
+  * `/root/reference/uav/frame_reader.py:143`) would run. Two real
+  * in-JVM codecs exist: [[ImageCodec]] (JPEG/PNG/BMP via ImageIO) and
+  * [[AviCodec]] (MJPEG/AVI containers — RIFF chunk walk + ImageIO).
+  * [[StubCodec.decode]] remains the clearly-marked deterministic
+  * stand-in for formats the JDK cannot decode (MP4/H.264 etc.);
+  * everything around it — the binary schema, the typed `Dataset`
+  * boundary, per-partition batch processing, the frame-sampling explode
+  * — is the real Spark plumbing a production codec UDF drops into.
   */
 object Multimodal {
 

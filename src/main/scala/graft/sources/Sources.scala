@@ -17,10 +17,14 @@ import graft.operators.RowIds
   * - S4 `SourceReader` (`frame_reader.py:202-248`): URI-scheme dispatch —
   *   [[open]].
   *
-  * Real MP4/RTSP decode would plug in as a `DataSourceV2` TableProvider
-  * (SURVEY.md §7.4, deferred — no codec libs in this container); every
-  * downstream operator only sees the (payload, frame_number, metadata)
-  * schema, so the source swap is invisible to queries.
+  * S2 `VideoReader` lives in the `graft-frames` `DataSourceV2` connector
+  * ([[graft.sources.v2.FrameSource]]): MJPEG/AVI containers decode for
+  * real, fully in-JVM ([[graft.multimodal.AviCodec]] RIFF walk →
+  * ImageIO), with container-probed metadata, pushdown, pruning, and
+  * partition-parallel positioned reads; MP4/H.264 remains out of scope
+  * (the JDK has no H.264 codec). Every downstream operator only sees
+  * the (payload, frame_number, metadata) schema, so the source swap is
+  * invisible to queries.
   */
 object Sources {
 

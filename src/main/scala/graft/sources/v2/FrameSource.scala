@@ -55,17 +55,42 @@ object FrameSource {
     StructField("payload", BinaryType, nullable = false)))
 
   final case class Config(frames: Long, width: Int, height: Int, fps: Int,
-                          numPartitions: Int, startEpochUs: Long, ratePerBatch: Long)
+                          numPartitions: Int, startEpochUs: Long, ratePerBatch: Long,
+                          aviPath: Option[String] = None, fpsExact: Double = 30.0)
   object Config {
     def apply(o: CaseInsensitiveStringMap): Config = {
-      val c = Config(
-        frames = o.getLong("frames", 1000L),
-        width = o.getInt("width", 640),
-        height = o.getInt("height", 480),
-        fps = o.getInt("fps", 30),
-        numPartitions = o.getInt("numPartitions", 8),
-        startEpochUs = o.getLong("startEpochUs", 1704067200000000L),
-        ratePerBatch = o.getLong("ratePerBatch", 1000L))
+      // `path` → real MJPEG/AVI container: metadata (frame count, dims,
+      // exact fps) comes from the container probe, exactly the
+      // source-open probe of the reference's VideoReader
+      // (frame_reader.py:129-131); synthetic options are ignored for
+      // fields the container defines. No path → the deterministic
+      // generator (the codec-free connector face).
+      val aviPath = Option(o.get("path"))
+      val c = aviPath match {
+        case Some(p) =>
+          val meta = graft.multimodal.AviCodec.probe(p)
+          Config(
+            frames = meta.nFrames,
+            width = meta.width,
+            height = meta.height,
+            fps = math.max(1, math.round(meta.fps).toInt),
+            numPartitions = o.getInt("numPartitions", 8),
+            startEpochUs = o.getLong("startEpochUs", 1704067200000000L),
+            ratePerBatch = o.getLong("ratePerBatch", 1000L),
+            aviPath = aviPath,
+            fpsExact = if (meta.fps > 0) meta.fps else 30.0)
+        case None =>
+          val fps = o.getInt("fps", 30)
+          Config(
+            frames = o.getLong("frames", 1000L),
+            width = o.getInt("width", 640),
+            height = o.getInt("height", 480),
+            fps = fps,
+            numPartitions = o.getInt("numPartitions", 8),
+            startEpochUs = o.getLong("startEpochUs", 1704067200000000L),
+            ratePerBatch = o.getLong("ratePerBatch", 1000L),
+            fpsExact = fps.toDouble)
+      }
       require(c.fps > 0, "fps must be positive")
       require(c.ratePerBatch > 0, "ratePerBatch must be positive")
       c
@@ -207,8 +232,72 @@ class FrameReaderFactory(config: FrameSource.Config, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FrameInputPartition]
-    new FramePartitionReader(config, required, p.start, p.end)
+    config.aviPath match {
+      case Some(path) => new AviPartitionReader(path, config, required, p.start, p.end)
+      case None => new FramePartitionReader(config, required, p.start, p.end)
+    }
   }
+}
+
+/** Real decode face of the connector: frames [start, end) of one
+  * MJPEG/AVI container, each a positioned read + ImageIO JPEG decode to
+  * interleaved BGR ([[graft.multimodal.AviCodec]]). The frame index is a
+  * header-only movi walk run once per reader; frame payload reads are
+  * then independent seeks, so the container's scan parallelizes across
+  * partitions exactly like the synthetic face.
+  *
+  * An undecodable frame ends THIS reader's scan (`cap.read() → ret
+  * False → EOF`, frame_reader.py:143-147) — logged, not thrown, matching
+  * the reference's release-on-EOF semantics.
+  *
+  * Column pruning is honored per-field: a pruned scan without `payload`
+  * never decodes a JPEG (metadata-only queries never touch pixel data —
+  * the same reason the synthetic face resolves fieldGens per column). */
+class AviPartitionReader(path: String, config: FrameSource.Config,
+                         required: StructType, start: Long, end: Long)
+    extends PartitionReader[InternalRow] {
+  import graft.multimodal.{AviCodec, ImageCodec}
+
+  private val chunks = AviCodec.frameIndex(path)
+  private val raf = new java.io.RandomAccessFile(path, "r")
+  private val needsPixels = required.fieldNames.contains("payload") ||
+    required.fieldNames.contains("width") || required.fieldNames.contains("height")
+  private var frame = start - 1
+  private var img: ImageCodec.DecodedImage = _
+
+  override def next(): Boolean = {
+    frame += 1
+    if (frame >= end || frame >= chunks.length) false
+    else if (!needsPixels) true
+    else AviCodec.decodeFrame(raf, chunks(frame.toInt)) match {
+      case Some(d) => img = d; true
+      case None =>
+        System.err.println(
+          s"[avi] undecodable frame $frame in $path - ending scan (cap.read -> False)")
+        false
+    }
+  }
+
+  private val fieldGens: Array[() => Any] = required.fieldNames.map {
+    case "frame_number" => () => frame
+    // integer-exact for integral fps (the common container case), so the
+    // synthetic clock is bit-identical to the S1 image-dir path's
+    // `frame_number * 1000000 div fps`; fractional fps (NTSC 29.97)
+    // takes the double path
+    case "ts_us" => () =>
+      if (config.fpsExact == config.fps.toDouble)
+        config.startEpochUs + frame * 1000000L / config.fps
+      else config.startEpochUs + (frame * 1e6 / config.fpsExact).toLong
+    case "width" => () => img.width
+    case "height" => () => img.height
+    case "fps" => () => config.fpsExact
+    case "payload" => () => img.pixels
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(fieldGens.map(g => g()).asInstanceOf[Array[Any]])
+
+  override def close(): Unit = raf.close()
 }
 
 class FramePartitionReader(config: FrameSource.Config, required: StructType,

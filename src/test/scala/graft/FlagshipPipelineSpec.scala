@@ -86,4 +86,50 @@ class FlagshipPipelineSpec extends SparkSpec {
       .select(length(col("payload"))).distinct().as[Int].collect()
     assert(sizes.toSeq === Seq(64 * 48))
   }
+
+  test("flagship from a REAL MJPEG/AVI container equals the image-dir run on the same JPEGs") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val w = 64; val h = 48
+    // ONE set of JPEG bytes, ingested two ways: numbered files in a
+    // directory (S1) and chunks in an AVI container (S2). Decode runs
+    // through the same ImageIO path in both, so every downstream stage —
+    // letterbox, detector, NMS, both sinks — must produce identical rows.
+    val jpegs = (0 until 12).map { i =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val v = (i * 31 + y * w + x) % 256
+          img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256))
+        }
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft_aviflag_imgs")
+    graft.TempDirs.cleanupOnExit(dir)
+    jpegs.zipWithIndex.foreach { case (b, i) =>
+      Files.write(dir.resolve(f"frame_$i%04d.jpg"), b)
+    }
+    val avi = dir.resolve("movie.avi").toString
+    // fps 30 = the image-dir path's synthetic clock, so ts_us agrees too
+    graft.multimodal.AviCodec.writeMjpeg(avi, jpegs, w, h, fps = 30)
+
+    val outImg = Files.createTempDirectory("graft_aviflag_outA").toString
+    val outAvi = Files.createTempDirectory("graft_aviflag_outB").toString
+    val a = FlagshipPipeline.runFromImageDir(spark, dir.toString, outImg, keyframeInterval = 3)
+    val b = FlagshipPipeline.runFromAvi(spark, avi, outAvi, keyframeInterval = 3)
+    assert(a === b, "RunStats must agree across ingest paths")
+    assert(b.framesSaved === 12L && b.keyframes === 4L)
+
+    def sinkRows(out: String, sub: String) = spark.read.parquet(s"$out/$sub")
+      .orderBy("frame_number").collect().toSeq
+    assert(sinkRows(outImg, "all") === sinkRows(outAvi, "all"),
+      "record-all sink: identical decoded BGR payloads and timestamps")
+    def sentRows(out: String) = spark.read.parquet(s"$out/sent")
+      .orderBy("payload").collect().toSeq
+    assert(sentRows(outImg) === sentRows(outAvi),
+      "sender sink: identical JSON payloads (letterbox+detector+NMS agree byte-for-byte)")
+  }
 }

@@ -44,4 +44,64 @@ class MultimodalSpec extends SparkSpec {
     val kept = Multimodal.sampleFrames(spark, media).count()
     assert(spark.read.parquet(out).count() === kept)
   }
+
+  test("U1/U2 on a REAL container: seeded segment split, stream-copy, reassembly round-trip") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Segments
+
+    // fixture: a 15-frame MJPEG/AVI
+    val jpegs = (0 until 15).map { i =>
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, ((x * 7 + y * 13 + i * 31) * 2654435761L).toInt & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft_u2_avi")
+    graft.TempDirs.cleanupOnExit(dir)
+    val src = dir.resolve("src.avi").toString
+    AviCodec.writeMjpeg(src, jpegs, 32, 24, 30)
+
+    // U2 (`video_splitter.py:28-55`): boundaries come from the SEEDED
+    // Segments operator over the container's frame relation, then each
+    // [lo, hi) is stream-copied into its own container — no transcode
+    val frames = spark.read.format("graft-frames").option("path", src).load()
+    val bounds = Segments.randomBoundaries(
+      frames.select("frame_number"), k = 3, seed = "u2seed")
+      .orderBy("segment")
+      .as[(Long, Long, Long)].collect()
+    assert(bounds.length === 3)
+    assert(bounds.head._2 === 0L && bounds.last._3 === 15L)
+    val segPaths = bounds.map { case (seg, lo, hi) =>
+      val p = dir.resolve(s"seg$seg.avi").toString
+      AviCodec.copySegment(src, p, lo.toInt, hi.toInt)
+      p
+    }
+
+    // U1 (`video_splitter.py:6-25`): each segment unnested to frame_%05d
+    // partitions — re-read payloads must equal the source's decode
+    val segDf = segPaths.zipWithIndex.map { case (p, i) =>
+      spark.read.format("graft-frames").option("path", p).load()
+        .withColumn("segment", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    val u1Out = Files.createTempDirectory("graft_u1_out").toString
+    segDf.withColumn("frame_file", format_string("frame_%05d", col("frame_number")))
+      .select("segment", "frame_number", "frame_file", "payload")
+      .write.mode("overwrite").partitionBy("frame_file").parquet(u1Out)
+
+    // reassembly: segment-local frame numbers offset by their boundary
+    // lo must reproduce the source container's decode, frame for frame
+    val reassembled = spark.read.parquet(u1Out)
+      .join(bounds.toSeq.toDF("segment", "lo", "hi"), Seq("segment"))
+      .select((col("frame_number") + col("lo")).as("frame_number"), col("payload"))
+      .orderBy("frame_number").as[(Long, Array[Byte])].collect()
+    assert(reassembled.map(_._1).toSeq === (0L until 15L))
+    reassembled.foreach { case (f, p) =>
+      val want = ImageCodec.decode(jpegs(f.toInt)).get.pixels
+      assert(p.toSeq === want.toSeq,
+        s"frame $f: split -> copy -> unnest -> reassemble must be byte-identical")
+    }
+  }
 }

@@ -70,4 +70,101 @@ class FrameSourceSpec extends SparkSpec {
     assert(desc.contains("[100, 200)"), desc.linesIterator.take(5).mkString("\n"))
     assert(df.count() === 100L)
   }
+
+  // ------------------------------------------------- real AVI decode face
+
+  private def jpeg(seed: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + y * 13 + seed * 31) * 2654435761L).toInt & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private def writeAvi(name: String, frames: Seq[Array[Byte]], fps: Int = 25): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_avi_src")
+    graft.TempDirs.cleanupOnExit(d)
+    val p = d.resolve(name).toString
+    graft.multimodal.AviCodec.writeMjpeg(p, frames, 32, 24, fps)
+    p
+  }
+
+  test("avi path: container-probed metadata and real BGR decode across partitions") {
+    val jpegs = (0 until 20).map(jpeg(_))
+    val path = writeAvi("real.avi", jpegs)
+    val df = spark.read.format("graft-frames")
+      .option("path", path).option("numPartitions", 4).load()
+    assert(df.count() === 20L)
+    // metadata columns come from the container probe, not defaults
+    val meta = df.select("width", "height", "fps").distinct().collect()
+    assert(meta.length === 1)
+    assert(meta(0).getInt(0) === 32 && meta(0).getInt(1) === 24 && meta(0).getDouble(2) === 25.0)
+    // payload is the DECODED BGR buffer, byte-identical to the image-dir
+    // decode of the same JPEG (same ImageIO path) — the S1/S2 cross-check
+    val p7 = df.filter(col("frame_number") === 7).select("payload")
+      .as[Array[Byte]].head()
+    val want = graft.multimodal.ImageCodec.decode(jpegs(7)).get
+    assert(p7.toSeq === want.pixels.toSeq)
+    assert(p7.length === 32 * 24 * 3)
+  }
+
+  test("avi path: frame_number pushdown bounds which frames are decoded") {
+    val path = writeAvi("push.avi", (0 until 50).map(jpeg(_)))
+    val df = spark.read.format("graft-frames").option("path", path).load()
+      .filter(col("frame_number") >= 10 && col("frame_number") < 15)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("[10, 15)"), desc.linesIterator.take(5).mkString("\n"))
+    assert(df.select("frame_number").as[Long].collect().sorted.toSeq === (10L until 15L))
+  }
+
+  test("avi path: an undecodable frame ends the scan (cap.read -> False -> EOF)") {
+    val jpegs = (0 until 10).map(i =>
+      if (i == 6) "definitely not a jpeg".getBytes("UTF-8") else jpeg(i))
+    // ONE partition: the sequential-decode semantic of the reference
+    // (a parallel scan bounds the loss to the corrupt frame's partition)
+    val path = writeAvi("corrupt.avi", jpegs)
+    val df = spark.read.format("graft-frames")
+      .option("path", path).option("numPartitions", 1).load()
+    // payload must be CONSUMED (not just projected-then-dropped —
+    // Catalyst would collapse that and prune the codec away entirely,
+    // as the next test asserts): length() forces the decode
+    val got = df.select(col("frame_number"), length(col("payload")).as("len"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 6L),
+      "frames before the corrupt chunk flow; it and later never emit")
+    assert(got.forall(_._2 === 32 * 24 * 3))
+  }
+
+  test("avi path: metadata-only scan never decodes a frame (pruning skips the codec)") {
+    // a corrupt FIRST frame would kill any decoding scan immediately —
+    // a pruned metadata query must still read all frame numbers
+    val jpegs = "corrupt first frame".getBytes("UTF-8") +: (1 until 5).map(jpeg(_))
+    val path = writeAvi("pruned.avi", jpegs)
+    val df = spark.read.format("graft-frames")
+      .option("path", path).option("numPartitions", 1).load()
+      .select("frame_number", "ts_us")
+    assert(df.select("frame_number").as[Long].collect().sorted.toSeq === (0L until 5L),
+      "metadata-only scan must not touch the codec")
+  }
+
+  test("avi path: streaming face drains the container with AvailableNow, offsets replayable") {
+    import org.apache.spark.sql.streaming.Trigger
+    val jpegs = (0 until 12).map(jpeg(_))
+    val path = writeAvi("stream.avi", jpegs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_avi_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_avi_out").toString
+    val q = spark.readStream.format("graft-frames")
+      .option("path", path).option("ratePerBatch", 5).option("numPartitions", 2)
+      .load().select("frame_number", "payload")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(got.count() === 12L)
+    val p3 = got.filter(col("frame_number") === 3).select("payload").as[Array[Byte]].head()
+    assert(p3.toSeq === graft.multimodal.ImageCodec.decode(jpegs(3)).get.pixels.toSeq)
+  }
 }
