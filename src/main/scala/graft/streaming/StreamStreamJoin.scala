@@ -67,23 +67,34 @@ object StreamStreamJoin {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-      .withColumn("bkt", expr(s"unix_micros(p_ts) div $BucketUs"))
     val errors = EventStreams.eventsStream(spark, sfDir)
       .filter(col("event_type") === "error")
       .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
         col("ts").as("e_ts"))
+    EventStreams.drainToFiles(pairStreams(purchases, errors), "append")
+  }
+
+  /** The join construction alone, over caller-supplied stream sides
+    * (purchases: user_id/purchase_id/p_ts; errors: e_user_id/error_id/
+    * e_ts) — the SAME code q71 runs, reusable by specs that need to feed
+    * slice-controlled file sources to prove restart behavior
+    * (StreamStreamRecoverySpec stops it mid-stream and restarts on the
+    * checkpoint with new input on BOTH sides). */
+  def pairStreams(purchases0: DataFrame, errors0: DataFrame): DataFrame = {
+    val purchases = purchases0
+      .withWatermark("p_ts", "1 hour")
+      .withColumn("bkt", expr(s"unix_micros(p_ts) div $BucketUs"))
+    val errors = errors0
       .withWatermark("e_ts", "1 hour")
       .withColumn("e_bkt", explode(array(
         expr(s"unix_micros(e_ts) div $BucketUs"),
         expr(s"unix_micros(e_ts) div $BucketUs - 1"))))
-    val joined = purchases.join(errors,
+    purchases.join(errors,
       col("user_id") === col("e_user_id") &&
         col("bkt") === col("e_bkt") &&
         col("e_ts") >= col("p_ts") &&
         col("e_ts") <= col("p_ts") + expr("interval 6 hours"))
       .select(col("user_id"), col("purchase_id"), col("error_id"),
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
-    EventStreams.drainToFiles(joined, "append")
   }
 }
