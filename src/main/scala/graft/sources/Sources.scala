@@ -112,8 +112,11 @@ object Sources {
              schema: org.apache.spark.sql.types.StructType, glob: String = "*"): DataFrame =
     spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
 
-  /** S4 dispatch: `stream://` prefix → unbounded, directory → binary
-    * image scan, file → batch columnar read. */
+  /** S4 dispatch (`frame_reader.py:208-221`): `stream://` prefix →
+    * unbounded, directory → binary image scan, `.avi` file → real
+    * container decode through the `graft-frames` connector (the
+    * reference's file → `VideoReader` arm), other file → batch columnar
+    * read. */
   def open(spark: SparkSession, uri: String): DataFrame = {
     if (uri.startsWith("stream://")) {
       val dir = uri.stripPrefix("stream://")
@@ -123,6 +126,8 @@ object Sources {
     } else {
       val f = new java.io.File(uri)
       if (f.isDirectory) imageDir(spark, uri)
+      else if (uri.toLowerCase.endsWith(".avi"))
+        spark.read.format("graft-frames").option("path", uri).load()
       else {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(uri)

@@ -68,6 +68,18 @@ class SourcesSpec extends SparkSpec {
     val streamed = Sources.open(spark, s"stream://$sdir")
     assert(streamed.isStreaming)
     assert(streamed.columns.contains("event_id"))
+    // .avi file -> the real container-decode connector (the reference's
+    // file -> VideoReader arm, frame_reader.py:216-218)
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val avi = dir.resolve("clip.avi").toString
+    graft.multimodal.AviCodec.writeMjpeg(avi, Seq.fill(3)(baos.toByteArray), 8, 6, 10)
+    val viaAvi = Sources.open(spark, avi)
+    assert(viaAvi.columns.toSeq ===
+      Seq("frame_number", "ts_us", "width", "height", "fps", "payload"))
+    assert(viaAvi.count() === 3L, "container branch decodes the real frame count")
   }
 
   test("graft_dot is callable from SQL after registration") {
