@@ -187,6 +187,51 @@ object AviCodec {
   def decodeFrame(raf: RandomAccessFile, chunk: FrameChunk): Option[ImageCodec.DecodedImage] =
     ImageCodec.decode(readFrameBytes(raf, chunk))
 
+  /** Decode with container-dims fallback: MJPEG chunks go through
+    * ImageIO; a chunk that ImageIO rejects but whose size is exactly one
+    * uncompressed DIB frame (BI_RGB bottom-up BGR rows, 4-byte row
+    * stride — the '00db' convention) is unpacked raw. Raw frames make
+    * the WRITE side lossless: what [[graft.multimodal.VideoSink]] muxes
+    * with `codec = "raw"` reads back byte-identical, no JPEG loss. */
+  def decodeFrameWithMeta(raf: RandomAccessFile, chunk: FrameChunk,
+                          meta: AviMeta): Option[ImageCodec.DecodedImage] = {
+    val bytes = readFrameBytes(raf, chunk)
+    ImageCodec.decode(bytes).orElse(decodeDib(bytes, meta.width, meta.height))
+  }
+
+  /** Unpack one BI_RGB device-independent bitmap frame: rows are stored
+    * BOTTOM-UP, each padded to a 4-byte boundary, pixels already
+    * interleaved BGR (the DIB wire format IS cv2's memory format, which
+    * is why raw AVI round-trips are exact). None when the byte count
+    * isn't exactly h padded rows. */
+  def decodeDib(bytes: Array[Byte], w: Int, h: Int): Option[ImageCodec.DecodedImage] = {
+    if (w <= 0 || h <= 0) return None
+    val stride = (w * 3 + 3) & ~3
+    if (bytes.length != stride.toLong * h) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      // stored row y is image row (h-1-y)
+      System.arraycopy(bytes, y * stride, out, (h - 1 - y) * w * 3, w * 3)
+      y += 1
+    }
+    Some(ImageCodec.DecodedImage(w, h, out))
+  }
+
+  /** Pack interleaved BGR pixels as one BI_RGB DIB frame (inverse of
+    * [[decodeDib]]): bottom-up rows, 4-byte stride pad. */
+  def encodeDib(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h * 3, s"need $w x $h x 3 BGR bytes, got ${pixels.length}")
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pixels, (h - 1 - y) * w * 3, out, y * stride, w * 3)
+      y += 1
+    }
+    out
+  }
+
   // --------------------------------------------------------------- write
 
   private def le16(o: DataOutputStream, v: Int): Unit = {
@@ -206,9 +251,31 @@ object AviCodec {
     * canonical hdrl/movi/idx1 shape (idx1 written movi-relative for
     * player compatibility; our own reader walks movi and ignores it). */
   def writeMjpeg(path: String, jpegFrames: Seq[Array[Byte]],
-                 width: Int, height: Int, fps: Int): Unit = {
+                 width: Int, height: Int, fps: Int): Unit =
+    writeContainer(path, jpegFrames, width, height, fps, raw = false)
+
+  /** Writes an UNCOMPRESSED (BI_RGB) AVI from interleaved-BGR frames —
+    * the lossless sink codec: every pixel byte survives the container
+    * round-trip exactly ('00db' chunks, biCompression 0). Trades bytes
+    * for exactness; the MJPEG variant trades the other way. */
+  def writeRawBgr(path: String, bgrFrames: Seq[Array[Byte]],
+                  width: Int, height: Int, fps: Int): Unit =
+    writeContainer(path, bgrFrames.map(encodeDib(_, width, height)),
+      width, height, fps, raw = true)
+
+  /** Raw writer over ALREADY-PACKED DIB frames (callers that packed via
+    * [[encodeDib]] themselves, e.g. [[VideoSink]]'s streaming drain). */
+  def writeRawDib(path: String, dibFrames: Seq[Array[Byte]],
+                  width: Int, height: Int, fps: Int): Unit =
+    writeContainer(path, dibFrames, width, height, fps, raw = true)
+
+  private def writeContainer(path: String, frames: Seq[Array[Byte]],
+                             width: Int, height: Int, fps: Int, raw: Boolean): Unit = {
     require(fps > 0, "fps must be positive")
+    val jpegFrames = frames
     val n = jpegFrames.length
+    val chunkId = if (raw) "00db" else "00dc"
+    val handler = if (raw) "DIB " else "MJPG"
     val padded = jpegFrames.map(f => f.length + (f.length & 1))
     val moviSize = 4 + padded.map(8L + _).sum // 'movi' + chunks
     val idx1Size = 16L * n
@@ -233,7 +300,7 @@ object AviCodec {
 
       tag(o, "LIST"); le32(o, 4 + (8 + 56) + (8 + 40)); tag(o, "strl")
       tag(o, "strh"); le32(o, 56)
-      tag(o, "vids"); tag(o, "MJPG")
+      tag(o, "vids"); tag(o, handler)
       le32(o, 0); le16(o, 0); le16(o, 0) // flags, priority, language
       le32(o, 0)                    // initial frames
       le32(o, 1); le32(o, fps)      // dwScale, dwRate → fps exact
@@ -245,13 +312,14 @@ object AviCodec {
       tag(o, "strf"); le32(o, 40)
       le32(o, 40); le32(o, width); le32(o, height)
       le16(o, 1); le16(o, 24)       // planes, bitcount
-      tag(o, "MJPG")                // biCompression
+      if (raw) le32(o, 0)           // biCompression: BI_RGB
+      else tag(o, "MJPG")           // biCompression: MJPG fourcc
       le32(o, width.toLong * height * 3)
       le32(o, 0); le32(o, 0); le32(o, 0); le32(o, 0)
 
       tag(o, "LIST"); le32(o, moviSize); tag(o, "movi")
       jpegFrames.foreach { f =>
-        tag(o, "00dc"); le32(o, f.length)
+        tag(o, chunkId); le32(o, f.length)
         o.write(f)
         if ((f.length & 1) == 1) o.write(0)
       }
@@ -259,11 +327,107 @@ object AviCodec {
       tag(o, "idx1"); le32(o, idx1Size)
       var off = 4L // movi-relative: first chunk id sits 4 bytes past 'movi'
       jpegFrames.foreach { f =>
-        tag(o, "00dc"); le32(o, 0x10) // AVIIF_KEYFRAME (every MJPEG frame)
+        tag(o, chunkId); le32(o, 0x10) // AVIIF_KEYFRAME (every frame is one)
         le32(o, off); le32(o, f.length)
         off += 8 + f.length + (f.length & 1)
       }
     } finally o.close()
+  }
+
+  /** Incremental AVI muxer: frames append one at a time, the container
+    * finalizes on [[Muxer.close]] — constant memory regardless of video
+    * length (the Seq-based writers above must hold every frame to
+    * pre-compute chunk sizes; this writes size PLACEHOLDERS and patches
+    * them at close, the standard muxer move, recording each patch
+    * field's file position as it is written rather than trusting magic
+    * offsets). A file abandoned before close() is not a valid RIFF —
+    * exactly `cv2.VideoWriter`'s release() contract. */
+  final class Muxer(path: String, width: Int, height: Int, fps: Int, raw: Boolean) {
+    require(fps > 0, "fps must be positive")
+    private val o = new RandomAccessFile(path, "rw")
+    o.setLength(0)
+    private val index = Array.newBuilder[(Long, Int)] // (movi-relative off, size)
+    private var n = 0
+    private var maxFrame = 0
+    private val chunkId = if (raw) "00db" else "00dc"
+
+    private def w32(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    private def w16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    private def tag4(s: String): Unit = o.write(s.getBytes("US-ASCII"))
+    /** Writes a u32 placeholder and returns its position for patching. */
+    private def hole(): Long = { val p = o.getFilePointer; w32(0); p }
+
+    private val riffSizeAt = { tag4("RIFF"); hole() }
+    tag4("AVI ")
+    tag4("LIST"); w32(4 + (8 + 56) + (12 + (8 + 56) + (8 + 40))); tag4("hdrl")
+    tag4("avih"); w32(56)
+    w32(1000000L / fps)
+    private val maxBpsAt = hole()
+    w32(0); w32(0x10)
+    private val totalFramesAt = hole()
+    w32(0); w32(1)
+    private val suggestedBufAt = hole()
+    w32(width); w32(height)
+    (1 to 4).foreach(_ => w32(0))
+    tag4("LIST"); w32(4 + (8 + 56) + (8 + 40)); tag4("strl")
+    tag4("strh"); w32(56)
+    tag4("vids"); tag4(if (raw) "DIB " else "MJPG")
+    w32(0); w16(0); w16(0)
+    w32(0)
+    w32(1); w32(fps)
+    w32(0)
+    private val streamLenAt = hole()
+    private val strhBufAt = hole()
+    w32(-1L & 0xffffffffL)
+    w32(0)
+    w16(0); w16(0); w16(width); w16(height)
+    tag4("strf"); w32(40)
+    w32(40); w32(width); w32(height)
+    w16(1); w16(24)
+    if (raw) w32(0) else tag4("MJPG")
+    w32(width.toLong * height * 3)
+    w32(0); w32(0); w32(0); w32(0)
+    tag4("LIST")
+    private val moviSizeAt = hole()
+    private val moviFccAt = o.getFilePointer
+    tag4("movi")
+
+    /** Appends one frame: raw muxers take interleaved BGR (packed to DIB
+      * here), MJPEG muxers take encoded JPEG bytes. */
+    def addFrame(frame: Array[Byte]): Unit = {
+      val bytes = if (raw) encodeDib(frame, width, height) else frame
+      index += ((o.getFilePointer - moviFccAt, bytes.length))
+      tag4(chunkId); w32(bytes.length)
+      o.write(bytes)
+      if ((bytes.length & 1) == 1) o.write(0)
+      n += 1
+      maxFrame = math.max(maxFrame, bytes.length)
+    }
+
+    /** Writes idx1, patches every size field, closes the file. */
+    def close(): Unit = {
+      val moviEnd = o.getFilePointer
+      val idx = index.result()
+      tag4("idx1"); w32(16L * n)
+      idx.foreach { case (off, size) =>
+        tag4(chunkId); w32(0x10); w32(off); w32(size)
+      }
+      val fileEnd = o.getFilePointer
+      def patch(at: Long, v: Long): Unit = { o.seek(at); w32(v) }
+      patch(riffSizeAt, fileEnd - 8)
+      patch(maxBpsAt, maxFrame.toLong * fps)
+      patch(totalFramesAt, n)
+      patch(suggestedBufAt, maxFrame)
+      patch(streamLenAt, n)
+      patch(strhBufAt, maxFrame)
+      // LIST size spans from the list-type fourcc (inclusive) to the
+      // last chunk byte — moviFccAt is where 'movi' was written
+      patch(moviSizeAt, moviEnd - moviFccAt)
+      o.close()
+    }
   }
 
   /** Container-level segment split WITHOUT transcoding (`ffmpeg -c copy`

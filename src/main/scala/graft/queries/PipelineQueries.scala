@@ -393,6 +393,33 @@ object PipelineQueries {
         .orderBy("frame_number")
     },
 
+    // K1's VIDEO-FILE face round-tripped (frame_processing.py:130-196):
+    // the q85 container's decoded frames flow through VideoSink's
+    // first-frame-bind muxer into a NEW raw (BI_RGB, lossless) AVI,
+    // which reads back through the same connector. `exact` is computed
+    // in-engine (binary payload equality vs the source decode) so the
+    // closed-form oracle can assert losslessness without decoding
+    // anything itself. EAGER: the container write runs at query time,
+    // like q72's filter builds.
+    "q86_video_sink_roundtrip" -> { (s, _) =>
+      val src = s.read.format("graft-frames")
+        .option("path", aviFixture(s)).option("numPartitions", 4).load()
+        .select(col("frame_number"), col("payload"),
+          col("width").as("w"), col("height").as("h"), col("fps"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q86-")
+      graft.TempDirs.cleanupOnExit(dir)
+      val sink = dir.resolve("sink.avi").toString
+      graft.multimodal.VideoSink.saveAvi(src, sink)
+      val back = s.read.format("graft-frames").option("path", sink).load()
+        .select(col("frame_number"), col("payload").as("payload2"))
+      src.select(col("frame_number"), col("payload"))
+        .join(back, "frame_number")
+        .select(col("frame_number"),
+          (col("payload") === col("payload2")).as("exact"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy("frame_number")
+    },
+
     // The same connector, unbounded: keyframe sampling over the
     // MicroBatchStream face of graft-frames (RTSP stand-in), run to
     // completion — source duality on one connector, one oracle.
@@ -862,6 +889,13 @@ object PipelineQueries {
         |  1704067200000000 + range * 1000000 // 30 AS ts_us,
         |  CAST(640 AS INTEGER) AS width, CAST(480 AS INTEGER) AS height
         |FROM range(9000) WHERE range % 30 = 0 ORDER BY frame_number""".stripMargin,
+    // q86: the sink is lossless by construction (raw BI_RGB), so every
+    // frame must read back byte-exact; the engine computes the equality,
+    // the oracle pins that it holds for the full frame range
+    "q86_video_sink_roundtrip" ->
+      """SELECT range AS frame_number, TRUE AS exact,
+        |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
+        |FROM range(48) ORDER BY frame_number""".stripMargin,
     // q85: the container's probe metadata and frame clock are closed-form
     // (48 frames, 32x24, fps 24 exact from strh); n_bytes asserts the
     // decode produced a full 3-channel BGR buffer per frame

@@ -269,12 +269,19 @@ class AviPartitionReader(path: String, config: FrameSource.Config,
     frame += 1
     if (frame >= end || frame >= chunks.length) false
     else if (!needsPixels) true
-    else AviCodec.decodeFrame(raf, chunks(frame.toInt)) match {
-      case Some(d) => img = d; true
-      case None =>
-        System.err.println(
-          s"[avi] undecodable frame $frame in $path - ending scan (cap.read -> False)")
-        false
+    else {
+      // MJPEG chunks decode via ImageIO; raw BI_RGB ('00db') chunks
+      // unpack against the container's probed dims — the lossless
+      // codec VideoSink writes
+      val bytes = AviCodec.readFrameBytes(raf, chunks(frame.toInt))
+      ImageCodec.decode(bytes)
+        .orElse(AviCodec.decodeDib(bytes, config.width, config.height)) match {
+        case Some(d) => img = d; true
+        case None =>
+          System.err.println(
+            s"[avi] undecodable frame $frame in $path - ending scan (cap.read -> False)")
+          false
+      }
     }
   }
 
