@@ -54,30 +54,56 @@ object FrameSource {
     StructField("fps", DoubleType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
+  /** One container in a (possibly multi-file) scan: `offset` is the
+    * file's first GLOBAL frame number — the cumulative frame count of
+    * the files before it in scan order. */
+  final case class AviFile(path: String, offset: Long, frames: Long)
+
   final case class Config(frames: Long, width: Int, height: Int, fps: Int,
                           numPartitions: Int, startEpochUs: Long, ratePerBatch: Long,
-                          aviPath: Option[String] = None, fpsExact: Double = 30.0)
+                          aviFiles: Seq[AviFile] = Nil, fpsExact: Double = 30.0)
   object Config {
     def apply(o: CaseInsensitiveStringMap): Config = {
-      // `path` → real MJPEG/AVI container: metadata (frame count, dims,
-      // exact fps) comes from the container probe, exactly the
-      // source-open probe of the reference's VideoReader
-      // (frame_reader.py:129-131); synthetic options are ignored for
-      // fields the container defines. No path → the deterministic
-      // generator (the codec-free connector face).
+      // `path` → real MJPEG/AVI decode: a FILE scans one container, a
+      // DIRECTORY scans every `*.avi` under it (name order) as one
+      // relation with a GLOBAL dense frame_number — the corpus shape: a
+      // 100 TB video corpus is many containers, and the scan
+      // parallelizes across files and frame ranges alike. Metadata
+      // (frame count, dims, exact fps) comes from the container probes,
+      // exactly the source-open probe of the reference's VideoReader
+      // (frame_reader.py:129-131) — dims/fps of the scan are the FIRST
+      // container's (per-frame dims still come from each decode).
+      // No path → the deterministic generator (the codec-free face).
       val aviPath = Option(o.get("path"))
       val c = aviPath match {
         case Some(p) =>
-          val meta = graft.multimodal.AviCodec.probe(p)
+          val f = new java.io.File(p)
+          val paths =
+            if (f.isDirectory)
+              f.listFiles().filter(_.getName.toLowerCase.endsWith(".avi"))
+                .map(_.getPath).sorted.toSeq
+            else Seq(p)
+          require(paths.nonEmpty, s"no .avi files under $p")
+          // one header read per file at plan time; a million-container
+          // deployment would list+probe distributed, but planning cost
+          // is 8 bytes of header I/O per file either way
+          var off = 0L
+          val files = paths.map { path =>
+            val n = graft.multimodal.AviCodec.probe(path).nFrames
+            val file = AviFile(path, off, n)
+            off += n
+            file
+          }
+          val meta = graft.multimodal.AviCodec.probe(paths.head)
           Config(
-            frames = meta.nFrames,
+            frames = off,
             width = meta.width,
             height = meta.height,
             fps = math.max(1, math.round(meta.fps).toInt),
             numPartitions = o.getInt("numPartitions", 8),
             startEpochUs = o.getLong("startEpochUs", 1704067200000000L),
             ratePerBatch = o.getLong("ratePerBatch", 1000L),
-            aviPath = aviPath,
+            aviFiles = files,
             fpsExact = if (meta.fps > 0) meta.fps else 30.0)
         case None =>
           val fps = o.getInt("fps", 30)
@@ -232,54 +258,81 @@ class FrameReaderFactory(config: FrameSource.Config, required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FrameInputPartition]
-    config.aviPath match {
-      case Some(path) => new AviPartitionReader(path, config, required, p.start, p.end)
-      case None => new FramePartitionReader(config, required, p.start, p.end)
-    }
+    if (config.aviFiles.nonEmpty)
+      new AviPartitionReader(config.aviFiles, config, required, p.start, p.end)
+    else new FramePartitionReader(config, required, p.start, p.end)
   }
 }
 
-/** Real decode face of the connector: frames [start, end) of one
-  * MJPEG/AVI container, each a positioned read + ImageIO JPEG decode to
-  * interleaved BGR ([[graft.multimodal.AviCodec]]). The frame index is a
-  * header-only movi walk run once per reader; frame payload reads are
-  * then independent seeks, so the container's scan parallelizes across
-  * partitions exactly like the synthetic face.
+/** Real decode face of the connector: GLOBAL frames [start, end) over
+  * one or more MJPEG/AVI containers, each frame a positioned read +
+  * decode to interleaved BGR ([[graft.multimodal.AviCodec]]: ImageIO
+  * for MJPEG chunks, raw unpack for BI_RGB). Per container, the frame
+  * index is a header-only movi walk run once when the reader crosses
+  * into that file; payload reads are then independent seeks — so a scan
+  * parallelizes across frame ranges AND containers with the same range
+  * split (a partition spanning a file boundary just advances to the
+  * next file mid-iteration).
   *
   * An undecodable frame ends THIS reader's scan (`cap.read() → ret
   * False → EOF`, frame_reader.py:143-147) — logged, not thrown, matching
   * the reference's release-on-EOF semantics.
   *
   * Column pruning is honored per-field: a pruned scan without `payload`
-  * never decodes a JPEG (metadata-only queries never touch pixel data —
-  * the same reason the synthetic face resolves fieldGens per column). */
-class AviPartitionReader(path: String, config: FrameSource.Config,
+  * never opens a container (metadata-only queries never touch pixel
+  * data — the same reason the synthetic face resolves fieldGens per
+  * column). */
+class AviPartitionReader(files: Seq[FrameSource.AviFile], config: FrameSource.Config,
                          required: StructType, start: Long, end: Long)
     extends PartitionReader[InternalRow] {
   import graft.multimodal.{AviCodec, ImageCodec}
 
-  private val chunks = AviCodec.frameIndex(path)
-  private val raf = new java.io.RandomAccessFile(path, "r")
   private val needsPixels = required.fieldNames.contains("payload") ||
     required.fieldNames.contains("width") || required.fieldNames.contains("height")
   private var frame = start - 1
   private var img: ImageCodec.DecodedImage = _
+  // current open container (lazily bound as the global cursor crosses
+  // file boundaries; files are offset-sorted so the walk is monotone)
+  private var fileIdx = -1
+  private var raf: java.io.RandomAccessFile = null
+  private var chunks: Array[AviCodec.FrameChunk] = null
+  private var fileMeta: AviCodec.AviMeta = null
+
+  private def bindFile(globalFrame: Long): Boolean = {
+    val idx = files.indexWhere(f =>
+      globalFrame >= f.offset && globalFrame < f.offset + f.frames)
+    if (idx < 0) return false
+    if (idx != fileIdx) {
+      if (raf != null) raf.close()
+      fileIdx = idx
+      raf = new java.io.RandomAccessFile(files(idx).path, "r")
+      chunks = AviCodec.frameIndex(files(idx).path)
+      // DIB unpack needs THIS file's dims (a directory may mix sizes;
+      // MJPEG chunks are self-describing but raw frames are not)
+      fileMeta = AviCodec.probe(files(idx).path)
+    }
+    true
+  }
 
   override def next(): Boolean = {
     frame += 1
-    if (frame >= end || frame >= chunks.length) false
+    if (frame >= end || frame >= config.frames) false
     else if (!needsPixels) true
+    else if (!bindFile(frame)) false
     else {
+      val file = files(fileIdx)
+      val local = (frame - file.offset).toInt
+      if (local >= chunks.length) return false // header lied; stop like EOF
       // MJPEG chunks decode via ImageIO; raw BI_RGB ('00db') chunks
       // unpack against the container's probed dims — the lossless
       // codec VideoSink writes
-      val bytes = AviCodec.readFrameBytes(raf, chunks(frame.toInt))
+      val bytes = AviCodec.readFrameBytes(raf, chunks(local))
       ImageCodec.decode(bytes)
-        .orElse(AviCodec.decodeDib(bytes, config.width, config.height)) match {
+        .orElse(AviCodec.decodeDib(bytes, fileMeta.width, fileMeta.height)) match {
         case Some(d) => img = d; true
         case None =>
           System.err.println(
-            s"[avi] undecodable frame $frame in $path - ending scan (cap.read -> False)")
+            s"[avi] undecodable frame $frame in ${file.path} - ending scan (cap.read -> False)")
           false
       }
     }
@@ -304,7 +357,7 @@ class AviPartitionReader(path: String, config: FrameSource.Config,
   override def get(): InternalRow =
     new GenericInternalRow(fieldGens.map(g => g()).asInstanceOf[Array[Any]])
 
-  override def close(): Unit = raf.close()
+  override def close(): Unit = if (raf != null) raf.close()
 }
 
 class FramePartitionReader(config: FrameSource.Config, required: StructType,

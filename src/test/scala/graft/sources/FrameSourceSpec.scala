@@ -149,6 +149,58 @@ class FrameSourceSpec extends SparkSpec {
       "metadata-only scan must not touch the codec")
   }
 
+  test("avi directory: every container scans as one relation with a global frame index") {
+    // three containers of different lengths (5, 7, 3), name order
+    val d = java.nio.file.Files.createTempDirectory("graft_avi_dir")
+    graft.TempDirs.cleanupOnExit(d)
+    val sizes = Seq(5, 7, 3)
+    val all = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val frames = (0 until n).map(k => jpeg(i * 100 + k))
+      all ++= frames
+      graft.multimodal.AviCodec.writeMjpeg(
+        d.resolve(f"clip_$i%02d.avi").toString, frames, 32, 24, 25)
+    }
+    val df = spark.read.format("graft-frames")
+      .option("path", d.toString).option("numPartitions", 4).load()
+    assert(df.count() === 15L)
+    val got = df.select("frame_number", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until 15L), "global dense frame numbers across files")
+    got.foreach { case (f, p) =>
+      val want = graft.multimodal.ImageCodec.decode(all(f.toInt)).get.pixels
+      assert(p.toSeq === want.toSeq, s"global frame $f maps to the right file-local chunk")
+    }
+    // pushdown lands mid-directory: a range inside the SECOND file
+    val mid = df.filter(col("frame_number") >= 6 && col("frame_number") < 10)
+      .select("frame_number").as[Long].collect().sorted
+    assert(mid.toSeq === (6L until 10L))
+  }
+
+  test("avi directory: the partitioned video sink's output is directly re-readable") {
+    // sink -> directory of part containers -> source: the round trip
+    // that makes saveAviPartitioned a first-class storage layout
+    val src = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8 * 6 * 3)(j => ((j * 31 + i * 131) % 256).toByte), 8, 6)
+    }.toDF("frame_number", "payload", "w", "h")
+    val dir = java.nio.file.Files.createTempDirectory("graft_avi_sinkdir")
+    graft.TempDirs.cleanupOnExit(dir)
+    val written = graft.multimodal.VideoSink
+      .saveAviPartitioned(src, dir.toString, numParts = 3)
+    assert(written === 30L)
+    val back = spark.read.format("graft-frames")
+      .option("path", dir.toString).option("numPartitions", 3).load()
+      .select("frame_number", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(back.length === 30)
+    // raw codec + range-partitioned parts in name order: payload bytes
+    // round-trip exactly, global order = source order
+    val wantByFrame = src.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    back.foreach { case (f, p) =>
+      assert(p.toSeq === wantByFrame(f).toSeq, s"frame $f exact through sink->dir->source")
+    }
+  }
+
   test("avi path: streaming face drains the container with AvailableNow, offsets replayable") {
     import org.apache.spark.sql.streaming.Trigger
     val jpegs = (0 until 12).map(jpeg(_))
