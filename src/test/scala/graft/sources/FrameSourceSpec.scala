@@ -201,6 +201,28 @@ class FrameSourceSpec extends SparkSpec {
     }
   }
 
+  test("avi directory: streaming face ingests a container corpus with bounded batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = java.nio.file.Files.createTempDirectory("graft_avi_sdir")
+    graft.TempDirs.cleanupOnExit(d)
+    (0 until 3).foreach { i =>
+      graft.multimodal.AviCodec.writeMjpeg(
+        d.resolve(f"clip_$i%02d.avi").toString, (0 until 4).map(k => jpeg(i * 10 + k)), 32, 24, 25)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_avi_sdir_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_avi_sdir_out").toString
+    val q = spark.readStream.format("graft-frames")
+      .option("path", d.toString).option("ratePerBatch", 5).option("numPartitions", 2)
+      .load().select("frame_number", "payload")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out).select("frame_number").as[Long].collect().sorted
+    assert(got.toSeq === (0L until 12L),
+      "micro-batches admit 5 global frames at a time across file boundaries")
+  }
+
   test("avi path: streaming face drains the container with AvailableNow, offsets replayable") {
     import org.apache.spark.sql.streaming.Trigger
     val jpegs = (0 until 12).map(jpeg(_))
