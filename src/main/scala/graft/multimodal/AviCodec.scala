@@ -397,8 +397,13 @@ object AviCodec {
 
     /** Appends one frame: raw muxers take interleaved BGR (packed to DIB
       * here), MJPEG muxers take encoded JPEG bytes. */
-    def addFrame(frame: Array[Byte]): Unit = {
-      val bytes = if (raw) encodeDib(frame, width, height) else frame
+    def addFrame(frame: Array[Byte]): Unit =
+      addEncodedFrame(if (raw) encodeDib(frame, width, height) else frame)
+
+    /** Appends bytes VERBATIM as one chunk — the stream-copy entry
+      * point ([[copySegment]]): the caller already holds wire-format
+      * frame data (JPEG or packed DIB) and no re-encode must happen. */
+    def addEncodedFrame(bytes: Array[Byte]): Unit = {
       index += ((o.getFilePointer - moviFccAt, bytes.length))
       tag4(chunkId); w32(bytes.length)
       o.write(bytes)
@@ -440,10 +445,16 @@ object AviCodec {
     val idx = frameIndex(src)
     val lo = math.max(0, start)
     val hi = math.min(idx.length, end)
-    val frames = withRaf(src) { raf =>
-      (lo until hi).map(i => readFrameBytes(raf, idx(i)))
+    // codec preserved: a raw (DIB) source's segments stay raw '00db'
+    // containers, an MJPEG source's stay '00dc' — the copied bytes are
+    // wire format either way, so the segment is bit-faithful per frame.
+    // Streamed through the incremental muxer: one frame resident at a
+    // time, segments of any length copy in constant memory.
+    val m = new Muxer(dst, meta.width, meta.height,
+      math.max(1, math.round(meta.fps).toInt), raw = meta.handler == "DIB")
+    withRaf(src) { raf =>
+      (lo until hi).foreach(i => m.addEncodedFrame(readFrameBytes(raf, idx(i))))
     }
-    writeMjpeg(dst, frames, meta.width, meta.height,
-      math.max(1, math.round(meta.fps).toInt))
+    m.close()
   }
 }

@@ -94,6 +94,8 @@ object AviCodecProps extends Properties("AviCodec") {
       }
       val rejoined = decodeAll(lo) ++ decodeAll(hi)
       rejoined.length == frames &&
-        rejoined.zip(bufs).forall { case (a, b) => a.sameElements(b) }
+        rejoined.zip(bufs).forall { case (a, b) => a.sameElements(b) } &&
+        // codec preserved: raw source -> raw segments, bit-faithful
+        AviCodec.probe(lo).handler == "DIB" && AviCodec.probe(hi).handler == "DIB"
     }
 }

@@ -81,6 +81,7 @@ class AviCodecSpec extends AnyFunSuite {
     }
     cuts.zip(segPaths).foreach { case ((a, b), p) =>
       assert(AviCodec.probe(p).nFrames === (b - a).toLong)
+      assert(AviCodec.probe(p).handler === "MJPG", "MJPEG source -> MJPEG segments")
     }
     val reassembled = segPaths.flatMap { p =>
       val idx = AviCodec.frameIndex(p)
