@@ -203,6 +203,37 @@ object PipelineQueries {
       path
     }
 
+  /** Deterministic container-CORPUS fixture for q87: three MJPEG/AVI
+    * files of different lengths (5, 7, 3 frames) in one directory,
+    * muxed once per session — the multi-file scan's global dense frame
+    * index is the feature under test. */
+  private def aviCorpusFixture(s: SparkSession): String =
+    graft.Caches.memo(s, "avi", "q87_fixture") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q87-avi-")
+      graft.TempDirs.cleanupOnExit(dir)
+      Seq(5, 7, 3).zipWithIndex.foreach { case (n, c) =>
+        val jpegs = (0 until n).map { i =>
+          val img = new java.awt.image.BufferedImage(32, 24,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 24) {
+            var x = 0
+            while (x < 32) {
+              img.setRGB(x, y, ((x * 7 + y * 13 + (c * 100 + i) * 31) * 2654435761L).toInt & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        graft.multimodal.AviCodec.writeMjpeg(
+          dir.resolve(f"clip_$c%02d.avi").toString, jpegs, 32, 24, fps = 24)
+      }
+      dir.toString
+    }
+
   private val MinhashCandidatesSql =
     s"""$ShingleCte,
        |hb AS (SELECT doc_id, x % 1000000007 AS hb
@@ -416,6 +447,20 @@ object PipelineQueries {
         .join(back, "frame_number")
         .select(col("frame_number"),
           (col("payload") === col("payload2")).as("exact"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy("frame_number")
+    },
+
+    // The multi-container corpus scan (the 100 TB video shape): a
+    // DIRECTORY of three containers of different lengths reads as ONE
+    // relation with a global dense frame_number spanning file
+    // boundaries; n_bytes proves every frame of every file decoded.
+    "q87_avi_corpus_scan" -> { (s, _) =>
+      val dir = aviCorpusFixture(s)
+      s.read.format("graft-frames")
+        .option("path", dir).option("numPartitions", 4)
+        .load()
+        .select(col("frame_number"), col("ts_us"), col("width"), col("height"),
           length(col("payload")).as("n_bytes"))
         .orderBy("frame_number")
     },
@@ -896,6 +941,13 @@ object PipelineQueries {
       """SELECT range AS frame_number, TRUE AS exact,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q87: 5+7+3 frames across three containers, one global dense index
+    "q87_avi_corpus_scan" ->
+      """SELECT range AS frame_number,
+        |  1704067200000000 + range * 1000000 // 24 AS ts_us,
+        |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+        |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
+        |FROM range(15) ORDER BY frame_number""".stripMargin,
     // q85: the container's probe metadata and frame clock are closed-form
     // (48 frames, 32x24, fps 24 exact from strh); n_bytes asserts the
     // decode produced a full 3-channel BGR buffer per frame
