@@ -152,6 +152,51 @@ class PlanAuditSpec extends SparkSpec {
       "candidates must still flow through the exact anti-join (fpp correctness depends on it)")
   }
 
+  test("q85: frame_number range predicates reach the connector's scan bounds") {
+    // the pushdown face of the container scan: a mid-range filter must
+    // shrink the generated/decoded range, not post-filter a full decode
+    val df = SparkEntry.queries("q85_avi_container_scan")(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("frame_number") >= 10)
+      .filter(org.apache.spark.sql.functions.col("frame_number") < 20)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("[10, 20)"),
+        s"range must push into the scan description:\n${plan.linesIterator.take(8).mkString("\n")}")
+    } finally Caches.releaseScoped()
+  }
+
+  test("q86: the sink round-trip joins two bounded container scans via broadcast") {
+    // both sides are 48-frame relations; the verify join must broadcast
+    // one side, never shuffle both (at corpus scale the read-back side
+    // of a container verify is the bounded one)
+    val df = SparkEntry.queries("q86_video_sink_roundtrip")(spark, sf0001)
+    try {
+      df.collect() // materialize AQE's final plan on THIS query execution
+      // structural walk of the FINAL plan only — toString also prints
+      // the pre-AQE "Initial Plan" section, whose SMJ is exactly what
+      // AQE replaced
+      def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+          pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ kids.flatMap(collectAll(_)(pf))
+      }
+      val plan = df.queryExecution.executedPlan
+      val bhj = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      val smj = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(bhj.nonEmpty, s"expected a broadcast join in the final plan:\n$plan")
+      assert(smj.isEmpty, "two bounded scans must not sort-merge in the final plan")
+    } finally Caches.releaseScoped()
+  }
+
   test("q42: the vocabulary-sized dfreq table is never force-broadcast") {
     // dfreq has one row per DISTINCT TOKEN — unbounded at web scale
     // (the r5 verdict's one scale-killer was a broadcast() hint here).
