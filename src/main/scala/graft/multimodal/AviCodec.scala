@@ -161,12 +161,18 @@ object AviCodec {
       val size = u32(raf)
       val dataStart = raf.getFilePointer
       // video data chunks: '##dc' (compressed) / '##db' (uncompressed),
-      // stream number in the digit prefix; 'rec ' LISTs would need one
-      // more descent but our walk treats any non-frame chunk (including
-      // LIST headers) as opaque and skips it
-      if (id.matches("[0-9]{2}(dc|db)"))
-        out += FrameChunk(dataStart, size.toInt)
-      raf.seek(dataStart + size + (size & 1))
+      // stream number in the digit prefix. Interleaved muxers group
+      // chunks inside 'rec ' LISTs — DESCEND (skip only the 4-byte list
+      // type; the children then walk in this same loop) instead of
+      // seeking past the group, or every frame inside it is lost.
+      // Other chunk kinds (audio '##wb', padding 'JUNK', ...) skip.
+      if (id == "LIST") {
+        fourcc(raf) // list type ('rec ' or other) — children walk next
+      } else {
+        if (id.matches("[0-9]{2}(dc|db)"))
+          out += FrameChunk(dataStart, size.toInt)
+        raf.seek(dataStart + size + (size & 1))
+      }
     }
     out.result()
   }

@@ -131,5 +131,21 @@ class FlagshipPipelineSpec extends SparkSpec {
       .orderBy("payload").collect().toSeq
     assert(sentRows(outImg) === sentRows(outAvi),
       "sender sink: identical JSON payloads (letterbox+detector+NMS agree byte-for-byte)")
+
+    // third ingest face: the SAME jpegs split across TWO containers in
+    // a corpus directory — the multi-file scan's global frame index must
+    // reproduce the single-container run bit-for-bit
+    val corpus = Files.createTempDirectory("graft_aviflag_corpus")
+    graft.TempDirs.cleanupOnExit(corpus)
+    graft.multimodal.AviCodec.writeMjpeg(
+      corpus.resolve("part_00.avi").toString, jpegs.take(7), w, h, fps = 30)
+    graft.multimodal.AviCodec.writeMjpeg(
+      corpus.resolve("part_01.avi").toString, jpegs.drop(7), w, h, fps = 30)
+    val outDir = Files.createTempDirectory("graft_aviflag_outC").toString
+    val c = FlagshipPipeline.runFromAvi(spark, corpus.toString, outDir, keyframeInterval = 3)
+    assert(c === b, "RunStats must agree for the split-corpus ingest")
+    assert(sinkRows(outAvi, "all") === sinkRows(outDir, "all"),
+      "corpus-directory ingest must be indistinguishable from the single container")
+    assert(sentRows(outAvi) === sentRows(outDir))
   }
 }

@@ -98,6 +98,44 @@ class AviCodecSpec extends AnyFunSuite {
     assert(AviCodec.probe(whole2).nFrames === 10L)
   }
 
+  test("frames grouped inside 'rec ' LISTs are found (interleaved-muxer layout)") {
+    // hand-build a movi whose two frames sit inside one 'rec ' group —
+    // the layout interleaved muxers emit; a walk that skips LIST chunks
+    // wholesale would lose both frames
+    val f0 = jpeg(0)
+    val f1 = jpeg(1)
+    val path = tmpAvi("rec.avi")
+    AviCodec.writeMjpeg(path, Seq(f0, f1), 32, 24, 30) // valid headers to reuse
+    // rewrite the movi payload: LIST(size)('rec ' 00dc f0 00dc f1)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    def le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]) =
+      id.getBytes("US-ASCII") ++ le(data.length) ++ data ++
+        (if ((data.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    val rec = "rec ".getBytes("US-ASCII") ++ chunk("00dc", f0) ++ chunk("00dc", f1)
+    val movi = "movi".getBytes("US-ASCII") ++ chunk("LIST", rec)
+    val out = tmpAvi("rec2.avi")
+    val o = new java.io.DataOutputStream(new java.io.FileOutputStream(out))
+    // reuse the original headers: RIFF hdr (12) + hdrl LIST (8 + 192
+    // payload = 200), then the rec-grouped movi, no idx1 (the walk
+    // never reads it)
+    val hdrlEnd = 12 + 200
+    o.write(bytes, 0, hdrlEnd)
+    o.write("LIST".getBytes("US-ASCII")); o.write(le(movi.length)); o.write(movi)
+    o.close()
+    // patch riff size so the top-level walk bounds correctly: file-based
+    // bound is used, so even a stale size field is tolerated — assert on
+    // behavior, not the field
+    val idx = AviCodec.frameIndex(out)
+    assert(idx.length === 2, "both frames inside the rec group must index")
+    val raf = new java.io.RandomAccessFile(out, "r")
+    try {
+      assert(AviCodec.readFrameBytes(raf, idx(0)).toSeq === f0.toSeq)
+      assert(AviCodec.readFrameBytes(raf, idx(1)).toSeq === f1.toSeq)
+    } finally raf.close()
+  }
+
   test("non-AVI input is rejected loudly (isOpened == False analog)") {
     val notAvi = tmpAvi("not.avi")
     Files.write(java.nio.file.Paths.get(notAvi), "this is not a RIFF container".getBytes)
