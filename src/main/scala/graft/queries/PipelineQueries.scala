@@ -465,6 +465,29 @@ object PipelineQueries {
         .orderBy("frame_number")
     },
 
+    // REAL audio decode over multimodal binary columns: three PCM16 WAV
+    // blobs (RIFF/WAVE parse → exact integer samples, multimodal/
+    // WavCodec, zero deps) decode EXECUTOR-side via the column UDF,
+    // explode to (doc, idx, sample), and aggregate per-window energy —
+    // all integer math, so DuckDB replays the sample formula closed-form
+    // and the hash match proves the container round-trip bit-exact.
+    "q88_wav_energy" -> { (s, _) =>
+      val rows = (0L until 3L).map { d =>
+        val samples = Array.tabulate(8000)(i => ((i * 73 + d.toInt * 131) % 4001) - 2000)
+        (d, graft.multimodal.WavCodec.writePcm16Mono(samples, 8000))
+      }
+      import s.implicits._
+      val media = rows.toDF("doc_id", "payload")
+      media.select(col("doc_id"),
+          posexplode(graft.multimodal.WavCodec.samplesUdf(col("payload")))
+            .as(Seq("idx", "sample")))
+        .groupBy(col("doc_id"), expr("CAST(idx AS BIGINT) div 1000").as("window_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("sample") * col("sample")).as("energy"),
+          max(abs(col("sample"))).as("peak"))
+        .orderBy("doc_id", "window_id")
+    },
+
     // The same connector, unbounded: keyframe sampling over the
     // MicroBatchStream face of graft-frames (RTSP stand-in), run to
     // completion — source duality on one connector, one oracle.
@@ -941,6 +964,19 @@ object PipelineQueries {
       """SELECT range AS frame_number, TRUE AS exact,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q88: the WAV samples are a closed-form integer sequence, so the
+    // oracle regenerates them arithmetically; equality holds only if the
+    // engine's RIFF/WAVE parse returned every 16-bit sample bit-exact
+    "q88_wav_energy" ->
+      """WITH s AS (
+        |  SELECT d.range AS doc_id, i.range AS i,
+        |    ((i.range * 73 + d.range * 131) % 4001) - 2000 AS smp
+        |  FROM range(3) d, range(8000) i)
+        |SELECT doc_id, CAST(i // 1000 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+        |  CAST(max(abs(smp)) AS INTEGER) AS peak
+        |FROM s GROUP BY doc_id, window_id ORDER BY doc_id, window_id""".stripMargin,
     // q87: 5+7+3 frames across three containers, one global dense index
     "q87_avi_corpus_scan" ->
       """SELECT range AS frame_number,
