@@ -58,7 +58,10 @@ object WavCodec {
     var blockAlign = 0
     var data: Array[Byte] = null
     var remaining = bytes.length - 12
-    while (remaining > 8 && (data == null || channels == 0)) {
+    // >= 8: a zero-byte data chunk (empty audio) is exactly 8 trailing
+    // header bytes — `> 8` missed it (found by WavCodecProps' empty-
+    // vector case)
+    while (remaining >= 8 && (data == null || channels == 0)) {
       val id = fourcc(in)
       val size = u32(in).toInt
       remaining -= 8
