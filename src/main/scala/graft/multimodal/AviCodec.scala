@@ -278,16 +278,15 @@ object AviCodec {
   private def writeContainer(path: String, frames: Seq[Array[Byte]],
                              width: Int, height: Int, fps: Int, raw: Boolean): Unit = {
     require(fps > 0, "fps must be positive")
-    val jpegFrames = frames
-    val n = jpegFrames.length
+    val n = frames.length
     val chunkId = if (raw) "00db" else "00dc"
     val handler = if (raw) "DIB " else "MJPG"
-    val padded = jpegFrames.map(f => f.length + (f.length & 1))
+    val padded = frames.map(f => f.length + (f.length & 1))
     val moviSize = 4 + padded.map(8L + _).sum // 'movi' + chunks
     val idx1Size = 16L * n
     val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40)) // 'hdrl' avih strl(strh strf)
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
-    val maxFrame = if (n == 0) 0 else jpegFrames.map(_.length).max
+    val maxFrame = if (n == 0) 0 else frames.map(_.length).max
 
     val o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
@@ -324,7 +323,7 @@ object AviCodec {
       le32(o, 0); le32(o, 0); le32(o, 0); le32(o, 0)
 
       tag(o, "LIST"); le32(o, moviSize); tag(o, "movi")
-      jpegFrames.foreach { f =>
+      frames.foreach { f =>
         tag(o, chunkId); le32(o, f.length)
         o.write(f)
         if ((f.length & 1) == 1) o.write(0)
@@ -332,7 +331,7 @@ object AviCodec {
 
       tag(o, "idx1"); le32(o, idx1Size)
       var off = 4L // movi-relative: first chunk id sits 4 bytes past 'movi'
-      jpegFrames.foreach { f =>
+      frames.foreach { f =>
         tag(o, chunkId); le32(o, 0x10) // AVIIF_KEYFRAME (every frame is one)
         le32(o, off); le32(o, f.length)
         off += 8 + f.length + (f.length & 1)
