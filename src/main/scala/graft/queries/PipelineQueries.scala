@@ -85,6 +85,10 @@ object PipelineQueries {
     positionalShingleDocs(s, d)
       .select(col("doc_id"), array_distinct(col("sp")).as("sh"))
 
+  /** The shingle base for stage-level profiling mains (SimhashProfile)
+    * — same relation, package-external name. */
+  def shingleDocsForProfile(s: SparkSession, d: String): DataFrame = shingleDocs(s, d)
+
   /** Shared oracle CTE prefix producing the same hashed shingle sets. */
   private[queries] val ShingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
