@@ -3,16 +3,28 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The repo's bench-methodology load rule (established round 3,
-    * enforced since round 7): totals swing ~2× with host load, so a
-    * record whose 1-min loadavg at START is at or above this bound does
-    * not measure the engine. BENCH_r06 was committed at start load 8.1
-    * and misstated the engine by 1.5× — hence [[isTainted]] is stamped
-    * onto the record rather than left to the reader's diligence. */
+    * whole-run since round 8): totals swing ~2× with host load, so a
+    * record whose 1-min loadavg is at or above this bound — at START,
+    * at END, or in the window of any kept rep — does not measure the
+    * engine. BENCH_r06 was committed at start load 8.1 and BENCH_r07
+    * at end load 5.0 while stamped clean (the r7 guard only tested the
+    * start); both misstated the engine by ~1.5× — hence [[isTainted]]
+    * is stamped onto the record rather than left to the reader's
+    * diligence. The bound accommodates the bench's OWN contribution:
+    * clean local[32] runs end at 1.9–2.7, so 3.0 separates self-load
+    * from external contamination. */
   val MaxStartLoad = 3.0
 
-  /** True when a record violates the load rule and must carry
-    * `"tainted": true`. `>=` (not `>`): the rule is "start load < 3". */
-  def isTainted(loadStart: Double): Boolean = loadStart >= MaxStartLoad
+  /** True when a single load sample violates the rule. `>=` (not `>`):
+    * the rule is "load < 3". */
+  def isTainted(load: Double): Boolean = load >= MaxStartLoad
+
+  /** Whole-run taint verdict (VERDICT r7 item 1): the record is tainted
+    * when the start OR end window was hot, or when any measurement that
+    * survived into the committed numbers ran in a hot window and could
+    * not be re-run clean within the retry budget. */
+  def isTainted(loadStart: Double, loadEnd: Double, anyKeptRepHot: Boolean): Boolean =
+    isTainted(loadStart) || isTainted(loadEnd) || anyKeptRepHot
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
