@@ -3,26 +3,30 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The repo's bench-methodology load rule (established round 3,
-    * whole-run since round 8): totals swing ~2× with host load, so a
+    * whole-run since round 9): totals swing ~2× with host load, so a
     * record whose 1-min loadavg is at or above this bound — at START,
-    * at END, or in the window of any kept rep — does not measure the
-    * engine. BENCH_r06 was committed at start load 8.1 and BENCH_r07
-    * at end load 5.0 while stamped clean (the r7 guard only tested the
-    * start); both misstated the engine by ~1.5× — hence [[isTainted]]
-    * is stamped onto the record rather than left to the reader's
-    * diligence. The bound accommodates the bench's OWN contribution:
-    * clean local[32] runs end at 1.9–2.7, so 3.0 separates self-load
-    * from external contamination. */
-  val MaxStartLoad = 3.0
+    * at END, or in the window of any kept measurement — does not measure
+    * the engine. BENCH_r06 was committed at start load 8.1, BENCH_r07 at
+    * end load 5.0, and BENCH_r08 at end load 4.2, each stamped clean
+    * (the r7/r8 guards only tested the start) — all misstated the engine
+    * by ~1.5× — hence [[isTainted]] is stamped onto the record by the
+    * harness rather than left to the reader's diligence. The bound
+    * accommodates the bench's OWN contribution: clean local[32] runs end
+    * at 1.9–2.7, so 3.0 separates self-load from external
+    * contamination. */
+  val MaxLoad = 3.0
 
   /** True when a single load sample violates the rule. `>=` (not `>`):
     * the rule is "load < 3". */
-  def isTainted(load: Double): Boolean = load >= MaxStartLoad
+  def isTainted(load: Double): Boolean = load >= MaxLoad
 
-  /** Whole-run taint verdict (VERDICT r7 item 1): the record is tainted
-    * when the start OR end window was hot, or when any measurement that
-    * survived into the committed numbers ran in a hot window and could
-    * not be re-run clean within the retry budget. */
+  /** Whole-run taint verdict (VERDICT r7 item 1, wired into the stamp in
+    * round 9 — ADVICE r8 found the r8 version dead code): the record is
+    * tainted when the start OR end window was hot, or when any
+    * measurement that survived into the committed numbers (a query rep
+    * after retries, or a shared-relation build, which cannot be retried
+    * because a rebuild would time the already-warm cache) ran in a hot
+    * window. */
   def isTainted(loadStart: Double, loadEnd: Double, anyKeptRepHot: Boolean): Boolean =
     isTainted(loadStart) || isTainted(loadEnd) || anyKeptRepHot
 
@@ -50,17 +54,26 @@ object Bench {
     while (isTainted(loadAvg()) && waited < loadWaitSec) {
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] host load %.2f >= %.1f - waiting for quiet host (%ds/%ds)",
-        Double.box(loadAvg()), Double.box(MaxStartLoad),
+        Double.box(loadAvg()), Double.box(MaxLoad),
         Int.box(waited), Int.box(loadWaitSec)))
       Thread.sleep(5000)
       waited += 5
     }
     val loadStart = loadAvg()
-    val tainted = isTainted(loadStart)
-    if (tainted)
+    if (isTainted(loadStart))
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] WARNING: starting at load %.2f (rule: < %.1f) - record will be stamped tainted",
-        Double.box(loadStart), Double.box(MaxStartLoad)))
+        Double.box(loadStart), Double.box(MaxLoad)))
+    // Whole-run taint inputs (ADVICE r8 high/medium): every kept
+    // measurement is bracketed by loadavg samples; a measurement is HOT
+    // when either side of its window violates the rule. Hot query reps
+    // are re-run out of a bounded global retry budget (the retried
+    // measurement replaces the hot one — same warm-cache conditions as
+    // any rep 2..n); hot reps that exhaust the budget, and hot
+    // shared-relation builds (un-retryable: a rebuild times the warm
+    // cache), set anyKeptRepHot and taint the record.
+    var anyKeptRepHot = false
+    var retriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "12").toInt
     val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,12 +114,16 @@ object Bench {
     // sorts) so their cost structure stays visible on the record; the
     // summed number keeps the r3 JSON contract.
     def timed(f: => Unit): Double = {
+      val pre = loadAvg()
       val t0 = System.nanoTime()
-      try { f; (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] shared-relation build failed: ${e.getMessage}")
-        -1.0
-      } finally Caches.releaseScoped()
+      val t =
+        try { f; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] shared-relation build failed: ${e.getMessage}")
+          -1.0
+        } finally Caches.releaseScoped()
+      if (t >= 0 && (isTainted(pre) || isTainted(loadAvg()))) anyKeptRepHot = true
+      t
     }
     val sharedTrio = timed(graft.queries.PipelineQueries.warmSharedRelations(spark, sfDir))
     val sharedDense = timed(graft.queries.SharedRelations.warm(spark, sfDir))
@@ -119,15 +136,29 @@ object Bench {
       else sharedTrio + sharedDense + sharedBuckets + sharedParts + sharedIvf
     val runs: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+        // one measurement: (seconds or -1, ranHot)
+        def rep(): (Double, Boolean) = {
+          val pre = loadAvg()
           val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-          } finally Caches.releaseScoped()
+          val t =
+            try {
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+            } finally Caches.releaseScoped()
+          (t, isTainted(pre) || isTainted(loadAvg()))
+        }
+        val times = (1 to reps).map { _ =>
+          var (t, hot) = rep()
+          while (t >= 0 && hot && retriesLeft > 0) {
+            retriesLeft -= 1
+            System.err.println(s"[bench] $name rep ran hot - retrying ($retriesLeft retries left)")
+            val r = rep(); t = r._1; hot = r._2
+          }
+          if (t >= 0 && hot) anyKeptRepHot = true
+          t
         }
         name -> times
       }
@@ -177,10 +208,14 @@ object Bench {
     val failed = med.values.count(_ < 0) + (if (sharedBuild < 0) 1 else 0)
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val loadEnd = loadAvg()
+    // the stamp is computed AFTER the run so it reflects the whole
+    // window — an end-hot or mid-hot run can no longer go on record as
+    // clean (the BENCH_r07/r08 failure mode)
+    val tainted = isTainted(loadStart, loadEnd, anyKeptRepHot)
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()
   }

@@ -13,25 +13,43 @@ object EventStreams {
   /** Reference default sampling interval (`uav/main.py:50-54`). */
   val KeyframeInterval = 30
 
-  /** Physical schema of events.parquet: ts is TIMESTAMP(NANOS), read as
-    * long (nanosAsLong) then truncated to µs — same as the batch path in
-    * [[graft.Tables]]. */
-  val eventsSchema: StructType = StructType(Seq(
+  /** Logical schema of events.parquet with `ts` read as `tsType` — the
+    * generator has shipped `ts` as both TIMESTAMP(NANOS) (Spark reads it
+    * as long under nanosAsLong) and TIMESTAMP(MICROS) (native
+    * TimestampType), so the physical type is probed per directory, never
+    * assumed. A hardcoded NANOS schema against µs data silently divides
+    * every timestamp by 1000 and collapses the whole time axis — the
+    * round-8 streaming-family correctness failure. */
+  private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded scan of the events table with µs TimestampType `ts`. */
+  /** Unbounded scan of the events table with µs TimestampType `ts`.
+    * The timestamp unit is probed from the parquet footer via a batch
+    * read (same adaptive rule as [[graft.Tables]]): a LongType read means
+    * TIMESTAMP(NANOS) under the legacy conf → truncate to µs; a native
+    * TimestampType read streams through unchanged. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val physicalTs =
+      spark.read.parquet(sfDir + "/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsSchema(physicalTs))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    physicalTs match {
+      // TIMESTAMP(NANOS) read as long under the legacy conf → µs
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // TIMESTAMP(MICROS) without timezone → TimestampNTZ, which
+      // watermarks reject; the session zone is pinned UTC so the cast
+      // relabels without shifting the instant
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Runs a (bounded) streaming DataFrame to completion through a FILE
