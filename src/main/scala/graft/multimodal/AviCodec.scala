@@ -148,6 +148,9 @@ object AviCodec {
   /** Container-metadata probe — the `frame_reader.py:129-131` call set. */
   def probe(path: String): AviMeta = withRaf(path)(r => parseHeaders(r).meta)
 
+  // (the per-JVM probe cache lives in [[Containers.probeCached]], the
+  // format dispatcher the connector binds through)
+
   /** Positions of every video frame chunk (`NNdc`/`NNdb`), in stream
     * order, by walking the movi list's chunk HEADERS (payloads are
     * seek-skipped — this pass reads 8 bytes per chunk, never the frame

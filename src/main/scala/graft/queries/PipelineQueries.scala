@@ -238,6 +238,39 @@ object PipelineQueries {
       dir.toString
     }
 
+  /** Deterministic MJPEG/MP4 fixture for q89: 36 synthetic 32×24 JPEGs
+    * muxed through [[graft.multimodal.Mp4Codec]] into an ISO-BMFF
+    * container (ftyp + mdat + moov/stbl) — the reference's PRIMARY
+    * format (`frame_reader.py:116-155` opens `.mp4` first; AVI was the
+    * workaround). The scan goes through the same `graft-frames`
+    * connector as q85/q87; the oracle checks the stbl-derived metadata,
+    * the frame clock, and that every sample decoded to a full BGR
+    * buffer. */
+  private def mp4Fixture(s: SparkSession): String =
+    graft.Caches.memo(s, "mp4", "q89_fixture") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q89-mp4-")
+      graft.TempDirs.cleanupOnExit(dir)
+      val jpegs = (0 until 36).map { i =>
+        val img = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 24) {
+          var x = 0
+          while (x < 32) {
+            img.setRGB(x, y, ((x * 11 + y * 17 + i * 29) * 2654435761L).toInt & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        baos.toByteArray
+      }
+      val path = dir.resolve("q89.mp4").toString
+      graft.multimodal.Mp4Codec.writeMjpeg(path, jpegs, 32, 24, fps = 25)
+      path
+    }
+
   private val MinhashCandidatesSql =
     s"""$ShingleCte,
        |hb AS (SELECT doc_id, x % 1000000007 AS hb
@@ -463,6 +496,21 @@ object PipelineQueries {
       val dir = aviCorpusFixture(s)
       s.read.format("graft-frames")
         .option("path", dir).option("numPartitions", 4)
+        .load()
+        .select(col("frame_number"), col("ts_us"), col("width"), col("height"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy("frame_number")
+    },
+
+    // ISO-BMFF (MP4) container scan — the reference's PRIMARY format:
+    // the stbl sample tables (stsz/stco/stsc/stts) resolve every
+    // frame's byte range header-only, so the scan splits across frame
+    // ranges exactly like the AVI movi walk; MJPEG samples decode via
+    // ImageIO. Same connector, same schema, same oracle shape as q85.
+    "q89_mp4_container_scan" -> { (s, _) =>
+      val path = mp4Fixture(s)
+      s.read.format("graft-frames")
+        .option("path", path).option("numPartitions", 4)
         .load()
         .select(col("frame_number"), col("ts_us"), col("width"), col("height"),
           length(col("payload")).as("n_bytes"))
@@ -988,6 +1036,15 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(15) ORDER BY frame_number""".stripMargin,
+    // q89: stbl-derived metadata and frame clock are closed-form (36
+    // frames, 32x24, fps 25 exact from stts delta=1 against timescale
+    // 25); n_bytes asserts every MJPEG sample decoded to full BGR
+    "q89_mp4_container_scan" ->
+      """SELECT range AS frame_number,
+        |  1704067200000000 + range * 1000000 // 25 AS ts_us,
+        |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+        |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
+        |FROM range(36) ORDER BY frame_number""".stripMargin,
     // q85: the container's probe metadata and frame clock are closed-form
     // (48 frames, 32x24, fps 24 exact from strh); n_bytes asserts the
     // decode produced a full 3-channel BGR buffer per frame

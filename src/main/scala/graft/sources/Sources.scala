@@ -113,10 +113,10 @@ object Sources {
     spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
 
   /** S4 dispatch (`frame_reader.py:208-221`): `stream://` prefix →
-    * unbounded, directory → binary image scan, `.avi` file → real
-    * container decode through the `graft-frames` connector (the
-    * reference's file → `VideoReader` arm), other file → batch columnar
-    * read. */
+    * unbounded, directory → binary image scan, container file
+    * (.avi/.mp4/.m4v/.mov) → real container decode through the
+    * `graft-frames` connector (the reference's file → `VideoReader`
+    * arm), other file → batch columnar read. */
   def open(spark: SparkSession, uri: String): DataFrame = {
     if (uri.startsWith("stream://")) {
       val dir = uri.stripPrefix("stream://")
@@ -126,7 +126,7 @@ object Sources {
     } else {
       val f = new java.io.File(uri)
       if (f.isDirectory) imageDir(spark, uri)
-      else if (uri.toLowerCase.endsWith(".avi"))
+      else if (graft.multimodal.Containers.isContainer(uri))
         spark.read.format("graft-frames").option("path", uri).load()
       else {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
