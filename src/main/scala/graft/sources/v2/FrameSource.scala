@@ -101,7 +101,7 @@ object FrameSource {
               val sc = org.apache.spark.sql.SparkSession.active.sparkContext
               val byPath = sc
                 .parallelize(paths, math.min(paths.length, 64))
-                .map(p => (p, graft.multimodal.Containers.probe(p)))
+                .map(p => (p, graft.multimodal.Containers.probeCached(p)))
                 .collect().toMap
               paths.map(byPath)
             } else paths.map(graft.multimodal.Containers.probeCached)

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.{AviCodec, Mp4Codec}
+
+/** The many-container corpus shape (VERDICT r7 item 4): a directory of
+  * ~100 mixed AVI/MP4 containers must scan as one relation with a dense
+  * global frame index, plan through the DISTRIBUTED probe path (the
+  * file count is past [[graft.sources.v2.FrameSource.DistributedProbeThreshold]]),
+  * and decode every frame of every file — the 100 TB video layout is
+  * exactly this, wider. */
+class ContainerCorpusSpec extends SparkSpec {
+
+  private def jpeg(seed: Int): Array[Byte] = {
+    val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 5 + y * 9 + seed * 23) * 2654435761L).toInt & 0xffffff)
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  test("a 100-file mixed AVI/MP4 corpus scans as one dense relation via the distributed probe") {
+    assert(100 >= graft.sources.v2.FrameSource.DistributedProbeThreshold,
+      "fixture must exercise the Spark-job probe path")
+    val dir = Files.createTempDirectory("graft_corpus100")
+    graft.TempDirs.cleanupOnExit(dir)
+    // file i holds (i % 3) + 1 frames; alternate formats so the binary
+    // search + per-file codec dispatch both cross format boundaries
+    val frameCounts = (0 until 100).map(i => (i % 3) + 1)
+    var seed = 0
+    frameCounts.zipWithIndex.foreach { case (n, i) =>
+      val frames = (0 until n).map { _ => seed += 1; jpeg(seed) }
+      val path = dir.resolve(f"clip_$i%03d.${if (i % 2 == 0) "avi" else "mp4"}")
+      if (i % 2 == 0) AviCodec.writeMjpeg(path.toString, frames, 16, 12, 30)
+      else Mp4Codec.writeMjpeg(path.toString, frames, 16, 12, 30)
+    }
+    val total = frameCounts.sum.toLong
+
+    val df = spark.read.format("graft-frames")
+      .option("path", dir.toString).option("numPartitions", 8)
+      .load()
+    // dense global index across all 100 files, every frame decoded
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      min("frame_number").as("lo"),
+      max("frame_number").as("hi"),
+      countDistinct("frame_number").as("distinct"),
+      sum(when(length(col("payload")) === 16 * 12 * 3, 1).otherwise(0)).as("decoded"))
+      .head()
+    assert(agg.getLong(0) === total)
+    assert(agg.getLong(1) === 0L)
+    assert(agg.getLong(2) === total - 1)
+    assert(agg.getLong(3) === total, "frame_number must be globally dense")
+    assert(agg.getLong(4) === total, "every frame of every container must decode")
+
+    // metadata-only projection plans without touching any payload: it
+    // must return the same count instantly even if a container were
+    // undecodable (column pruning reaches the reader)
+    assert(df.select("frame_number", "ts_us").count() === total)
+  }
+}
