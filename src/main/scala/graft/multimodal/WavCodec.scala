@@ -74,7 +74,8 @@ object WavCodec {
           u32(in) // byte rate
           blockAlign = u16(in)
           bits = u16(in)
-          require(bits == 8 || bits == 16, s"only 8/16-bit PCM ($bits)")
+          require(bits == 8 || bits == 16 || bits == 24,
+            s"only 8/16/24-bit PCM ($bits)")
           val skip = size - 16
           if (skip > 0) in.skipBytes(skip + (size & 1))
           remaining -= size + (size & 1)
@@ -96,24 +97,39 @@ object WavCodec {
   def probe(bytes: Array[Byte]): WavMeta = parse(bytes).meta
 
   /** Decode to interleaved integer samples: 16-bit → signed [-32768,
-    * 32767]; 8-bit (unsigned on the wire) → centered [-128, 127]. Exact
-    * integers end to end. */
+    * 32767]; 24-bit → signed [-8388608, 8388607] (3 bytes LE,
+    * sign-extended); 8-bit (unsigned on the wire) → centered [-128,
+    * 127]. Exact integers end to end; channels stay interleaved like
+    * the wire format — `idx % channels` is the channel, `idx div
+    * channels` the frame, which is how q90 deinterleaves relationally
+    * instead of in the UDF. */
   def samples(bytes: Array[Byte]): Array[Int] = {
     val p = parse(bytes)
     val d = p.data
-    if (p.meta.bitsPerSample == 16) {
-      val out = new Array[Int](d.length / 2)
-      var i = 0
-      while (i < out.length) {
-        out(i) = ((d(2 * i) & 0xff) | (d(2 * i + 1) << 8)).toShort.toInt
-        i += 1
-      }
-      out
-    } else {
-      val out = new Array[Int](d.length)
-      var i = 0
-      while (i < out.length) { out(i) = (d(i) & 0xff) - 128; i += 1 }
-      out
+    p.meta.bitsPerSample match {
+      case 16 =>
+        val out = new Array[Int](d.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((d(2 * i) & 0xff) | (d(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        out
+      case 24 =>
+        val out = new Array[Int](d.length / 3)
+        var i = 0
+        while (i < out.length) {
+          // << 8 >> 8 sign-extends bit 23 through the int
+          out(i) = (((d(3 * i) & 0xff) | ((d(3 * i + 1) & 0xff) << 8) |
+            ((d(3 * i + 2) & 0xff) << 16)) << 8) >> 8
+          i += 1
+        }
+        out
+      case _ =>
+        val out = new Array[Int](d.length)
+        var i = 0
+        while (i < out.length) { out(i) = (d(i) & 0xff) - 128; i += 1 }
+        out
     }
   }
 
@@ -130,9 +146,30 @@ object WavCodec {
     c => f(c)
   }
 
-  /** PCM16 mono writer (fixtures + the audio face of media sinks). */
-  def writePcm16Mono(samples: Array[Int], sampleRate: Int): Array[Byte] = {
-    val dataLen = samples.length * 2
+  /** Column probe: binary → struct(channels, sample_rate, bits,
+    * n_frames), NULL when not decodable PCM — the metadata face a
+    * corpus query joins against before paying for sample decode. */
+  val metaUdf: Column => Column = {
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) None
+      else try Some(probe(bytes)) catch {
+        case _: IllegalArgumentException | _: java.io.IOException |
+             _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+      })
+    c => f(c)
+  }
+
+  /** Interleaved PCM writer, 16- or 24-bit, any channel count
+    * (fixtures + the audio face of media sinks). `samples` is
+    * wire-ordered: frame-major, channel-minor. */
+  def writePcm(samples: Array[Int], sampleRate: Int, channels: Int,
+               bits: Int): Array[Byte] = {
+    require(channels > 0, "channels must be positive")
+    require(bits == 16 || bits == 24, s"writer emits 16/24-bit PCM, got $bits")
+    require(samples.length % channels == 0,
+      s"${samples.length} interleaved samples do not fill $channels-channel frames")
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
     val out = new java.io.ByteArrayOutputStream(44 + dataLen)
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Long): Unit = {
@@ -140,17 +177,28 @@ object WavCodec {
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val blockAlign = channels * bytesPer
     tag("RIFF"); le32(36L + dataLen); tag("WAVE")
     tag("fmt "); le32(16)
-    le16(1); le16(1)              // PCM, mono
+    le16(1); le16(channels)
     le32(sampleRate)
-    le32(sampleRate.toLong * 2)   // byte rate
-    le16(2); le16(16)             // block align, bits
+    le32(sampleRate.toLong * blockAlign) // byte rate
+    le16(blockAlign); le16(bits)
     tag("data"); le32(dataLen)
-    samples.foreach { s =>
-      require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s out of 16-bit range")
-      le16(s & 0xffff)
-    }
+    if (bits == 16)
+      samples.foreach { s =>
+        require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s out of 16-bit range")
+        le16(s & 0xffff)
+      }
+    else
+      samples.foreach { s =>
+        require(s >= -(1 << 23) && s < (1 << 23), s"sample $s out of 24-bit range")
+        out.write(s & 0xff); out.write((s >> 8) & 0xff); out.write((s >> 16) & 0xff)
+      }
     out.toByteArray
   }
+
+  /** PCM16 mono writer (the q88 fixture shape). */
+  def writePcm16Mono(samples: Array[Int], sampleRate: Int): Array[Byte] =
+    writePcm(samples, sampleRate, channels = 1, bits = 16)
 }

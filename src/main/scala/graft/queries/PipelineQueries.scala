@@ -271,6 +271,25 @@ object PipelineQueries {
       path
     }
 
+  /** Deterministic WAV-corpus fixture for q90: a DIRECTORY of three
+    * stereo 24-bit PCM files (4000 frames each, closed-form samples) —
+    * the audio analog of the q87 container corpus. Scanned through the
+    * binaryFile source, so the decode runs executor-side per file. */
+  private def wavCorpusFixture(s: SparkSession): String =
+    graft.Caches.memo(s, "wav", "q90_fixture") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q90-wav-")
+      graft.TempDirs.cleanupOnExit(dir)
+      (0 until 3).foreach { d =>
+        val interleaved = Array.tabulate(4000 * 2) { idx =>
+          val f = idx / 2; val c = idx % 2
+          ((f * 131 + c * 977 + d * 499) % 3000001) - 1500000
+        }
+        java.nio.file.Files.write(dir.resolve(s"doc_$d.wav"),
+          graft.multimodal.WavCodec.writePcm(interleaved, 16000, channels = 2, bits = 24))
+      }
+      dir.toString
+    }
+
   private val MinhashCandidatesSql =
     s"""$ShingleCte,
        |hb AS (SELECT doc_id, x % 1000000007 AS hb
@@ -538,6 +557,37 @@ object PipelineQueries {
           sum(col("sample") * col("sample")).as("energy"),
           max(abs(col("sample"))).as("peak"))
         .orderBy("doc_id", "window_id")
+    },
+
+    // The audio CORPUS face (VERDICT r7 item 5): a directory of stereo
+    // 24-bit WAVs scans through binaryFile, the fmt-chunk probe gives
+    // each file's channel count, and deinterleaving is RELATIONAL —
+    // channel = idx % channels, frame = idx div channels over the
+    // wire-ordered sample array — so per-(doc, channel, window) energy
+    // is plain groupBy, no per-channel UDF pass. 24-bit squares exceed
+    // Int range, hence the cast-to-long before the multiply (ANSI mode
+    // would throw on overflow, rightly).
+    "q90_wav_corpus_channels" -> { (s, _) =>
+      val dir = wavCorpusFixture(s)
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav").load(dir)
+      bin.select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
+          col("content"))
+        .withColumn("channels",
+          graft.multimodal.WavCodec.metaUdf(col("content")).getField("channels"))
+        .select(col("doc_id"), col("channels"),
+          posexplode(graft.multimodal.WavCodec.samplesUdf(col("content")))
+            .as(Seq("idx", "sample")))
+        .select(col("doc_id"),
+          (col("idx") % col("channels")).cast("long").as("channel"),
+          expr("CAST((idx div channels) div 1000 AS BIGINT)").as("window_id"),
+          col("sample").cast("long").as("sample"))
+        .groupBy("doc_id", "channel", "window_id")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("sample") * col("sample")).as("energy"),
+          max(abs(col("sample"))).cast("int").as("peak"))
+        .orderBy("doc_id", "channel", "window_id")
     },
 
     // The same connector, unbounded: keyframe sampling over the
@@ -1036,6 +1086,20 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(15) ORDER BY frame_number""".stripMargin,
+    // q90: the stereo 24-bit samples are a closed-form integer
+    // sequence; the hash match proves the 3-byte sign-extension, the
+    // channel deinterleave, and the directory scan all bit-exact
+    "q90_wav_corpus_channels" ->
+      """WITH s AS (
+        |  SELECT d.range AS doc_id, f.range AS frame, c.range AS channel,
+        |    ((f.range * 131 + c.range * 977 + d.range * 499) % 3000001) - 1500000 AS smp
+        |  FROM range(3) d, range(4000) f, range(2) c)
+        |SELECT doc_id, channel, CAST(frame // 1000 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+        |  CAST(max(abs(smp)) AS INTEGER) AS peak
+        |FROM s GROUP BY doc_id, channel, window_id
+        |ORDER BY doc_id, channel, window_id""".stripMargin,
     // q89: stbl-derived metadata and frame clock are closed-form (36
     // frames, 32x24, fps 25 exact from stts delta=1 against timescale
     // 25); n_bytes asserts every MJPEG sample decoded to full BGR

@@ -45,6 +45,44 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === kept)
   }
 
+  test("streaming audio: a growing WAV directory decodes through an unbounded binaryFile scan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_wav_stream")
+    graft.TempDirs.cleanupOnExit(dir)
+    (0 until 4).foreach { d =>
+      val samples = Array.tabulate(600)(i => ((i * 73 + d * 131) % 4001) - 2000)
+      Files.write(dir.resolve(s"doc_$d.wav"),
+        WavCodec.writePcm16Mono(samples, 8000))
+    }
+    // the S3 audio face: same decode UDFs, unbounded source — per-file
+    // sample counts and peaks arrive as the directory grows
+    // binaryFile's fixed schema, stated explicitly — streaming sources
+    // don't infer (and for binaryFile there is nothing to infer anyway)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.format("binaryFile").schema(binarySchema)
+      .option("pathGlobFilter", "*.wav").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
+        WavCodec.samplesUdf(col("content")).as("samples"))
+      .select(col("doc_id"), size(col("samples")).as("n_samples"),
+        aggregate(transform(col("samples"), s => abs(s)),
+          lit(0), (acc, x) => greatest(acc, x)).as("peak"))
+    val out = graft.streaming.EventStreams.drainToFiles(stream, "append")
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length === 4)
+    out.zipWithIndex.foreach { case (r, d) =>
+      assert(r.getLong(0) === d.toLong)
+      assert(r.getInt(1) === 600)
+      val expectedPeak = (0 until 600).map(i => math.abs(((i * 73 + d * 131) % 4001) - 2000)).max
+      assert(r.getInt(2) === expectedPeak, s"doc $d peak")
+    }
+  }
+
   test("U1/U2 on a REAL container: seeded segment split, stream-copy, reassembly round-trip") {
     import org.apache.spark.sql.functions._
     import graft.operators.Segments

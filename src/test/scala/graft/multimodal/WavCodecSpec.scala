@@ -32,6 +32,33 @@ class WavCodecSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(-128, 0, 127, -64), "8-bit samples center at wire-value - 128")
   }
 
+  test("stereo 24-bit round-trip: sign extension and interleave order bit-exact") {
+    // spans the full 24-bit signed range, including both extremes and
+    // values whose bit 23 is set (the sign-extension path)
+    val frames = 300
+    val interleaved = Array.tabulate(frames * 2) { idx =>
+      val f = idx / 2; val c = idx % 2
+      if (f == 0 && c == 0) -(1 << 23)
+      else if (f == 0 && c == 1) (1 << 23) - 1
+      else ((f * 52361 + c * 977) % 16000001) - 8000000
+    }
+    val bytes = WavCodec.writePcm(interleaved, 48000, channels = 2, bits = 24)
+    val m = WavCodec.probe(bytes)
+    assert(m.channels === 2 && m.sampleRate === 48000)
+    assert(m.bitsPerSample === 24 && m.nFrames === frames.toLong)
+    assert(WavCodec.samples(bytes).toSeq === interleaved.toSeq,
+      "every 24-bit sample must round-trip exactly, channels interleaved")
+  }
+
+  test("writer rejects out-of-range samples and ragged channel fill") {
+    assertThrows[IllegalArgumentException](
+      WavCodec.writePcm(Array(1 << 23), 8000, 1, 24))
+    assertThrows[IllegalArgumentException](
+      WavCodec.writePcm(Array(Short.MaxValue + 1), 8000, 1, 16))
+    assertThrows[IllegalArgumentException](
+      WavCodec.writePcm(Array(1, 2, 3), 8000, 2, 16))
+  }
+
   test("unknown chunks before fmt/data are skipped") {
     val samples = Array.tabulate(10)(_ * 100)
     val canonical = WavCodec.writePcm16Mono(samples, 8000)
