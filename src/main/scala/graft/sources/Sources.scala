@@ -112,13 +112,16 @@ object Sources {
              schema: org.apache.spark.sql.types.StructType, glob: String = "*"): DataFrame =
     spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
 
-  /** S4 dispatch (`frame_reader.py:208-221`): `stream://` prefix →
-    * unbounded, directory → binary image scan, container file
-    * (.avi/.mp4/.m4v/.mov) → real container decode through the
-    * `graft-frames` connector (the reference's file → `VideoReader`
-    * arm), other file → batch columnar read. */
+  /** S4 dispatch (`frame_reader.py:208-221`): `rtsp://` → the network
+    * RTP client (the reference's `rtsp` arm, `frame_reader.py:214`),
+    * `stream://` prefix → unbounded file scan, directory → binary image
+    * scan, container file (.avi/.mp4/.m4v/.mov) → real container decode
+    * through the `graft-frames` connector (the reference's file →
+    * `VideoReader` arm), other file → batch columnar read. */
   def open(spark: SparkSession, uri: String): DataFrame = {
-    if (uri.startsWith("stream://")) {
+    if (uri.startsWith("rtsp://")) {
+      spark.readStream.format("graft-rtsp").option("url", uri).load()
+    } else if (uri.startsWith("stream://")) {
       val dir = uri.stripPrefix("stream://")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.readStream.format("parquet")

@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Minimal localhost RTSP server for the `graft-rtsp` specs: answers
+  * OPTIONS/DESCRIBE/SETUP/PLAY/TEARDOWN and, after PLAY, streams its
+  * JPEG frames as interleaved RTP on channel 0 — fragmented to
+  * `fragmentSize`, marker bit on each frame's last fragment, 90 kHz
+  * timestamps at `fps`. Replays from frame 0 on every session
+  * (VOD-style), which is what makes checkpoint-restart at-least-once
+  * testable; `dropAfter` ends the data stream mid-play (socket close,
+  * no TEARDOWN) to exercise the stop-on-grab-fail path. */
+final class RtspTestServer(frames: Seq[Array[Byte]], fps: Int = 25,
+                           fragmentSize: Int = 700,
+                           dropAfter: Int = Int.MaxValue,
+                           interFrameDelayMs: Long = 0L) {
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  val port: Int = server.getLocalPort
+  def url = s"rtsp://127.0.0.1:$port/cam"
+  val sessionsServed = new AtomicInteger(0)
+
+  @volatile private var running = true
+  private val acceptor = new Thread(() => {
+    try while (running) serve(server.accept())
+    catch { case _: java.io.IOException => } // closed
+  }, s"rtsp-test-server-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    val t = new Thread(() => {
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      def readLine(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = in.read() }
+        sb.toString
+      }
+      def respond(cseq: String, extra: Seq[String] = Nil, body: String = ""): Unit = {
+        val bodyBytes = body.getBytes("US-ASCII")
+        val head = Seq(s"RTSP/1.0 200 OK", s"CSeq: $cseq") ++ extra ++
+          (if (bodyBytes.nonEmpty)
+            Seq("Content-Type: application/sdp", s"Content-Length: ${bodyBytes.length}")
+          else Nil)
+        out.write(head.mkString("", "\r\n", "\r\n\r\n").getBytes("US-ASCII"))
+        out.write(bodyBytes)
+        out.flush()
+      }
+      try {
+        var playing = false
+        var open = true
+        while (open && !playing) {
+          val requestLine = readLine()
+          if (requestLine.isEmpty) open = false
+          else {
+            val method = requestLine.takeWhile(_ != ' ')
+            var cseq = "0"
+            var line = readLine()
+            while (line.nonEmpty) {
+              if (line.toLowerCase.startsWith("cseq:")) cseq = line.drop(5).trim
+              line = readLine()
+            }
+            method match {
+              case "OPTIONS" =>
+                respond(cseq, Seq("Public: OPTIONS, DESCRIBE, SETUP, PLAY, TEARDOWN"))
+              case "DESCRIBE" =>
+                respond(cseq, body =
+                  "v=0\r\no=- 0 0 IN IP4 127.0.0.1\r\ns=graft test cam\r\n" +
+                  "m=video 0 RTP/AVP 26\r\na=control:track1\r\n")
+              case "SETUP" =>
+                respond(cseq, Seq("Session: 4242",
+                  "Transport: RTP/AVP/TCP;unicast;interleaved=0-1"))
+              case "PLAY" =>
+                respond(cseq, Seq("Session: 4242"))
+                playing = true
+              case "TEARDOWN" =>
+                respond(cseq); open = false
+              case _ => respond(cseq)
+            }
+          }
+        }
+        if (playing) {
+          sessionsServed.incrementAndGet()
+          var seq = 0
+          val n = math.min(frames.length, dropAfter)
+          (0 until n).foreach { f =>
+            val jpeg = frames(f)
+            val ts = f.toLong * 90000L / fps
+            var off = 0
+            while (off < jpeg.length) {
+              val len = math.min(fragmentSize, jpeg.length - off)
+              val last = off + len >= jpeg.length
+              val pkt = new Array[Byte](12 + len)
+              pkt(0) = 0x80.toByte // V=2
+              pkt(1) = (26 | (if (last) 0x80 else 0)).toByte // PT=JPEG, marker
+              pkt(2) = ((seq >> 8) & 0xff).toByte; pkt(3) = (seq & 0xff).toByte
+              pkt(4) = ((ts >> 24) & 0xff).toByte; pkt(5) = ((ts >> 16) & 0xff).toByte
+              pkt(6) = ((ts >> 8) & 0xff).toByte; pkt(7) = (ts & 0xff).toByte
+              // ssrc pkt(8..11) = 0
+              System.arraycopy(jpeg, off, pkt, 12, len)
+              out.write(0x24); out.write(0) // '$', channel 0
+              out.write((pkt.length >> 8) & 0xff); out.write(pkt.length & 0xff)
+              out.write(pkt)
+              out.flush()
+              seq = (seq + 1) & 0xffff
+              off += len
+            }
+            if (interFrameDelayMs > 0) Thread.sleep(interFrameDelayMs)
+          }
+        }
+      } catch { case _: java.io.IOException => }
+      finally { try sock.close() catch { case _: java.io.IOException => } }
+    }, s"rtsp-test-session-$port")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def close(): Unit = {
+    running = false
+    try server.close() catch { case _: java.io.IOException => }
+  }
+}

@@ -80,6 +80,16 @@ class SourcesSpec extends SparkSpec {
     assert(viaAvi.columns.toSeq ===
       Seq("frame_number", "ts_us", "width", "height", "fps", "payload"))
     assert(viaAvi.count() === 3L, "container branch decodes the real frame count")
+    // .mp4 file -> same connector through the ISO-BMFF codec
+    val mp4 = dir.resolve("clip.mp4").toString
+    graft.multimodal.Mp4Codec.writeMjpeg(mp4, Seq.fill(2)(baos.toByteArray), 8, 6, 10)
+    assert(Sources.open(spark, mp4).count() === 2L, "MP4 branch decodes via stbl")
+    // rtsp:// -> the unbounded network client (the reference's rtsp arm);
+    // plan-only here (RtspSourceSpec drives a real localhost session)
+    val viaRtsp = Sources.open(spark, "rtsp://127.0.0.1:1/cam")
+    assert(viaRtsp.isStreaming)
+    assert(viaRtsp.columns.toSeq ===
+      Seq("frame_number", "ts_us", "width", "height", "payload"))
   }
 
   test("graft_dot is callable from SQL after registration") {
