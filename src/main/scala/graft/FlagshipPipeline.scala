@@ -98,22 +98,55 @@ object FlagshipPipeline {
     runFromSource(spark, source, outDir, keyframeInterval, channels = 3)
   }
 
+  /** The full D1 fan-out over a CONTAINER CORPUS with a VIDEO record-all
+    * sink (VERDICT r7 item 6): the directory scans as one relation
+    * through the connector, and sink A re-muxes the decoded frames into
+    * partitioned AVI files via
+    * [[graft.multimodal.VideoSink.saveAviPartitioned]] — executor-side,
+    * contiguous frame runs per part, no driver funnel — instead of the
+    * parquet record-all. Raw (lossless) codec, so the saved video holds
+    * the exact BGR bytes the parquet sink would have; the spec pins
+    * count/bytes parity by scanning the parts back through the same
+    * connector. */
+  def runFromCorpus(spark: SparkSession, corpusDir: String, outDir: String,
+                    keyframeInterval: Int = EventStreams.KeyframeInterval,
+                    numParts: Int = 4): RunStats = {
+    val source = spark.read.format("graft-frames")
+      .option("path", corpusDir)
+      .option("numPartitions", numParts)
+      .load()
+      .select(col("frame_number"), col("ts_us"), col("payload"),
+        col("width").as("w"), col("height").as("h"))
+    runFromSource(spark, source, outDir, keyframeInterval, channels = 3,
+      recordAll = df => graft.multimodal.VideoSink.saveAviPartitioned(
+        df, s"$outDir/all_avi", codec = "raw", numParts = numParts))
+  }
+
   /** Source-agnostic flagship body: any (frame_number, ts_us, payload,
     * w, h) relation with row-major `channels`-interleaved byte payloads
     * fans out to both sinks. Dimensions are per-ROW (a directory of mixed
     * image sizes letterboxes each to the same square, like the
-    * reference). */
+    * reference). `recordAll` overrides sink A (the default parquet
+    * record-all) — the corpus face substitutes the partitioned video
+    * sink; it returns the frames-saved count. */
   private def runFromSource(spark: SparkSession, source0: org.apache.spark.sql.DataFrame,
                             outDir: String, keyframeInterval: Int,
-                            channels: Int): RunStats = {
+                            channels: Int,
+                            recordAll: org.apache.spark.sql.DataFrame => Long = null): RunStats = {
     import spark.implicits._
 
     val target = 64
     val source = source0.persist() // one decode pass, two consumers (main.py:109-134)
 
-    // sink A: record-all
-    source.select("frame_number", "ts_us", "payload")
-      .write.mode("overwrite").parquet(s"$outDir/all")
+    // sink A: record-all (parquet by default; the corpus face muxes
+    // partitioned video instead)
+    val framesSaved =
+      if (recordAll != null) recordAll(source)
+      else {
+        source.select("frame_number", "ts_us", "payload")
+          .write.mode("overwrite").parquet(s"$outDir/all")
+        spark.read.parquet(s"$outDir/all").count()
+      }
 
     // sampled branch: letterbox -> detect -> filter -> NMS -> send
     val letterboxUdf = udf((p: Array[Byte], w: Int, h: Int) =>
@@ -165,7 +198,7 @@ object FlagshipPipeline {
       .write.mode("overwrite").parquet(s"$outDir/sent")
 
     val stats = RunStats(
-      framesSaved = spark.read.parquet(s"$outDir/all").count(),
+      framesSaved = framesSaved,
       keyframes = source.filter(col("frame_number") % keyframeInterval === 0).count(),
       detectionsSent = spark.read.parquet(s"$outDir/sent").count())
     source.unpersist()

@@ -147,5 +147,26 @@ class FlagshipPipelineSpec extends SparkSpec {
     assert(sinkRows(outAvi, "all") === sinkRows(outDir, "all"),
       "corpus-directory ingest must be indistinguishable from the single container")
     assert(sentRows(outAvi) === sentRows(outDir))
+
+    // fourth face (VERDICT r7 item 6): the full fan-out over the same
+    // corpus with the record-all sink muxing PARTITIONED VIDEO through
+    // saveAviPartitioned instead of parquet — stats must agree with the
+    // S1/S2 runs, and scanning the emitted parts back through the
+    // connector must reproduce every decoded BGR payload byte-for-byte
+    // (raw codec = lossless)
+    val outVid = Files.createTempDirectory("graft_aviflag_outD").toString
+    val d = FlagshipPipeline.runFromCorpus(spark, corpus.toString, outVid,
+      keyframeInterval = 3, numParts = 3)
+    assert(d === b, "RunStats must agree when the record-all sink writes video")
+    val readBack = spark.read.format("graft-frames")
+      .option("path", s"$outVid/all_avi").load()
+      .select("frame_number", "payload").orderBy("frame_number").collect().toSeq
+    val original = spark.read.parquet(s"$outImg/all")
+      .select("frame_number", "payload").orderBy("frame_number").collect().toSeq
+    assert(readBack.map(_.getLong(0)) === original.map(_.getLong(0)),
+      "part AVIs must cover the same dense frame range")
+    assert(readBack.map(_.getAs[Array[Byte]](1).toSeq) ===
+      original.map(_.getAs[Array[Byte]](1).toSeq),
+      "video record-all holds the exact bytes the parquet record-all would")
   }
 }
