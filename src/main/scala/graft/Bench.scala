@@ -4,31 +4,50 @@ object Bench {
 
   /** The repo's bench-methodology load rule (established round 3,
     * whole-run since round 9): totals swing ~2× with host load, so a
-    * record whose 1-min loadavg is at or above this bound — at START,
-    * at END, or in the window of any kept measurement — does not measure
-    * the engine. BENCH_r06 was committed at start load 8.1, BENCH_r07 at
-    * end load 5.0, and BENCH_r08 at end load 4.2, each stamped clean
-    * (the r7/r8 guards only tested the start) — all misstated the engine
-    * by ~1.5× — hence [[isTainted]] is stamped onto the record by the
-    * harness rather than left to the reader's diligence. The bound
-    * accommodates the bench's OWN contribution: clean local[32] runs end
-    * at 1.9–2.7, so 3.0 separates self-load from external
-    * contamination. */
+    * record measured against a busy host does not measure the engine.
+    * BENCH_r06 was committed at start load 8.1, BENCH_r07 at end load
+    * 5.0, and BENCH_r08 at end load 4.2, each stamped clean (the r7/r8
+    * guards only tested the start) — all misstated the engine by ~1.5×
+    * — hence [[isTainted]] is stamped onto the record by the harness
+    * rather than left to the reader's diligence. This loadavg bound
+    * governs the START window, where the bench is idle and loadavg
+    * measures the host; mid-run and end windows use
+    * [[MaxExternalBusy]], because there loadavg measures mostly the
+    * bench itself. */
   val MaxLoad = 3.0
 
   /** True when a single load sample violates the rule. `>=` (not `>`):
-    * the rule is "load < 3". */
+    * the rule is "load < 3". Applies where the bench is IDLE (the start
+    * window): there, loadavg measures the host. */
   def isTainted(load: Double): Boolean = load >= MaxLoad
+
+  /** Mid-run/end windows use a different signal: loadavg cannot
+    * separate the bench's OWN 32-thread bursts from contamination — an
+    * empirically clean run (start 0.73, zero external processes) ends
+    * its 90-query tail at 1-min loadavg ~5, so a loadavg bound there
+    * taints every honest run. The EXTERNAL CPU SHARE (whole-system CPU
+    * minus this JVM's CPU, both from the platform MXBean) is ~0 on a
+    * quiet host regardless of self-load and rises exactly when another
+    * process competes for the cores that swing the numbers. A kept
+    * window is hot when not-us CPU exceeds this fraction of all cores
+    * (0.10 = ~3 of 32 cores — the same order as the loadavg-3 rule). */
+  val MaxExternalBusy = 0.10
+
+  /** True when a measurement window's external CPU share violates the
+    * rule. */
+  def isHotWindow(externalBusy: Double): Boolean = externalBusy >= MaxExternalBusy
 
   /** Whole-run taint verdict (VERDICT r7 item 1, wired into the stamp in
     * round 9 — ADVICE r8 found the r8 version dead code): the record is
-    * tainted when the start OR end window was hot, or when any
-    * measurement that survived into the committed numbers (a query rep
-    * after retries, or a shared-relation build, which cannot be retried
-    * because a rebuild would time the already-warm cache) ran in a hot
-    * window. */
-  def isTainted(loadStart: Double, loadEnd: Double, anyKeptRepHot: Boolean): Boolean =
-    isTainted(loadStart) || isTainted(loadEnd) || anyKeptRepHot
+    * tainted when the idle start window was hot (loadavg rule), when the
+    * end window saw external CPU (share rule), or when any measurement
+    * that survived into the committed numbers (a query rep after
+    * retries, or a shared-relation build, which cannot be retried
+    * because a rebuild would time the already-warm cache) ran against
+    * external CPU. */
+  def isTainted(loadStart: Double, endExternalBusy: Double,
+                anyKeptRepHot: Boolean): Boolean =
+    isTainted(loadStart) || isHotWindow(endExternalBusy) || anyKeptRepHot
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,15 +84,28 @@ object Bench {
         "[bench] WARNING: starting at load %.2f (rule: < %.1f) - record will be stamped tainted",
         Double.box(loadStart), Double.box(MaxLoad)))
     // Whole-run taint inputs (ADVICE r8 high/medium): every kept
-    // measurement is bracketed by loadavg samples; a measurement is HOT
-    // when either side of its window violates the rule. Hot query reps
-    // are re-run out of a bounded global retry budget (the retried
-    // measurement replaces the hot one — same warm-cache conditions as
-    // any rep 2..n); hot reps that exhaust the budget, and hot
-    // shared-relation builds (un-retryable: a rebuild times the warm
-    // cache), set anyKeptRepHot and taint the record.
+    // measurement's window is closed by an EXTERNAL-CPU-share sample
+    // (see MaxExternalBusy — loadavg would flag the bench's own
+    // bursts). Hot query reps are re-run out of a bounded global retry
+    // budget (the retried measurement replaces the hot one — same
+    // warm-cache conditions as any rep 2..n); hot reps that exhaust the
+    // budget, and hot shared-relation builds (un-retryable: a rebuild
+    // times the warm cache), set anyKeptRepHot and taint the record.
     var anyKeptRepHot = false
+    var maxKeptExternal = 0.0
     var retriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "12").toInt
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // CPU share of everything that is NOT this JVM, over the interval
+    // since the previous call (the MXBean computes tick deltas between
+    // calls — one call per window boundary tiles the run exactly)
+    def externalBusy(): Double = {
+      val sysLoad = osBean.getCpuLoad
+      val selfLoad = osBean.getProcessCpuLoad
+      if (sysLoad.isNaN || selfLoad.isNaN || sysLoad < 0 || selfLoad < 0) 0.0
+      else math.max(0.0, sysLoad - selfLoad)
+    }
+    externalBusy() // prime the MXBean's tick counters
     val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -114,7 +146,7 @@ object Bench {
     // sorts) so their cost structure stays visible on the record; the
     // summed number keeps the r3 JSON contract.
     def timed(f: => Unit): Double = {
-      val pre = loadAvg()
+      externalBusy() // close the preceding window; this build starts fresh
       val t0 = System.nanoTime()
       val t =
         try { f; (System.nanoTime() - t0) / 1e9 }
@@ -122,7 +154,11 @@ object Bench {
           System.err.println(s"[bench] shared-relation build failed: ${e.getMessage}")
           -1.0
         } finally Caches.releaseScoped()
-      if (t >= 0 && (isTainted(pre) || isTainted(loadAvg()))) anyKeptRepHot = true
+      val ext = externalBusy()
+      if (t >= 0 && isHotWindow(ext)) {
+        anyKeptRepHot = true
+        maxKeptExternal = math.max(maxKeptExternal, ext)
+      }
       t
     }
     val sharedTrio = timed(graft.queries.PipelineQueries.warmSharedRelations(spark, sfDir))
@@ -136,9 +172,9 @@ object Bench {
       else sharedTrio + sharedDense + sharedBuckets + sharedParts + sharedIvf
     val runs: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        // one measurement: (seconds or -1, ranHot)
-        def rep(): (Double, Boolean) = {
-          val pre = loadAvg()
+        // one measurement: (seconds or -1, external CPU share in window)
+        def rep(): (Double, Double) = {
+          externalBusy() // close the preceding window
           val t0 = System.nanoTime()
           val t =
             try {
@@ -148,16 +184,19 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               -1.0
             } finally Caches.releaseScoped()
-          (t, isTainted(pre) || isTainted(loadAvg()))
+          (t, externalBusy())
         }
         val times = (1 to reps).map { _ =>
-          var (t, hot) = rep()
-          while (t >= 0 && hot && retriesLeft > 0) {
+          var (t, ext) = rep()
+          while (t >= 0 && isHotWindow(ext) && retriesLeft > 0) {
             retriesLeft -= 1
-            System.err.println(s"[bench] $name rep ran hot - retrying ($retriesLeft retries left)")
-            val r = rep(); t = r._1; hot = r._2
+            System.err.println(f"[bench] $name rep saw ${ext * 100}%.0f%% external CPU - retrying ($retriesLeft retries left)")
+            val r = rep(); t = r._1; ext = r._2
           }
-          if (t >= 0 && hot) anyKeptRepHot = true
+          if (t >= 0 && isHotWindow(ext)) {
+            anyKeptRepHot = true
+            maxKeptExternal = math.max(maxKeptExternal, ext)
+          }
           t
         }
         name -> times
@@ -208,14 +247,15 @@ object Bench {
     val failed = med.values.count(_ < 0) + (if (sharedBuild < 0) 1 else 0)
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val loadEnd = loadAvg()
+    val extEnd = externalBusy()
     // the stamp is computed AFTER the run so it reflects the whole
     // window — an end-hot or mid-hot run can no longer go on record as
     // clean (the BENCH_r07/r08 failure mode)
-    val tainted = isTainted(loadStart, loadEnd, anyKeptRepHot)
+    val tainted = isTainted(loadStart, extEnd, anyKeptRepHot)
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()
   }

@@ -3,17 +3,22 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench record's load-taint contract (VERDICT r6 item 1, whole-run
-  * since round 9): a record whose 1-min loadavg violates the repo's
-  * load<3 methodology in ANY kept window — start, end, or a surviving
-  * measurement — must carry `"tainted": true` so it can't be read as a
-  * real regression. BENCH_r06 went on record at start load 8.1,
-  * BENCH_r07 at end load 5.0, and BENCH_r08 at end load 4.2, each
-  * stamped clean under the start-only guard — this pins the rule the
-  * guard enforces.
+  * since round 9): a record measured against a busy host must carry
+  * `"tainted": true` so it can't be read as a real regression. Two
+  * signals, matched to what each window can observe:
+  *
+  *  - START (bench idle): 1-min loadavg < 3 — loadavg measures the
+  *    host there. BENCH_r06 went on record at start load 8.1.
+  *  - mid-run / END (bench busy): EXTERNAL CPU share < 10% of all
+  *    cores — loadavg there measures mostly the bench's own 32-thread
+  *    bursts (an empirically clean run ends its 90-query tail at
+  *    loadavg ~5), while not-us CPU stays ~0 on a quiet host.
+  *    BENCH_r07/r08 were end-hot with real external noise and stamped
+  *    clean under the start-only guard.
   */
 class BenchGuardSpec extends AnyFunSuite {
 
-  test("the load rule is load < 3: boundary and representative values") {
+  test("the start rule is loadavg < 3: boundary and representative values") {
     assert(!Bench.isTainted(0.0))
     assert(!Bench.isTainted(0.73)) // the r6 judge's clean re-run start
     assert(!Bench.isTainted(2.99))
@@ -21,18 +26,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.isTainted(8.13)) // the committed BENCH_r06 start load
   }
 
-  test("the whole-run verdict taints on start OR end OR a kept-hot measurement") {
-    assert(!Bench.isTainted(2.0, 2.9, false), "clean everywhere: untainted")
-    assert(Bench.isTainted(5.0, 2.0, false), "hot start alone taints")
-    assert(Bench.isTainted(2.0, 5.0, false),
-      "hot end alone taints - the BENCH_r07/r08 failure mode")
-    assert(Bench.isTainted(2.0, 2.0, true),
-      "a hot measurement surviving retries taints even with clean endpoints")
-    assert(Bench.isTainted(3.0, 2.0, false), "start boundary is >= like the single-sample rule")
-    assert(Bench.isTainted(2.0, 3.0, false), "end boundary is >= like the single-sample rule")
+  test("the window rule is external CPU share < 10%: boundary and representative values") {
+    assert(!Bench.isHotWindow(0.0))
+    assert(!Bench.isHotWindow(0.02), "log-pumping sbt parent stays under the bound")
+    assert(!Bench.isHotWindow(0.099))
+    assert(Bench.isHotWindow(0.10), ">= at the boundary")
+    assert(Bench.isHotWindow(0.5), "a concurrent verify/driver run is unmistakable")
   }
 
-  test("MaxLoad is the documented methodology bound") {
+  test("the whole-run verdict taints on hot start OR hot end OR a kept-hot measurement") {
+    assert(!Bench.isTainted(2.0, 0.05, false), "clean everywhere: untainted")
+    assert(Bench.isTainted(5.0, 0.0, false), "hot start alone taints")
+    assert(Bench.isTainted(2.0, 0.4, false),
+      "external CPU in the end window alone taints - the BENCH_r07/r08 failure mode")
+    assert(Bench.isTainted(2.0, 0.0, true),
+      "a hot measurement surviving retries taints even with clean endpoints")
+    assert(Bench.isTainted(3.0, 0.0, false), "start boundary is >= like the single-sample rule")
+    assert(Bench.isTainted(2.0, 0.10, false), "end boundary is >= like the window rule")
+  }
+
+  test("the documented methodology bounds") {
     assert(Bench.MaxLoad === 3.0)
+    assert(Bench.MaxExternalBusy === 0.10)
   }
 }
