@@ -46,8 +46,11 @@ object WavCodec {
 
   /** RIFF/WAVE chunk walk over in-memory bytes (audio blobs live in a
     * binary COLUMN; a table of them decodes row-parallel). Throws on
-    * non-WAVE input or non-PCM encodings — unreadable, loudly. */
-  private def parse(bytes: Array[Byte]): Parsed = {
+    * non-WAVE input or non-PCM encodings — unreadable, loudly.
+    * `needData=false` walks headers only — [[probe]] must not pay a
+    * full data-chunk copy per blob (a corpus metadata pass would
+    * otherwise cost as much allocation as the decode pass). */
+  private def parse(bytes: Array[Byte], needData: Boolean = true): Parsed = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     require(fourcc(in) == "RIFF", "not a RIFF container")
     u32(in)
@@ -61,7 +64,8 @@ object WavCodec {
     // >= 8: a zero-byte data chunk (empty audio) is exactly 8 trailing
     // header bytes — `> 8` missed it (found by WavCodecProps' empty-
     // vector case)
-    while (remaining >= 8 && (data == null || channels == 0)) {
+    var dataLen = -1L
+    while (remaining >= 8 && (dataLen < 0 || channels == 0)) {
       val id = fourcc(in)
       val size = u32(in).toInt
       remaining -= 8
@@ -80,8 +84,11 @@ object WavCodec {
           if (skip > 0) in.skipBytes(skip + (size & 1))
           remaining -= size + (size & 1)
         case "data" =>
-          data = new Array[Byte](size)
-          in.readFully(data)
+          dataLen = size.toLong
+          if (needData) {
+            data = new Array[Byte](size)
+            in.readFully(data)
+          } else in.skipBytes(size + (size & 1))
           remaining -= size + (size & 1)
         case _ =>
           in.skipBytes(size + (size & 1))
@@ -89,12 +96,12 @@ object WavCodec {
       }
     }
     require(channels > 0, "WAVE has no fmt chunk")
-    require(data != null, "WAVE has no data chunk")
-    Parsed(WavMeta(channels, rate, bits, data.length.toLong / blockAlign), data)
+    require(dataLen >= 0, "WAVE has no data chunk")
+    Parsed(WavMeta(channels, rate, bits, dataLen / blockAlign), data)
   }
 
-  /** Container probe over payload bytes. */
-  def probe(bytes: Array[Byte]): WavMeta = parse(bytes).meta
+  /** Container probe over payload bytes — header-only, no data copy. */
+  def probe(bytes: Array[Byte]): WavMeta = parse(bytes, needData = false).meta
 
   /** Decode to interleaved integer samples: 16-bit → signed [-32768,
     * 32767]; 24-bit → signed [-8388608, 8388607] (3 bytes LE,
