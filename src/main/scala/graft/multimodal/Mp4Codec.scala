@@ -255,29 +255,18 @@ object Mp4Codec {
     b.u32(0).u32(0).u32(0x40000000L)
   }
 
-  /** Muxes JPEG frames into a minimal, spec-shaped MP4: `ftyp` + `mdat`
-    * (concatenated samples) + `moov` with one video trak whose stbl uses
-    * one chunk per sample (stsc `{1,1,1}`, stco = per-sample offsets) —
-    * the simplest layout every ISO-BMFF reader accepts. `codecFourcc`
-    * defaults to `jpeg` (Photo-JPEG-in-MP4, ImageIO-decodable);
-    * passing `avc1` produces the metadata-only H.264 shape the probe
-    * and index paths must still walk. fps is the mdhd timescale with
-    * per-sample delta 1, so the parsed fps is exact. */
-  def writeMjpeg(path: String, frames: Seq[Array[Byte]], width: Int, height: Int,
-                 fps: Int, codecFourcc: String = "jpeg"): Unit = {
-    require(frames.nonEmpty, "MP4 fixture needs at least one frame")
-    require(fps > 0, "fps must be positive")
-    require(codecFourcc.length == 4, s"codec fourcc must be 4 chars: '$codecFourcc'")
-    val ftyp = box("ftyp") { b =>
-      b.ascii("isom").u32(0x200L).ascii("isom").ascii("iso2").ascii("mp41")
-    }
-    // mdat payload starts after ftyp + mdat's own 8-byte header
-    val mdatStart = ftyp.length + 8L
-    val offsets = frames.scanLeft(mdatStart)((off, f) => off + f.length).init
-    val mdat = box("mdat")(b => frames.foreach(f => b.bytes(f)))
-    val nFrames = frames.length
-    val duration = nFrames.toLong // timescale = fps, delta = 1
+  private def ftypBytes: Array[Byte] = box("ftyp") { b =>
+    b.ascii("isom").u32(0x200L).ascii("isom").ascii("iso2").ascii("mp41")
+  }
 
+  /** The whole `moov` tree for one video trak whose stbl uses one chunk
+    * per sample (stsc `{1,1,1}`, stco = per-sample absolute offsets) —
+    * the simplest layout every ISO-BMFF reader accepts. fps is the mdhd
+    * timescale with per-sample delta 1, so the parsed fps is exact. */
+  private def moovBytes(width: Int, height: Int, fps: Int, codecFourcc: String,
+                        sizes: Seq[Int], offsets: Seq[Long]): Array[Byte] = {
+    val nFrames = sizes.length
+    val duration = nFrames.toLong // timescale = fps, delta = 1
     val stbl = box("stbl") { b =>
       b.bytes(box("stsd") { s =>
         s.u32(0).u32(1) // version+flags, entry count
@@ -295,7 +284,7 @@ object Mp4Codec {
       b.bytes(box("stsc")(s => s.u32(0).u32(1).u32(1).u32(1).u32(1)))
       b.bytes(box("stsz") { s =>
         s.u32(0).u32(0).u32(nFrames.toLong)
-        frames.foreach(f => s.u32(f.length.toLong))
+        sizes.foreach(f => s.u32(f.toLong))
       })
       b.bytes(box("stco") { s =>
         s.u32(0).u32(nFrames.toLong)
@@ -329,7 +318,7 @@ object Mp4Codec {
       })
       b.bytes(mdia)
     }
-    val moov = box("moov") { b =>
+    box("moov") { b =>
       b.bytes(box("mvhd") { s =>
         s.u32(0).u32(0).u32(0).u32(fps.toLong).u32(duration)
         s.u32(0x00010000L).u16(0x0100).u16(0).u32(0).u32(0) // rate, volume, reserved
@@ -339,8 +328,64 @@ object Mp4Codec {
       })
       b.bytes(trak)
     }
-    val fos = new java.io.FileOutputStream(path)
-    try { fos.write(ftyp); fos.write(mdat); fos.write(moov) }
-    finally fos.close()
+  }
+
+  /** Muxes JPEG frames into a minimal, spec-shaped MP4: `ftyp` + `mdat`
+    * (concatenated samples) + `moov`. `codecFourcc` defaults to `jpeg`
+    * (Photo-JPEG-in-MP4, ImageIO-decodable); passing `avc1` produces
+    * the metadata-only H.264 shape the probe and index paths must
+    * still walk. */
+  def writeMjpeg(path: String, frames: Seq[Array[Byte]], width: Int, height: Int,
+                 fps: Int, codecFourcc: String = "jpeg"): Unit = {
+    require(frames.nonEmpty, "MP4 fixture needs at least one frame")
+    val m = new Muxer(path, width, height, fps, codecFourcc)
+    try frames.foreach(m.addFrame) finally m.close()
+  }
+
+  /** Incremental ISO-BMFF muxer — the K1 sink face for the MP4 format
+    * (mirrors [[AviCodec.Muxer]]): `ftyp` + an open `mdat` whose size
+    * is a placeholder; each [[addFrame]] appends one sample and records
+    * its (offset, size); [[close]] patches the `mdat` size and appends
+    * the `moov` built from the recorded tables. The layout is the
+    * standard non-faststart shape every player accepts (moov last —
+    * exactly what ffmpeg writes without `+faststart`). */
+  final class Muxer(path: String, width: Int, height: Int, fps: Int,
+                    codecFourcc: String = "jpeg") {
+    require(fps > 0, "fps must be positive")
+    require(codecFourcc.length == 4, s"codec fourcc must be 4 chars: '$codecFourcc'")
+    private val o = new RandomAccessFile(path, "rw")
+    o.setLength(0)
+    o.write(ftypBytes)
+    private val mdatSizeAt = o.getFilePointer
+    o.write(Array[Byte](0, 0, 0, 0)) // u32 size, patched at close
+    o.write("mdat".getBytes("US-ASCII"))
+    private val sizes = Array.newBuilder[Int]
+    private val offsets = Array.newBuilder[Long]
+    private var n = 0
+
+    def addFrame(sample: Array[Byte]): Unit = {
+      offsets += o.getFilePointer
+      sizes += sample.length
+      o.write(sample)
+      n += 1
+      // stco/mdat-size are u32: a >4 GB single container needs co64 +
+      // largesize, which this muxer does not emit — fail loudly rather
+      // than wrap (the partitioned sink splits output far below this)
+      require(o.getFilePointer <= 0xfffffffeL, "container exceeds u32 offsets (4 GB)")
+    }
+
+    def frames: Int = n
+
+    def close(): Unit = {
+      val end = o.getFilePointer
+      o.seek(mdatSizeAt)
+      val mdatSize = end - mdatSizeAt
+      o.write(Array[Byte](((mdatSize >> 24) & 0xff).toByte, ((mdatSize >> 16) & 0xff).toByte,
+        ((mdatSize >> 8) & 0xff).toByte, (mdatSize & 0xff).toByte))
+      o.seek(end)
+      if (n > 0) o.write(moovBytes(width, height, fps, codecFourcc,
+        sizes.result().toSeq, offsets.result().toSeq))
+      o.close()
+    }
   }
 }

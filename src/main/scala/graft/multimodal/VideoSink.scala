@@ -101,6 +101,46 @@ object VideoSink {
     SaveStats(written, dropped, bw, bh, bfps)
   }
 
+  /** The MP4 face of the same sink (the reference's PRIMARY output
+    * container — `cv2.VideoWriter` with `mp4v`,
+    * `frame_processing.py:154-160`): identical first-frame-bind and
+    * drop-on-mismatch semantics through [[Mp4Codec.Muxer]]. Every frame
+    * JPEG-encodes (Photo-JPEG-in-MP4 — ISO-BMFF has no standard
+    * uncompressed-BGR sample entry, so the MP4 face is lossy like the
+    * reference's mp4v; the lossless round-trip lives on the AVI face).
+    * Read back through the same `graft-frames` connector. */
+  def saveMp4(df: DataFrame, path: String): SaveStats = {
+    val hasFps = df.columns.contains("fps")
+    val ordered = df
+      .select(col("frame_number"), col("payload"), col("w"), col("h"),
+        (if (hasFps) col("fps").cast("double") else lit(null).cast("double")).as("fps"))
+      .orderBy("frame_number")
+    val it = ordered.toLocalIterator()
+    var muxer: Mp4Codec.Muxer = null
+    var bw = 0
+    var bh = 0
+    var bfps = DefaultFps
+    var written = 0L
+    var dropped = 0L
+    while (it.hasNext) {
+      val r = it.next()
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      if (muxer == null) {
+        val fpsRaw = if (r.isNullAt(4)) 0.0 else r.getDouble(4)
+        bw = w; bh = h
+        bfps = if (fpsRaw > 0) math.max(1, math.round(fpsRaw).toInt) else DefaultFps
+        muxer = new Mp4Codec.Muxer(path, bw, bh, bfps)
+      }
+      if (w != bw || h != bh) dropped += 1 // frame_processing.py:171-178
+      else {
+        muxer.addFrame(encodeJpeg(r.getAs[Array[Byte]](1), bw, bh))
+        written += 1
+      }
+    }
+    if (muxer != null) muxer.close()
+    SaveStats(written, dropped, bw, bh, bfps)
+  }
+
   /** Partition-parallel variant: `df` is range-partitioned on
     * `frame_number` (contiguous frame runs per part, global order =
     * part order) and each partition muxes its own `part-NNNNN.avi`

@@ -94,6 +94,32 @@ class VideoSinkSpec extends SparkSpec {
       "streamed mux with patched sizes must be byte-identical to the precomputed write")
   }
 
+  test("MP4 face: sink -> connector round-trip preserves count, dims, clock; bind + drop hold") {
+    val path = tmp("sink.mp4")
+    val stats = VideoSink.saveMp4(framesDf(7, 16, 12, Some(24)), path)
+    assert(stats === VideoSink.SaveStats(7, 0, 16, 12, 24))
+    val meta = Mp4Codec.probe(path)
+    assert(meta.width === 16 && meta.height === 12 && meta.fps === 24.0 && meta.nFrames === 7L)
+    assert(meta.handler === "jpeg", "Photo-JPEG sample entry")
+    val back = spark.read.format("graft-frames").option("path", path)
+      .option("numPartitions", 2).load()
+    val rows = back.select("frame_number", "width", "height", "payload")
+      .orderBy("frame_number").collect()
+    assert(rows.length === 7)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getInt(1) === 16 && r.getInt(2) === 12)
+      assert(r.getAs[Array[Byte]](3).length === 16 * 12 * 3,
+        s"frame $i decodes to a full BGR buffer (JPEG is lossy; bytes differ)")
+    }
+    // drop-on-mismatch through the MP4 muxer
+    val mixed = framesDf(4, 16, 12, Some(24))
+      .union(Seq((4L, bgr(4, 8, 6), 8, 6)).toDF("frame_number", "payload", "w", "h")
+        .withColumn("fps", lit(24.0)))
+    val p2 = tmp("mixed.mp4")
+    assert(VideoSink.saveMp4(mixed, p2) === VideoSink.SaveStats(4, 1, 16, 12, 24))
+  }
+
   test("partitioned sink: part containers reassemble to the exact frame stream") {
     val df = framesDf(40, 8, 6, None)
     val dir = Files.createTempDirectory("graft_vsink_parts")
