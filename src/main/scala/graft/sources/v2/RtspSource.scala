@@ -25,12 +25,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * RTP framing is wire-standard: 12-byte header (V=2), sequence
   * numbers, the 90 kHz video timestamp clock, and the MARKER bit
-  * terminating each frame's fragment run. The payload is a complete
-  * JPEG carried fragmented (reassembly = concatenation in sequence
-  * order until marker); an RFC 2435 scan-header transcoder would bolt
-  * on at that seam without touching the protocol walk. H.264 payloads
-  * are out for the same reason they are everywhere in this engine: no
-  * pure-JVM decoder.
+  * terminating each frame's fragment run. The payload speaks RFC 2435
+  * (RTP/JPEG, PT 26) — the format real MJPEG cameras emit: fragments
+  * carry the 8-byte main header (type/Q/dims + fragment offset), the
+  * first fragment carries the quantization tables in-band (Q=255),
+  * and the receiver reconstructs a decodable JPEG from the reassembled
+  * scan with the spec's standard Huffman tables
+  * ([[graft.multimodal.JpegRtp]] — reconstruction is pixel-exact).
+  * H.264 payloads are out for the same reason they are everywhere in
+  * this engine: no pure-JVM decoder.
   *
   * Streaming contract: offsets are the client's frame-arrival index, so
   * commits are monotone and the buffer prunes to the committed prefix —
@@ -155,10 +158,17 @@ private[v2] final class RtspClient(url: String) {
     throw new IllegalStateException("SETUP returned no Session")).split(";")(0)
   request("PLAY", url, 4, Seq(s"Session: $session"))
 
-  // ---- reader thread: '$' ch u16len framed RTP, marker bit ends a frame
+  // ---- reader thread: '$' ch u16len framed RTP; each packet carries an
+  // RFC 2435 JPEG payload (8-byte main header, quant extension on the
+  // first fragment, marker bit on the last); a completed frame's scan
+  // RECONSTRUCTS to a decodable JPEG via [[graft.multimodal.JpegRtp]]
   private val reader = new Thread(() => {
-    val pending = new java.io.ByteArrayOutputStream()
+    val scan = new java.io.ByteArrayOutputStream()
     var pendingTs = 0L
+    var typ = 0
+    var width = 0
+    var height = 0
+    var quant: Array[Byte] = null
     try {
       var b = in.read()
       while (b != -1) {
@@ -174,15 +184,36 @@ private[v2] final class RtspClient(url: String) {
           require(r >= 0, "EOF inside RTP packet")
           off += r
         }
-        if (channel == 0 && len >= 12) { // RTP data (channel 1 = RTCP, skipped)
+        if (channel == 0 && len >= 20) { // RTP data (channel 1 = RTCP, skipped)
           require((pkt(0) & 0xc0) == 0x80, "RTP version must be 2")
           val marker = (pkt(1) & 0x80) != 0
           pendingTs = ((pkt(4) & 0xffL) << 24) | ((pkt(5) & 0xffL) << 16) |
             ((pkt(6) & 0xffL) << 8) | (pkt(7) & 0xffL)
-          pending.write(pkt, 12, len - 12)
+          // RFC 2435 main header at pkt(12..19)
+          val fragOffset = ((pkt(13) & 0xff) << 16) | ((pkt(14) & 0xff) << 8) | (pkt(15) & 0xff)
+          var p = 20
+          if (fragOffset == 0) {
+            scan.reset()
+            typ = pkt(16) & 0x3f
+            val q = pkt(17) & 0xff
+            width = (pkt(18) & 0xff) * 8
+            height = (pkt(19) & 0xff) * 8
+            if (q >= 128) { // quant extension: MBZ, precision, u16 length
+              val qLen = ((pkt(p + 2) & 0xff) << 8) | (pkt(p + 3) & 0xff)
+              quant = java.util.Arrays.copyOfRange(pkt, p + 4, p + 4 + qLen)
+              p += 4 + qLen
+            } else throw new java.io.IOException(
+              s"Q=$q without in-band tables - static Q-table synthesis not supported")
+          }
+          // interleaved TCP delivers in order, so the scan appends
+          // sequentially; fragOffset is still checked for gaps
+          require(fragOffset == scan.size(),
+            s"RTP/JPEG fragment gap: offset $fragOffset, have ${scan.size()}")
+          scan.write(pkt, p, len - p)
           if (marker) {
-            val jpeg = pending.toByteArray
-            pending.reset()
+            val jpeg = graft.multimodal.JpegRtp.reconstruct(
+              typ, width, height, quant, scan.toByteArray)
+            scan.reset()
             synchronized {
               frames += ((arrived, pendingTs, jpeg))
               arrived += 1

@@ -87,20 +87,29 @@ final class RtspTestServer(frames: Seq[Array[Byte]], fps: Int = 25,
           var seq = 0
           val n = math.min(frames.length, dropAfter)
           (0 until n).foreach { f =>
-            val jpeg = frames(f)
+            // RFC 2435 payloadization: strip the JPEG to quant + scan,
+            // fragment the SCAN; every fragment leads with the 8-byte
+            // main header, the first adds the quant-table extension
+            val p = graft.multimodal.JpegRtp.parse(frames(f)).getOrElse(
+              throw new IllegalArgumentException(
+                s"test frame $f is not RFC 2435 representable"))
             val ts = f.toLong * 90000L / fps
             var off = 0
-            while (off < jpeg.length) {
-              val len = math.min(fragmentSize, jpeg.length - off)
-              val last = off + len >= jpeg.length
-              val pkt = new Array[Byte](12 + len)
+            while (off < p.scan.length) {
+              val len = math.min(fragmentSize, p.scan.length - off)
+              val last = off + len >= p.scan.length
+              val hdr = graft.multimodal.JpegRtp.payloadHeader(
+                off, p.typ, p.width, p.height,
+                if (off == 0) Some(p.quant) else None)
+              val pkt = new Array[Byte](12 + hdr.length + len)
               pkt(0) = 0x80.toByte // V=2
               pkt(1) = (26 | (if (last) 0x80 else 0)).toByte // PT=JPEG, marker
               pkt(2) = ((seq >> 8) & 0xff).toByte; pkt(3) = (seq & 0xff).toByte
               pkt(4) = ((ts >> 24) & 0xff).toByte; pkt(5) = ((ts >> 16) & 0xff).toByte
               pkt(6) = ((ts >> 8) & 0xff).toByte; pkt(7) = (ts & 0xff).toByte
               // ssrc pkt(8..11) = 0
-              System.arraycopy(jpeg, off, pkt, 12, len)
+              System.arraycopy(hdr, 0, pkt, 12, hdr.length)
+              System.arraycopy(p.scan, off, pkt, 12 + hdr.length, len)
               out.write(0x24); out.write(0) // '$', channel 0
               out.write((pkt.length >> 8) & 0xff); out.write(pkt.length & 0xff)
               out.write(pkt)
