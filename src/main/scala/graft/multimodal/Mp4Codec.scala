@@ -255,6 +255,23 @@ object Mp4Codec {
     b.u32(0).u32(0).u32(0x40000000L)
   }
 
+  /** U2's stream-copy segment split on the MP4 face (the `ffmpeg -ss
+    * .. -to .. -c copy` semantics, `video_splitter.py:60-74`): sample
+    * bytes [start, end) copy bit-faithfully into a fresh container —
+    * codec fourcc preserved, no transcode — through the incremental
+    * [[Muxer]], one sample resident at a time. */
+  def copySegment(src: String, dst: String, start: Int, end: Int): Unit = {
+    val meta = probe(src)
+    val idx = frameIndex(src)
+    val lo = math.max(0, start)
+    val hi = math.min(idx.length, end)
+    val m = new Muxer(dst, meta.width, meta.height,
+      math.max(1, math.round(meta.fps).toInt), codecFourcc = meta.handler)
+    try withRaf(src) { raf =>
+      (lo until hi).foreach(i => m.addFrame(AviCodec.readFrameBytes(raf, idx(i))))
+    } finally m.close()
+  }
+
   private def ftypBytes: Array[Byte] = box("ftyp") { b =>
     b.ascii("isom").u32(0x200L).ascii("isom").ascii("iso2").ascii("mp41")
   }

@@ -208,4 +208,103 @@ object WavCodec {
   /** PCM16 mono writer (the q88 fixture shape). */
   def writePcm16Mono(samples: Array[Int], sampleRate: Int): Array[Byte] =
     writePcm(samples, sampleRate, channels = 1, bits = 16)
+
+  /** Incremental WAV writer — the audio analog of the video muxers:
+    * RIFF/fmt headers up front with size placeholders, samples appended
+    * one at a time (constant memory, any stream length), sizes patched
+    * on [[close]]. A partial file is not a valid RIFF until close —
+    * the release semantics every sink in this engine shares. */
+  final class Writer(path: String, sampleRate: Int, channels: Int, bits: Int) {
+    require(channels > 0, "channels must be positive")
+    require(bits == 16 || bits == 24, s"writer emits 16/24-bit PCM, got $bits")
+    private val o = new java.io.RandomAccessFile(path, "rw")
+    o.setLength(0)
+    private def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    private def le32(v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    private def tag(s: String): Unit = o.write(s.getBytes("US-ASCII"))
+    private val blockAlign = channels * bits / 8
+    tag("RIFF")
+    private val riffSizeAt = o.getFilePointer
+    le32(0)
+    tag("WAVE"); tag("fmt "); le32(16)
+    le16(1); le16(channels); le32(sampleRate)
+    le32(sampleRate.toLong * blockAlign)
+    le16(blockAlign); le16(bits)
+    tag("data")
+    private val dataSizeAt = o.getFilePointer
+    le32(0)
+    private var n = 0L
+
+    def addSample(s: Int): Unit = {
+      if (bits == 16) {
+        require(s >= Short.MinValue && s <= Short.MaxValue, s"sample $s out of 16-bit range")
+        le16(s & 0xffff)
+      } else {
+        require(s >= -(1 << 23) && s < (1 << 23), s"sample $s out of 24-bit range")
+        o.write(s & 0xff); o.write((s >> 8) & 0xff); o.write((s >> 16) & 0xff)
+      }
+      n += 1
+    }
+
+    def samplesWritten: Long = n
+
+    def close(): Unit = {
+      val end = o.getFilePointer
+      o.seek(riffSizeAt); le32(end - 8)
+      o.seek(dataSizeAt); le32(end - dataSizeAt - 4)
+      o.close()
+    }
+  }
+
+  /** The audio face of the K1 record-all sink: drains an ordered
+    * `(sample_idx, sample)` relation into ONE WAV through the
+    * incremental [[Writer]] — partition-at-a-time fetch via
+    * `toLocalIterator`, constant memory, like [[VideoSink.saveAvi]]
+    * (one container is a sequential artifact; sample order IS the
+    * format). Returns samples written. */
+  def saveWav(df: org.apache.spark.sql.DataFrame, path: String,
+              sampleRate: Int, channels: Int = 1, bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions.col
+    val it = df.select(col("sample_idx"), col("sample").cast("int"))
+      .orderBy("sample_idx").toLocalIterator()
+    val w = new Writer(path, sampleRate, channels, bits)
+    try while (it.hasNext) w.addSample(it.next().getInt(1))
+    finally w.close()
+    w.samplesWritten
+  }
+
+  /** Partition-parallel form: range-partitioned on `sample_idx`, each
+    * contiguous run muxes its own `part-NNNNN.wav` executor-side —
+    * ordered concatenation of the parts' samples reproduces the full
+    * stream (the [[VideoSink.saveAviPartitioned]] convention). */
+  def saveWavPartitioned(df: org.apache.spark.sql.DataFrame, dir: String,
+                         sampleRate: Int, channels: Int = 1, bits: Int = 16,
+                         numParts: Int = 0): Long = {
+    import org.apache.spark.sql.functions.col
+    new java.io.File(dir).mkdirs()
+    val selected = df.select(col("sample_idx"), col("sample").cast("int"))
+    val prepared = (if (numParts > 0)
+        selected.repartitionByRange(numParts, col("sample_idx"))
+      else selected.repartitionByRange(col("sample_idx")))
+      .sortWithinPartitions("sample_idx")
+    val written = prepared.sparkSession.sparkContext.longAccumulator("wav_samples_written")
+    prepared.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      var w: Writer = null
+      var path: String = null
+      rows.foreach { r =>
+        if (w == null) {
+          val partId = org.apache.spark.TaskContext.getPartitionId()
+          path = f"$dir/part-$partId%05d.wav"
+          w = new Writer(path, sampleRate, channels, bits)
+        }
+        w.addSample(r.getInt(1))
+        written.add(1L)
+      }
+      if (w != null) w.close()
+    }
+    written.value
+  }
 }

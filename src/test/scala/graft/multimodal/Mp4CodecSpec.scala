@@ -95,6 +95,32 @@ class Mp4CodecSpec extends AnyFunSuite {
     } finally raf.close()
   }
 
+  test("copySegment: split + reassemble round-trips exact sample bytes (ffmpeg -c copy semantics)") {
+    val frames = (0 until 9).map(jpeg(_))
+    val src = tmp("src.mp4")
+    Mp4Codec.writeMjpeg(src, frames, 32, 24, 30)
+    val cuts = Seq((0, 4), (4, 7), (7, 9))
+    val segs = cuts.zipWithIndex.map { case ((s, e), i) =>
+      val p = tmp(s"seg_$i.mp4")
+      Mp4Codec.copySegment(src, p, s, e)
+      p
+    }
+    // each segment is a valid container with the cut's frames, codec kept
+    cuts.zip(segs).foreach { case ((s, e), p) =>
+      val m = Mp4Codec.probe(p)
+      assert(m.nFrames === (e - s).toLong && m.handler === "jpeg" && m.fps === 30.0)
+    }
+    // ordered reassembly of segment samples = the source's samples
+    val reassembled = segs.flatMap { p =>
+      val idx = Mp4Codec.frameIndex(p)
+      val raf = new java.io.RandomAccessFile(p, "r")
+      try idx.toSeq.map(c => AviCodec.readFrameBytes(raf, c).toSeq)
+      finally raf.close()
+    }
+    assert(reassembled === frames.map(_.toSeq),
+      "stream copy must be bit-faithful per sample across the split")
+  }
+
   test("rejects non-BMFF input like VideoCapture.isOpened == False") {
     val path = tmp("garbage.mp4")
     Files.write(java.nio.file.Paths.get(path),
