@@ -50,14 +50,21 @@ def _fresh(path: str) -> str:
 def replicate_events(sf_dir: str, out_dir: str, n: int) -> int:
     t = pq.read_table(f"{sf_dir}/events.parquet")
     n_rows = t.num_rows
-    span_ns = pc.max(t["ts"]).cast(pa.int64()).as_py() - \
-        pc.min(t["ts"]).cast(pa.int64()).as_py() + 60_000_000_000
+    # the generator has shipped ts as TIMESTAMP(NANOS) and TIMESTAMP
+    # (MICROS) across rounds — the span arithmetic and the cast back
+    # must follow the COLUMN's unit, or a µs column reinterpreted as ns
+    # compresses each copy's span 1000x under every event-time window
+    # (q71's 30x pair count went quadratic exactly this way)
+    ts_type = t.schema.field("ts").type
+    gap = {"ns": 60_000_000_000, "us": 60_000_000,
+           "ms": 60_000, "s": 60}[ts_type.unit]
+    span = pc.max(t["ts"]).cast(pa.int64()).as_py() - \
+        pc.min(t["ts"]).cast(pa.int64()).as_py() + gap
     copies = []
     for k in range(n):
         c = t.set_column(t.schema.get_field_index("event_id"), "event_id",
                          pc.add(t["event_id"], k * n_rows))
-        shifted = pc.add(c["ts"].cast(pa.int64()), k * span_ns) \
-            .cast(pa.timestamp("ns"))
+        shifted = pc.add(c["ts"].cast(pa.int64()), k * span).cast(ts_type)
         c = c.set_column(c.schema.get_field_index("ts"), "ts", shifted)
         copies.append(c)
     big = pa.concat_tables(copies)
