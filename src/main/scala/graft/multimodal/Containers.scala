@@ -56,4 +56,13 @@ object Containers {
   /** Byte range of every frame, header-only (movi walk / stbl expand). */
   def frameIndex(path: String): Array[FrameChunk] =
     if (isBmff(path)) Mp4Codec.frameIndex(path) else AviCodec.frameIndex(path)
+
+  /** U2's stream-copy segment split, format-dispatched: frames
+    * [start, end) of `src` copy bit-faithfully into `dst` in the
+    * SOURCE's format (the destination extension is informative; a
+    * cross-format copy would be a transcode, which stream copy is
+    * not). */
+  def copySegment(src: String, dst: String, start: Int, end: Int): Unit =
+    if (isBmff(src)) Mp4Codec.copySegment(src, dst, start, end)
+    else AviCodec.copySegment(src, dst, start, end)
 }

@@ -95,23 +95,40 @@ object FrameSource {
           // probe cache; past the threshold the probe fans out as a
           // Spark job (the DSv2 analog of distributed file listing) so
           // a large corpus doesn't serialize header I/O on the driver
-          // (VERDICT r7 wart 3)
-          val metas: Seq[graft.multimodal.AviCodec.AviMeta] =
+          // (VERDICT r7 wart 3). An UNREADABLE container is logged and
+          // EXCLUDED rather than failing the plan: at corpus scale some
+          // files are always corrupt, and one must not kill a 100k-file
+          // scan — the per-file analog of `isOpened() == False`
+          // (frame_reader.py:126-128; a SINGLE-file open still throws,
+          // matching the reference's loud failure on its one source).
+          def tryProbe(path: String): Option[graft.multimodal.AviCodec.AviMeta] =
+            try Some(graft.multimodal.Containers.probeCached(path))
+            catch {
+              case e: Exception if paths.length > 1 =>
+                System.err.println(
+                  s"[graft-frames] skipping unreadable container $path: ${e.getMessage}")
+                None
+            }
+          val probed: Seq[(String, Option[graft.multimodal.AviCodec.AviMeta])] =
             if (paths.length >= DistributedProbeThreshold) {
               val sc = org.apache.spark.sql.SparkSession.active.sparkContext
               val byPath = sc
                 .parallelize(paths, math.min(paths.length, 64))
-                .map(p => (p, graft.multimodal.Containers.probeCached(p)))
+                .map(p => (p, try Some(graft.multimodal.Containers.probeCached(p))
+                              catch { case _: Exception => None }))
                 .collect().toMap
-              paths.map(byPath)
-            } else paths.map(graft.multimodal.Containers.probeCached)
+              paths.map(p => (p, byPath(p).orElse(tryProbe(p)))) // driver logs the skip
+            } else paths.map(p => (p, tryProbe(p)))
+          val readable = probed.collect { case (p, Some(m)) => (p, m) }
+          require(readable.nonEmpty,
+            s"no readable container under $p (${paths.length} candidate file(s))")
           var off = 0L
-          val files = paths.zip(metas).map { case (path, m) =>
+          val files = readable.map { case (path, m) =>
             val file = AviFile(path, off, m.nFrames)
             off += m.nFrames
             file
           }
-          val meta = metas.head
+          val meta = readable.head._2
           Config(
             frames = off,
             width = meta.width,

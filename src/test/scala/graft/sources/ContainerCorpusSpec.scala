@@ -67,4 +67,22 @@ class ContainerCorpusSpec extends SparkSpec {
     // undecodable (column pruning reaches the reader)
     assert(df.select("frame_number", "ts_us").count() === total)
   }
+
+  test("a corrupt container in a corpus is skipped at plan time, not fatal") {
+    val dir = Files.createTempDirectory("graft_corpus_corrupt")
+    graft.TempDirs.cleanupOnExit(dir)
+    AviCodec.writeMjpeg(dir.resolve("a.avi").toString, (0 until 3).map(jpeg), 16, 12, 30)
+    Files.write(dir.resolve("b.avi"), Array.tabulate[Byte](512)(i => (i * 7).toByte))
+    Mp4Codec.writeMjpeg(dir.resolve("c.mp4").toString, (3 until 5).map(jpeg), 16, 12, 30)
+    val df = spark.read.format("graft-frames")
+      .option("path", dir.toString).option("numPartitions", 2).load()
+    // 3 + 2 readable frames, dense index over the READABLE files only
+    assert(df.count() === 5L)
+    assert(df.agg(max("frame_number")).head().getLong(0) === 4L)
+
+    // a SINGLE unreadable file still fails loudly — at PLAN time, the
+    // reference's one-source open error, not a silently empty relation
+    assertThrows[Exception](spark.read.format("graft-frames")
+      .option("path", dir.resolve("b.avi").toString).load())
+  }
 }
