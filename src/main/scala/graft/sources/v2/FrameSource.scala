@@ -355,11 +355,23 @@ class AviPartitionReader(files: Seq[FrameSource.AviFile], config: FrameSource.Co
     if (idx != fileIdx) {
       if (raf != null) raf.close()
       fileIdx = idx
-      raf = new java.io.RandomAccessFile(files(idx).path, "r")
-      chunks = graft.multimodal.Containers.frameIndex(files(idx).path)
-      // DIB unpack needs THIS file's dims (a directory may mix sizes;
-      // MJPEG chunks are self-describing but raw frames are not)
-      fileMeta = graft.multimodal.Containers.probeCached(files(idx).path)
+      // a container that turned unreadable BETWEEN plan and read (file
+      // truncated/replaced under the scan) ends this reader's scan like
+      // an undecodable frame would (cap.read -> False -> EOF), instead
+      // of failing the task
+      try {
+        raf = new java.io.RandomAccessFile(files(idx).path, "r")
+        chunks = graft.multimodal.Containers.frameIndex(files(idx).path)
+        // DIB unpack needs THIS file's dims (a directory may mix sizes;
+        // MJPEG chunks are self-describing but raw frames are not)
+        fileMeta = graft.multimodal.Containers.probeCached(files(idx).path)
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft-frames] container ${files(idx).path} unreadable mid-scan " +
+              s"(${e.getMessage}) - ending scan (cap.read -> False)")
+          return false
+      }
     }
     true
   }
