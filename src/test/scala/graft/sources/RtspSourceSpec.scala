@@ -121,6 +121,42 @@ class RtspSourceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("ratePerBatch bounds micro-batch admission: many small batches, none above the rate") {
+    val frames = (0 until 10).map(jpeg)
+    val server = new RtspTestServer(frames, fps = 25)
+    try {
+      val dir = Files.createTempDirectory("graft_rtsp_rate")
+      graft.TempDirs.cleanupOnExit(dir)
+      val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val query = spark.readStream.format("graft-rtsp")
+        .option("url", server.url).option("ratePerBatch", 3).load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val n = batch.count()
+          if (n > 0) batchSizes.add(n)
+          batch.write.mode("append").parquet(s"$dir/out")
+          ()
+        }
+        .start()
+      val t0 = System.currentTimeMillis()
+      var total = 0L
+      while (total < 10 && System.currentTimeMillis() - t0 < 30000) {
+        query.processAllAvailable()
+        if (new java.io.File(s"$dir/out").exists)
+          total = spark.read.parquet(s"$dir/out").count()
+        if (total < 10) Thread.sleep(100)
+      }
+      query.stop()
+      assert(total === 10L)
+      import scala.jdk.CollectionConverters._
+      val sizes = batchSizes.asScala.toSeq
+      assert(sizes.forall(_ <= 3L),
+        s"no micro-batch may exceed ratePerBatch=3, got $sizes")
+      assert(sizes.length >= 4, s"10 frames at rate 3 need >= 4 batches, got $sizes")
+    } finally server.close()
+  }
+
   test("a dropped connection freezes the stream instead of failing it (stop-on-grab-fail)") {
     val frames = (0 until 10).map(jpeg)
     val server = new RtspTestServer(frames, fps = 25, dropAfter = 4)
