@@ -559,6 +559,47 @@ object PipelineQueries {
         .orderBy("doc_id", "window_id")
     },
 
+    // VIDEO near-dup detection — the missing video-level dedup class
+    // (image/text/embedding dedup exist; a 100 TB video corpus dedups
+    // at the VIDEO level): per-frame perceptual hashes form a per-video
+    // signature SET, candidates come from an equi-join on shared hashes
+    // (the LSH shape — bucket sizes are duplicate-group sizes, never
+    // all-pairs), and candidates verify by signature Jaccard. Here the
+    // frame hashes are a closed-form integer sequence over the
+    // documents table (doc_id % 50 = content group: shared frames, plus
+    // two per-doc distinctive frames → within-group Jaccard n/(n+4) ≥
+    // 0.5, cross-group 0), so DuckDB replays the whole pipeline
+    // set-theoretically; the REAL pixel face (dHash over decoded BGR)
+    // is FrameHashSpec's end-to-end container case. All arithmetic is
+    // codegen'd Catalyst (sequence/transform/array ops) — no UDF.
+    "q91_video_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val base = col("doc_id") % 50
+      val shared = transform(sequence(lit(0L), (base % 5) + 7L),
+        f => (base * 1315423911L + f * 2654435761L) % 1000000007L)
+      val extras = array(
+        (col("doc_id") * 97L + 7L) % 1000000007L + 1000000007L,
+        (col("doc_id") * 97L + 38L) % 1000000007L + 1000000007L)
+      val sigs = graft.Caches.scopedPersist(docs.select(col("doc_id"),
+        array_distinct(concat(shared, extras)).as("sig")))
+      val exploded = sigs.select(col("doc_id"), explode(col("sig")).as("h"))
+      val cands = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = size(array_intersect(col("sig_a"), col("sig_b"))).cast("long")
+      cands
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), inter.as("n_shared"),
+          (inter.cast("double") /
+            (size(col("sig_a")) + size(col("sig_b")) - inter).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // The audio CORPUS face (VERDICT r7 item 5): a directory of stereo
     // 24-bit WAVs scans through binaryFile, the fmt-chunk probe gives
     // each file's channel count, and deinterleaving is RELATIONAL —
@@ -1086,6 +1127,34 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(15) ORDER BY frame_number""".stripMargin,
+    // q91: the same signature sets rebuilt set-theoretically — shared
+    // frames from the content group (doc_id % 50), two per-doc extras
+    // offset into a disjoint hash range; pairs via the same shared-hash
+    // join, Jaccard from exact integer set sizes (IEEE division of
+    // identical integers matches bit-for-bit, the q31 precedent)
+    "q91_video_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS base FROM documents),
+        |sh AS (SELECT doc_id, base, unnest(range(8 + base % 5)) AS f FROM d),
+        |sig AS (
+        |  SELECT DISTINCT doc_id,
+        |    (base * 1315423911 + f * 2654435761) % 1000000007 AS h FROM sh
+        |  UNION
+        |  SELECT doc_id, (doc_id * 97 + 7) % 1000000007 + 1000000007 FROM d
+        |  UNION
+        |  SELECT doc_id, (doc_id * 97 + 38) % 1000000007 + 1000000007 FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sig a JOIN sig b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sig GROUP BY 1)
+        |SELECT doc_a, doc_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q90: the stereo 24-bit samples are a closed-form integer
     // sequence; the hash match proves the 3-byte sign-extension, the
     // channel deinterleave, and the directory scan all bit-exact
