@@ -600,6 +600,65 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // AUDIO near-dup — the last modality in the dedup matrix (text,
+    // image, embedding, video, now audio): windowed-energy delta-sign
+    // fingerprints (the simplified Shazam/Chromaprint shape,
+    // operators/AudioFingerprint) form per-recording signature sets,
+    // then the exact q91 pipeline: shared-element candidates →
+    // Jaccard. The oracled face derives the PCM stream closed-form
+    // (the q88 sample formula keyed by content group doc_id % 40) and
+    // computes energies/bits/blocks entirely in nested Catalyst HOFs
+    // (sequence/aggregate/transform with a struct accumulator for the
+    // bit packing — zero UDF, fully codegen'd); DuckDB replays it with
+    // a lag window. The REAL-PCM face is AudioFingerprintSpec's
+    // container case.
+    "q92_audio_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+      val grp = col("doc_id") % 40
+      // 80 windowed energies over s(i) = ((i*73 + grp*131) % 4001) - 2000
+      val energies = transform(sequence(lit(0), lit(79)), w =>
+        aggregate(sequence(w.cast("long") * 50L, w.cast("long") * 50L + 49L),
+          lit(0L), (acc, i) => {
+            val smp = (i * 73L + grp * 131L) % 4001L - 2000L
+            acc + smp * smp
+          }))
+      // blocks of 9 windows -> 8 comparison bits packed via a struct
+      // accumulator (bits, mult); element = block*256 + bits
+      def blockElem(b: Column): Column =
+        aggregate(
+          sequence(lit(0L), lit(7L)),
+          struct(lit(0L).as("bits"), lit(1L).as("mult")),
+          (acc, k) => struct(
+            (acc.getField("bits") + when(
+              element_at(energies, (b * 9 + k + lit(2)).cast("int")) >
+                element_at(energies, (b * 9 + k + lit(1)).cast("int")),
+              acc.getField("mult")).otherwise(lit(0L))).as("bits"),
+            (acc.getField("mult") * 2L).as("mult")),
+          acc => acc.getField("bits") + b.cast("long") * 256L)
+      val blocks = transform(sequence(lit(0L), lit(7L)), b => blockElem(b))
+      val extras = array(
+        (col("doc_id") * 31L) % 1000000L + 4096L,
+        (col("doc_id") * 31L + 17L) % 1000000L + 4096L)
+      val sigs = graft.Caches.scopedPersist(docs.select(col("doc_id"),
+        array_distinct(concat(blocks, extras)).as("sig")))
+      val exploded = sigs.select(col("doc_id"), explode(col("sig")).as("h"))
+      val cands = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = size(array_intersect(col("sig_a"), col("sig_b"))).cast("long")
+      cands
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), inter.as("n_shared"),
+          (inter.cast("double") /
+            (size(col("sig_a")) + size(col("sig_b")) - inter).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // The audio CORPUS face (VERDICT r7 item 5): a directory of stereo
     // 24-bit WAVs scans through binaryFile, the fmt-chunk probe gives
     // each file's channel count, and deinterleaving is RELATIONAL —
@@ -1127,6 +1186,46 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(15) ORDER BY frame_number""".stripMargin,
+    // q92: energies via grouped sums over the closed-form PCM stream,
+    // comparison bits via lag, block packing via shifted bit sums —
+    // windows 72..79 fall outside the 8 full blocks, like the engine's
+    // partial-block drop
+    "q92_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 40 AS grp FROM documents),
+        |en AS (
+        |  SELECT doc_id, (idx // 50) AS w, sum(smp * smp) AS e
+        |  FROM (SELECT doc_id, i.range AS idx,
+        |          CAST((i.range * 73 + grp * 131) % 4001 - 2000 AS BIGINT) AS smp
+        |        FROM d, range(4000) i)
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY w)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM en),
+        |blk AS (
+        |  SELECT doc_id,
+        |    CAST((w // 9) * 256 + sum(bit * (1 << ((w % 9) - 1))) AS BIGINT) AS h
+        |  FROM bits WHERE w % 9 <> 0 AND w < 72
+        |  GROUP BY doc_id, w // 9),
+        |ex AS (SELECT doc_id, (doc_id * 31) % 1000000 + 4096 AS h FROM d
+        |       UNION ALL
+        |       SELECT doc_id, (doc_id * 31 + 17) % 1000000 + 4096 FROM d),
+        |sig AS (SELECT DISTINCT doc_id, h
+        |        FROM (SELECT * FROM blk UNION ALL SELECT * FROM ex)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sig a JOIN sig b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sig GROUP BY 1)
+        |SELECT doc_a, doc_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q91: the same signature sets rebuilt set-theoretically — shared
     // frames from the content group (doc_id % 50), two per-doc extras
     // offset into a disjoint hash range; pairs via the same shared-hash
