@@ -121,6 +121,22 @@ class Mp4CodecSpec extends AnyFunSuite {
       "stream copy must be bit-faithful per sample across the split")
   }
 
+  test("a file whose only track is audio is unreadable for the video scan") {
+    val path = tmp("audio_only.mp4")
+    Mp4Codec.writeMjpeg(path, (0 until 3).map(jpeg(_)), 32, 24, 30)
+    // flip the hdlr handler fourcc: the track is structurally intact
+    // but no longer a video track — the parser must refuse, not return
+    // an empty/garbage index
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val pattern = "vide".getBytes("US-ASCII")
+    val idx = bytes.indices.find(i => i + 4 <= bytes.length &&
+      bytes.slice(i, i + 4).sameElements(pattern)).get
+    System.arraycopy("soun".getBytes("US-ASCII"), 0, bytes, idx, 4)
+    val p2 = tmp("soun.mp4")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2), bytes)
+    assertThrows[IllegalArgumentException](Mp4Codec.probe(p2))
+  }
+
   test("rejects non-BMFF input like VideoCapture.isOpened == False") {
     val path = tmp("garbage.mp4")
     Files.write(java.nio.file.Paths.get(path),
@@ -137,6 +153,10 @@ class Mp4CodecSpec extends AnyFunSuite {
     Mp4Codec.writeMjpeg(mp4, (3 until 5).map(jpeg(_)), 32, 24, 30)
     assert(Containers.isContainer(avi) && Containers.isContainer(mp4))
     assert(!Containers.isContainer(d.resolve("c.txt").toString))
+    // .mov/.m4v are ISO-BMFF too and must dispatch through the MP4 codec
+    val mov = d.resolve("d.mov").toString
+    Mp4Codec.writeMjpeg(mov, (0 until 2).map(jpeg(_)), 32, 24, 30)
+    assert(Containers.isContainer(mov) && Containers.probe(mov).nFrames === 2L)
     assert(Containers.probe(avi).nFrames === 3L)
     assert(Containers.probe(mp4).nFrames === 2L)
     assert(Containers.frameIndex(avi).length === 3)
