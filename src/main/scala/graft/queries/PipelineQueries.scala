@@ -290,7 +290,7 @@ object PipelineQueries {
       dir.toString
     }
 
-  private val MinhashCandidatesSql =
+  private[queries] val MinhashCandidatesSql =
     s"""$ShingleCte,
        |hb AS (SELECT doc_id, x % 1000000007 AS hb
        |       FROM (SELECT doc_id, unnest(sh) AS x FROM sh)),
