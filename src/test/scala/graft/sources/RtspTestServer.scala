@@ -10,11 +10,23 @@ import java.util.concurrent.atomic.AtomicInteger
   * timestamps at `fps`. Replays from frame 0 on every session
   * (VOD-style), which is what makes checkpoint-restart at-least-once
   * testable; `dropAfter` ends the data stream mid-play (socket close,
-  * no TEARDOWN) to exercise the stop-on-grab-fail path. */
+  * no TEARDOWN) to exercise the stop-on-grab-fail path.
+  *
+  * Wire-variation knobs exercise the client's standards conformance
+  * (ADVICE r9: CC/X/P bits and PT filtering must not be assumed zero):
+  * `csrcCount` emits that many CSRC words, `withExtension` adds a
+  * one-word header extension, `padBytes` pads each packet (P bit set),
+  * `decoyPt` interleaves a non-JPEG packet before every frame, and
+  * `tsBase` offsets the 90 kHz clock so it can wrap mid-stream. */
 final class RtspTestServer(frames: Seq[Array[Byte]], fps: Int = 25,
                            fragmentSize: Int = 700,
                            dropAfter: Int = Int.MaxValue,
-                           interFrameDelayMs: Long = 0L) {
+                           interFrameDelayMs: Long = 0L,
+                           csrcCount: Int = 0,
+                           withExtension: Boolean = false,
+                           padBytes: Int = 0,
+                           decoyPt: Option[Int] = None,
+                           tsBase: Long = 0L) {
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", 0))
   val port: Int = server.getLocalPort
@@ -85,6 +97,37 @@ final class RtspTestServer(frames: Seq[Array[Byte]], fps: Int = 25,
         if (playing) {
           sessionsServed.incrementAndGet()
           var seq = 0
+          // builds a wire RTP packet honoring the variation knobs:
+          // CSRC list after the fixed header, optional one-word header
+          // extension, optional padding (P bit + count in last octet)
+          def writeRtp(pt: Int, marker: Boolean, ts: Long,
+                       payload: Array[Byte], pOff: Int, pLen: Int): Unit = {
+            val extBytes = if (withExtension) 8 else 0 // 4 head + 1 word
+            val headLen = 12 + 4 * csrcCount + extBytes
+            val pkt = new Array[Byte](headLen + pLen + padBytes)
+            pkt(0) = (0x80 | (if (padBytes > 0) 0x20 else 0) |
+              (if (withExtension) 0x10 else 0) | csrcCount).toByte
+            pkt(1) = (pt | (if (marker) 0x80 else 0)).toByte
+            pkt(2) = ((seq >> 8) & 0xff).toByte; pkt(3) = (seq & 0xff).toByte
+            pkt(4) = ((ts >> 24) & 0xff).toByte; pkt(5) = ((ts >> 16) & 0xff).toByte
+            pkt(6) = ((ts >> 8) & 0xff).toByte; pkt(7) = (ts & 0xff).toByte
+            // ssrc pkt(8..11) = 0; CSRC words = 0xC5 filler the client
+            // must skip, never parse as the RFC 2435 main header
+            (0 until 4 * csrcCount).foreach(i => pkt(12 + i) = 0xc5.toByte)
+            if (withExtension) {
+              val e = 12 + 4 * csrcCount
+              pkt(e) = 0xbe.toByte; pkt(e + 1) = 0xde.toByte // RFC 8285 magic
+              pkt(e + 2) = 0; pkt(e + 3) = 1 // one 32-bit word follows
+              pkt(e + 4) = 0xe1.toByte // filler the client must skip
+            }
+            System.arraycopy(payload, pOff, pkt, headLen, pLen)
+            if (padBytes > 0) pkt(pkt.length - 1) = padBytes.toByte
+            out.write(0x24); out.write(0) // '$', channel 0
+            out.write((pkt.length >> 8) & 0xff); out.write(pkt.length & 0xff)
+            out.write(pkt)
+            out.flush()
+            seq = (seq + 1) & 0xffff
+          }
           val n = math.min(frames.length, dropAfter)
           (0 until n).foreach { f =>
             // RFC 2435 payloadization: strip the JPEG to quant + scan,
@@ -93,7 +136,12 @@ final class RtspTestServer(frames: Seq[Array[Byte]], fps: Int = 25,
             val p = graft.multimodal.JpegRtp.parse(frames(f)).getOrElse(
               throw new IllegalArgumentException(
                 s"test frame $f is not RFC 2435 representable"))
-            val ts = f.toLong * 90000L / fps
+            val ts = (tsBase + f.toLong * 90000L / fps) & 0xffffffffL
+            // a standards-compliant sender may mux other payload types
+            // on the same channel — the client must skip, not misparse
+            decoyPt.foreach { dpt =>
+              writeRtp(dpt, marker = true, ts, Array.fill[Byte](24)(0x7a), 0, 24)
+            }
             var off = 0
             while (off < p.scan.length) {
               val len = math.min(fragmentSize, p.scan.length - off)
@@ -101,20 +149,10 @@ final class RtspTestServer(frames: Seq[Array[Byte]], fps: Int = 25,
               val hdr = graft.multimodal.JpegRtp.payloadHeader(
                 off, p.typ, p.width, p.height,
                 if (off == 0) Some(p.quant) else None)
-              val pkt = new Array[Byte](12 + hdr.length + len)
-              pkt(0) = 0x80.toByte // V=2
-              pkt(1) = (26 | (if (last) 0x80 else 0)).toByte // PT=JPEG, marker
-              pkt(2) = ((seq >> 8) & 0xff).toByte; pkt(3) = (seq & 0xff).toByte
-              pkt(4) = ((ts >> 24) & 0xff).toByte; pkt(5) = ((ts >> 16) & 0xff).toByte
-              pkt(6) = ((ts >> 8) & 0xff).toByte; pkt(7) = (ts & 0xff).toByte
-              // ssrc pkt(8..11) = 0
-              System.arraycopy(hdr, 0, pkt, 12, hdr.length)
-              System.arraycopy(p.scan, off, pkt, 12 + hdr.length, len)
-              out.write(0x24); out.write(0) // '$', channel 0
-              out.write((pkt.length >> 8) & 0xff); out.write(pkt.length & 0xff)
-              out.write(pkt)
-              out.flush()
-              seq = (seq + 1) & 0xffff
+              val body = new Array[Byte](hdr.length + len)
+              System.arraycopy(hdr, 0, body, 0, hdr.length)
+              System.arraycopy(p.scan, off, body, hdr.length, len)
+              writeRtp(26, last, ts, body, 0, body.length)
               off += len
             }
             if (interFrameDelayMs > 0) Thread.sleep(interFrameDelayMs)
