@@ -94,16 +94,29 @@ object Bench {
     var anyKeptRepHot = false
     var maxKeptExternal = 0.0
     var retriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "12").toInt
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // pattern-match, not cast: on a non-HotSpot JVM the
+    // com.sun.management subtype is absent and the external-CPU signal
+    // simply does not exist — record that fact instead of crashing
+    val osBeanOpt = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    // ADVICE r9: NaN/negative readings used to map silently to 0.0,
+    // which DISABLED the whole taint detection while stamping every
+    // record clean. Count valid samples; zero valid samples over the
+    // run → the record carries `"available": false` so a reader knows
+    // the external-CPU taint rule never actually ran.
+    var extValidSamples = 0L
     // CPU share of everything that is NOT this JVM, over the interval
     // since the previous call (the MXBean computes tick deltas between
     // calls — one call per window boundary tiles the run exactly)
-    def externalBusy(): Double = {
-      val sysLoad = osBean.getCpuLoad
-      val selfLoad = osBean.getProcessCpuLoad
-      if (sysLoad.isNaN || selfLoad.isNaN || sysLoad < 0 || selfLoad < 0) 0.0
-      else math.max(0.0, sysLoad - selfLoad)
+    def externalBusy(): Double = osBeanOpt match {
+      case Some(osBean) =>
+        val sysLoad = osBean.getCpuLoad
+        val selfLoad = osBean.getProcessCpuLoad
+        if (sysLoad.isNaN || selfLoad.isNaN || sysLoad < 0 || selfLoad < 0) 0.0
+        else { extValidSamples += 1; math.max(0.0, sysLoad - selfLoad) }
+      case None => 0.0
     }
     externalBusy() // prime the MXBean's tick counters
     val wallStart = System.nanoTime()
@@ -252,10 +265,18 @@ object Bench {
     // window — an end-hot or mid-hot run can no longer go on record as
     // clean (the BENCH_r07/r08 failure mode)
     val tainted = isTainted(loadStart, extEnd, anyKeptRepHot)
+    // zero valid MXBean samples over the whole run = the external-CPU
+    // rule was inoperative (unsupported platform/JVM); say so on the
+    // record rather than letting `tainted: false` imply it ran
+    val extAvailable = extValidSamples > 0
+    if (!extAvailable)
+      System.err.println(
+        "[bench] WARNING: external-CPU signal unavailable on this JVM/platform - " +
+          "mid-run/end taint detection did not run (record stamps \"available\": false)")
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()
   }

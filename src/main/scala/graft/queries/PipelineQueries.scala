@@ -566,7 +566,7 @@ object PipelineQueries {
     // (the LSH shape — bucket sizes are duplicate-group sizes, never
     // all-pairs), and candidates verify by signature Jaccard. Here the
     // frame hashes are a closed-form integer sequence over the
-    // documents table (doc_id % 50 = content group: shared frames, plus
+    // documents table (doc_id div 10 = content group: shared frames, plus
     // two per-doc distinctive frames → within-group Jaccard n/(n+4) ≥
     // 0.5, cross-group 0), so DuckDB replays the whole pipeline
     // set-theoretically; the REAL pixel face (dHash over decoded BGR)
@@ -612,7 +612,7 @@ object PipelineQueries {
     // operators/AudioFingerprint) form per-recording signature sets,
     // then the exact q91 pipeline: shared-element candidates →
     // Jaccard. The oracled face derives the PCM stream closed-form
-    // (the q88 sample formula keyed by content group doc_id % 40) and
+    // (the q88 sample formula keyed by content group doc_id div 12) and
     // computes energies the q88/q90 way — explode + hash aggregate,
     // whole-stage codegen all the way (a first cut used nested
     // sequence/aggregate HOFs: ArrayAggregate is CodegenFallback and
@@ -1260,7 +1260,7 @@ object PipelineQueries {
         |WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     // q91: the same signature sets rebuilt set-theoretically — shared
-    // frames from the content group (doc_id % 50), two per-doc extras
+    // frames from the content group (doc_id div 10), two per-doc extras
     // offset into a disjoint hash range; pairs via the same shared-hash
     // join, Jaccard from exact integer set sizes (IEEE division of
     // identical integers matches bit-for-bit, the q31 precedent)

@@ -68,6 +68,61 @@ class ContainerCorpusSpec extends SparkSpec {
     assert(df.select("frame_number", "ts_us").count() === total)
   }
 
+  test("a sharded (nested-directory) corpus lists through the distributed Spark-job path") {
+    // 68 top-level entries (>= DistributedProbeThreshold): 64 loose
+    // files + 4 shard subdirectories of 2 files each — the 100 TB
+    // layout is exactly this, wider and deeper. The listing must fan
+    // out as a Spark job AND recurse into the shards.
+    val dir = Files.createTempDirectory("graft_corpus_sharded")
+    graft.TempDirs.cleanupOnExit(dir)
+    var seed = 1000
+    def clip(path: java.nio.file.Path, n: Int): Unit = {
+      val frames = (0 until n).map { _ => seed += 1; jpeg(seed) }
+      AviCodec.writeMjpeg(path.toString, frames, 16, 12, 30)
+    }
+    (0 until 64).foreach(i => clip(dir.resolve(f"loose_$i%03d.avi"), 1))
+    (0 until 4).foreach { s =>
+      val shard = Files.createDirectory(dir.resolve(f"shard_$s%02d"))
+      (0 until 2).foreach(i => clip(shard.resolve(f"clip_$i%02d.avi"), 2))
+    }
+    assert(68 >= graft.sources.v2.FrameSource.DistributedProbeThreshold,
+      "fixture must exercise the Spark-job listing path")
+    val listed = graft.sources.v2.FrameSource.listContainers(dir.toFile)
+    assert(listed.length === 64 + 8)
+    assert(listed === listed.sorted, "scan order must be path order")
+
+    val df = spark.read.format("graft-frames")
+      .option("path", dir.toString).option("numPartitions", 4).load()
+    assert(df.count() === 64L * 1 + 8L * 2)
+  }
+
+  test("a container that turns unreadable MID-SCAN is skipped, not the rest of the range") {
+    val dir = Files.createTempDirectory("graft_corpus_midscan")
+    graft.TempDirs.cleanupOnExit(dir)
+    var seed = 2000
+    def clip(name: String, n: Int): Unit = {
+      val frames = (0 until n).map { _ => seed += 1; jpeg(seed) }
+      AviCodec.writeMjpeg(dir.resolve(name).toString, frames, 16, 12, 30)
+    }
+    clip("a.avi", 3); clip("b.avi", 4); clip("c.avi", 2)
+    // plan while all three are readable (offsets a=[0,3) b=[3,7) c=[7,9))
+    val df = spark.read.format("graft-frames")
+      .option("path", dir.toString).option("numPartitions", 1).load()
+    assert(df.schema.fieldNames.contains("payload"))
+    // now b turns unreadable BETWEEN plan and read (truncated under the
+    // scan — changes (size,mtime) so the probe cache can't mask it)
+    Files.write(dir.resolve("b.avi"), Array.tabulate[Byte](64)(i => (i * 3).toByte))
+    val rows = df.select("frame_number", "payload").collect()
+    // frames of a and c survive with their GLOBAL indices; b's four
+    // frames are dropped — later healthy files must NOT be lost
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 7L, 8L))
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").length === 16 * 12 * 3))
+    // the skip is surfaced as DSv2 custom metrics on the scan, not just
+    // a stderr line
+    val names = graft.sources.v2.FrameSourceMetrics.supported.map(_.name()).toSet
+    assert(names === Set("skippedContainers", "droppedFrames"))
+  }
+
   test("a corrupt container in a corpus is skipped at plan time, not fatal") {
     val dir = Files.createTempDirectory("graft_corpus_corrupt")
     graft.TempDirs.cleanupOnExit(dir)
