@@ -27,6 +27,16 @@ object Containers {
     case _ => false
   }
 
+  /** Codec fourccs whose samples this engine pixel-decodes pure-JVM
+    * (ImageIO JPEG, raw DIB). Everything else — notably `avc1`
+    * (H.264), which needs a native decoder — is METADATA-ONLY: probe,
+    * frame index, and stream-copy all work, and the pixel face skips
+    * the file in corpus scans (one undecodable container must not end
+    * a 100k-file scan). */
+  val PixelDecodable: Set[String] = Set("MJPG", "DIB", "jpeg")
+
+  def isPixelDecodable(codec: String): Boolean = PixelDecodable.contains(codec)
+
   /** Container-metadata probe (`frame_reader.py:129-131`). */
   def probe(path: String): AviMeta =
     if (isBmff(path)) Mp4Codec.probe(path) else AviCodec.probe(path)

@@ -290,6 +290,46 @@ object PipelineQueries {
       dir.toString
     }
 
+  /** Deterministic MIXED-CODEC corpus fixture for q96/q97: two MJPEG
+    * MP4s and one MJPEG AVI interleaved with one `avc1` (H.264) MP4 —
+    * the realistic corpus shape (most real video is H.264, which has
+    * no pure-JVM decoder). The avc1 samples are opaque non-JPEG bytes;
+    * its CONTAINER metadata (stbl sample tables, dims, fps) is fully
+    * real, which is exactly what the metadata face reads. */
+  private def mixedCorpusFixture(s: SparkSession): String =
+    graft.Caches.memo(s, "mixed", "q96_fixture") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q96-mixed-")
+      graft.TempDirs.cleanupOnExit(dir)
+      def jpegs(tag: Int, n: Int): Seq[Array[Byte]] = (0 until n).map { i =>
+        val img = new java.awt.image.BufferedImage(32, 24,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 24) {
+          var x = 0
+          while (x < 32) {
+            img.setRGB(x, y, ((x * 13 + y * 19 + (tag * 100 + i) * 37) * 2654435761L).toInt & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        baos.toByteArray
+      }
+      graft.multimodal.AviCodec.writeMjpeg(
+        dir.resolve("clip_00.avi").toString, jpegs(0, 3), 32, 24, fps = 24)
+      graft.multimodal.Mp4Codec.writeMjpeg(
+        dir.resolve("clip_01.mp4").toString, jpegs(1, 4), 32, 24, fps = 25)
+      // fake H.264 access units: valid ISO-BMFF container, undecodable
+      // sample payloads (neither JPEG nor a full DIB)
+      val aus = (0 until 5).map(i => Array.tabulate[Byte](200)(j => ((i * 41 + j * 7) & 0xff).toByte))
+      graft.multimodal.Mp4Codec.writeMjpeg(
+        dir.resolve("clip_02.mp4").toString, aus, 32, 24, fps = 30, codecFourcc = "avc1")
+      graft.multimodal.Mp4Codec.writeMjpeg(
+        dir.resolve("clip_03.mp4").toString, jpegs(3, 2), 32, 24, fps = 25)
+      dir.toString
+    }
+
   private[queries] val MinhashCandidatesSql =
     s"""$ShingleCte,
        |hb AS (SELECT doc_id, x % 1000000007 AS hb
@@ -533,6 +573,44 @@ object PipelineQueries {
         .load()
         .select(col("frame_number"), col("ts_us"), col("width"), col("height"),
           length(col("payload")).as("n_bytes"))
+        .orderBy("frame_number")
+    },
+
+    // MIXED-CODEC corpus analytics, metadata-only: per-file codec,
+    // frame count, dims, exact fps, and duration from the container
+    // headers ALONE — the `avc1` (H.264) file, which has no pure-JVM
+    // pixel decode, answers identically to the MJPEG ones because
+    // nothing here decodes a sample. Listing + probe both run
+    // DISTRIBUTED (Dataset map over the file list; probe is the same
+    // (size,mtime)-cached header read the scan planner uses), so this
+    // is the corpus-inventory query a 100k-file archive runs first.
+    "q96_mixed_codec_probe" -> { (s, _) =>
+      import s.implicits._
+      val dir = mixedCorpusFixture(s)
+      val paths = graft.sources.v2.FrameSource.listContainers(new java.io.File(dir))
+      s.createDataset(paths)
+        .repartition(math.min(paths.length, 4))
+        .map { p =>
+          val m = graft.multimodal.Containers.probeCached(p)
+          (new java.io.File(p).getName, m.handler, m.nFrames, m.width, m.height,
+            m.fps, math.round(m.nFrames * 1e6 / m.fps),
+            graft.multimodal.Containers.isPixelDecodable(m.handler))
+        }
+        .toDF("file", "codec", "n_frames", "width", "height", "fps",
+          "duration_us", "decodable")
+        .orderBy("file")
+    },
+
+    // The PIXEL face of the same mixed corpus: decodable files' frames
+    // flow with their GLOBAL indices; the avc1 file's range [7, 12) is
+    // skipped (per-file skip-and-continue, surfaced as scan metrics) —
+    // one H.264 container must not drop the healthy files behind it.
+    "q97_mixed_codec_scan" -> { (s, _) =>
+      val dir = mixedCorpusFixture(s)
+      s.read.format("graft-frames")
+        .option("path", dir).option("numPartitions", 4)
+        .load()
+        .select(col("frame_number"), length(col("payload")).as("n_bytes"))
         .orderBy("frame_number")
     },
 
@@ -1206,6 +1284,31 @@ object PipelineQueries {
         |  CAST(sum(smp * smp) AS BIGINT) AS energy,
         |  CAST(max(abs(smp)) AS INTEGER) AS peak
         |FROM s GROUP BY doc_id, window_id ORDER BY doc_id, window_id""".stripMargin,
+    // q96: the fixture's container headers are deterministic, so the
+    // oracle is the closed-form inventory; a hash match proves the
+    // engine's RIFF and ISO-BMFF header parses (incl. the avc1 track's)
+    // returned exactly the muxed metadata
+    "q96_mixed_codec_probe" ->
+      """SELECT * FROM (VALUES
+        |  ('clip_00.avi', 'MJPG', CAST(3 AS BIGINT), CAST(32 AS INTEGER),
+        |   CAST(24 AS INTEGER), CAST(24.0 AS DOUBLE), CAST(125000 AS BIGINT), true),
+        |  ('clip_01.mp4', 'jpeg', CAST(4 AS BIGINT), CAST(32 AS INTEGER),
+        |   CAST(24 AS INTEGER), CAST(25.0 AS DOUBLE), CAST(160000 AS BIGINT), true),
+        |  ('clip_02.mp4', 'avc1', CAST(5 AS BIGINT), CAST(32 AS INTEGER),
+        |   CAST(24 AS INTEGER), CAST(30.0 AS DOUBLE), CAST(166667 AS BIGINT), false),
+        |  ('clip_03.mp4', 'jpeg', CAST(2 AS BIGINT), CAST(32 AS INTEGER),
+        |   CAST(24 AS INTEGER), CAST(25.0 AS DOUBLE), CAST(80000 AS BIGINT), true))
+        |  AS t(file, codec, n_frames, width, height, fps, duration_us, decodable)
+        |ORDER BY file""".stripMargin,
+    // q97: global frame ranges clip_00=[0,3) clip_01=[3,7)
+    // clip_02(avc1)=[7,12) clip_03=[12,14); the avc1 range is absent,
+    // everything else decodes to a full 32×24 BGR buffer
+    "q97_mixed_codec_scan" ->
+      """SELECT range AS frame_number, CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
+        |FROM range(7)
+        |UNION ALL
+        |SELECT range + 12, CAST(32 * 24 * 3 AS INTEGER) FROM range(2)
+        |ORDER BY frame_number""".stripMargin,
     // q87: 5+7+3 frames across three containers, one global dense index
     "q87_avi_corpus_scan" ->
       """SELECT range AS frame_number,

@@ -335,9 +335,13 @@ class FrameReaderFactory(config: FrameSource.Config, required: StructType)
   * split (a partition spanning a file boundary just advances to the
   * next file mid-iteration).
   *
-  * An undecodable frame ends THIS reader's scan (`cap.read() → ret
-  * False → EOF`, frame_reader.py:143-147) — logged, not thrown, matching
-  * the reference's release-on-EOF semantics.
+  * An undecodable frame in a SINGLE-file scan ends this reader's scan
+  * (`cap.read() → ret False → EOF`, frame_reader.py:143-147) — logged,
+  * not thrown, matching the reference's release-on-EOF semantics. In a
+  * MULTI-file corpus scan it skips the rest of that file and resumes at
+  * the next file's offset (same rule as a mid-scan bind failure): one
+  * H.264 container must not silently drop every later healthy file in
+  * the partition. Skips surface as the scan's custom metrics.
   *
   * Column pruning is honored per-field: a pruned scan without `payload`
   * never opens a container (metadata-only queries never touch pixel
@@ -446,6 +450,19 @@ class AviPartitionReader(files: Seq[FrameSource.AviFile], config: FrameSource.Co
           ImageCodec.decode(bytes)
             .orElse(AviCodec.decodeDib(bytes, fileMeta.width, fileMeta.height)) match {
             case Some(d) => img = d; return true
+            case None if files.length > 1 =>
+              // a corpus contains codecs we can't pixel-decode (H.264
+              // sits behind `avc1` metadata-only) — skip the REST OF
+              // THIS FILE and continue with the next, same rule as a
+              // mid-scan bind failure; the metadata face still exposes
+              // the skipped file's probe row
+              val fileEnd = file.offset + file.frames
+              skippedContainers += 1
+              droppedFrames += math.min(fileEnd, end) - frame
+              System.err.println(
+                s"[graft-frames] undecodable frame $frame in ${file.path} - " +
+                  s"skipping rest of file, resuming at frame $fileEnd")
+              frame = fileEnd
             case None =>
               System.err.println(
                 s"[avi] undecodable frame $frame in ${file.path} - ending scan (cap.read -> False)")
