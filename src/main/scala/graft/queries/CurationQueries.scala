@@ -16,7 +16,9 @@ import graft.similarity.Ann
   * semantic dedup over the IVF partitioning (q77), greedy sequence
   * packing (q78), temperature-balanced corpus mixing (q79), incremental
   * near-dup against a standing corpus index (q93), duplicated-span
-  * REMOVAL (q94), and PII scrubbing (q95).
+  * REMOVAL (q94), PII scrubbing (q95), model-based quality filtering
+  * (q98), deterministic shard export (q99), and content-defined
+  * chunking (q100).
   *
   * Every query is DuckDB-oracled; the scale arguments live with each
   * operator (keyed joins and partial aggregation throughout — the only
@@ -292,6 +294,93 @@ object CurationQueries {
               PiiIpv4, "<IP>"),
             PiiPhone, "<PHONE>").as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // Model-based quality filtering — the fasttext/DCLM-classifier pass
+    // every modern curation pipeline runs after the rule-based filters
+    // (q27): a LINEAR model over a hashed bag of words. Token → bucket
+    // via the 56-bit md5 (cross-engine), bucket → weight via a
+    // closed-form integer formula standing in for trained parameters
+    // (the deploy shape is identical: the weight table is broadcast
+    // either way, and a 1024-bucket real model would just swap the
+    // formula for an array lookup). Score = Σ w(bucket(tok)); margin =
+    // score / n_tokens (one IEEE division of exact integers — the q91
+    // hash-stability precedent). Explode → map → partial-agg: map-side
+    // combine does the heavy lifting, the shuffle carries one partial
+    // sum per (doc, task). No UDF, no weight shuffle, linear in tokens.
+    "q98_quality_classifier" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val bucket = TextOps.hash56(col("tok")) % 1024
+      val weight = (bucket * 2654435761L) % 1997L - 998L
+      toks.select(col("doc_id"), weight.as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          (col("score").cast("double") / col("n_tokens").cast("double"))
+            .as("margin"),
+          when(col("score") > 0, 1L).otherwise(0L).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic global shuffle + shard assignment — the training-
+    // export step after curation: every doc gets a reproducible shuffle
+    // key (56-bit md5 of a salted id — NOT rand(), so the run is
+    // replayable across engines, retries, and cluster sizes), shard =
+    // key % 8, position = rank within the shard by (key, doc_id). The
+    // window is partitioned by SHARD — at scale that is exactly the
+    // repartition + sortWithinPartitions the physical shard write
+    // performs (one shuffle keyed by shard, one sort per output file);
+    // with production shard counts (1024+) each partition is
+    // corpus/shards, never a single hot partition.
+    "q99_shard_export" -> { (s, d) =>
+      val key = TextOps.hash56(concat(lit("shard_"), col("doc_id").cast("string")))
+      val win = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), key.as("shuffle_key"))
+        .withColumn("shard", col("shuffle_key") % 8)
+        .withColumn("pos", row_number().over(win).cast("long"))
+        .select("doc_id", "shard", "shuffle_key", "pos")
+        .orderBy("shard", "pos")
+    },
+
+    // Content-defined chunking (the FastCDC/rolling-hash shape): chunk
+    // boundaries fall where a token's hash lands in a residue class, so
+    // chunk identity is INSERTION-ROBUST — shifting a doc's prefix
+    // changes which chunks exist near the edit, not every chunk after
+    // it (fixed-width chunking q69 re-keys everything downstream of an
+    // edit; shingle dedup q30 pays per-position hashes). Per doc:
+    // boundary bits → cumulative chunk ids (per-doc window, bounded by
+    // doc length) → chunk text re-assembled (the q76/q94 array_sort
+    // shape) → 56-bit chunk hash. Cross-doc sharing is then an exact
+    // groupBy on chunk hash — partial-agg'd, never doc×doc. Report:
+    // per doc, chunks and the fraction shared with ANY other doc.
+    "q100_cdc_chunking" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("idx", "tok")))
+      val boundary = when(TextOps.hash56(col("tok")) % 16 === 0, 1L).otherwise(0L)
+      val win = Window.partitionBy("doc_id").orderBy("idx")
+      val chunks = toks
+        .withColumn("chunk", sum(boundary).over(win))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+            x => x.getField("tok"))).as("chunk_text"))
+        .select(col("doc_id"), TextOps.hash56(col("chunk_text")).as("ch"))
+      val hashed = graft.Caches.scopedPersist(chunks)
+      val shared = hashed.select("doc_id", "ch").distinct()
+        .groupBy("ch").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("ch")
+      val perDoc = hashed.join(shared, Seq("ch"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      hashed.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double")
+            / col("n_chunks").cast("double")).as("shared_fraction"))
+        .orderBy("doc_id")
     }
   )
 
@@ -446,6 +535,57 @@ object CurationQueries {
          |    '$PiiEmail', '<EMAIL>', 'g'),
          |    '$PiiIpv4', '<IP>', 'g'),
          |    '$PiiPhone', '<PHONE>', 'g') AS clean_text
-         |FROM p ORDER BY doc_id""".stripMargin
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // Same hashed-bucket weight formula, token-for-token; the margin is
+    // one IEEE division of identical integers in both engines
+    "q98_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    (CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 1024)
+        |      * 2654435761 % 1997 - 998 AS w
+        |  FROM t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(w) AS BIGINT) AS score,
+        |  CAST(sum(w) AS DOUBLE) / count(*) AS margin,
+        |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q99_shard_export" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
+        |      AS BIGINT) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key % 8 AS shard, shuffle_key,
+        |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    // The cumulative-boundary window uses both engines' default frame
+    // (RANGE UNBOUNDED PRECEDING..CURRENT ROW): a boundary token opens
+    // the chunk it belongs to
+    "q100_cdc_chunking" ->
+      """WITH t AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS idx,
+        |    unnest(tk) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+        |b AS (SELECT doc_id, idx, tok,
+        |    CASE WHEN CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 16 = 0
+        |      THEN 1 ELSE 0 END AS bd
+        |  FROM t),
+        |c AS (SELECT doc_id, idx, tok,
+        |    sum(bd) OVER (PARTITION BY doc_id ORDER BY idx) AS chunk
+        |  FROM b),
+        |ct AS (SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY idx) AS chunk_text
+        |  FROM c GROUP BY doc_id, chunk),
+        |chs AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(chunk_text), 1, 14)) AS BIGINT) AS ch
+        |  FROM ct),
+        |sh2 AS (SELECT ch FROM (SELECT ch, count(DISTINCT doc_id) AS nd
+        |    FROM chs GROUP BY ch) WHERE nd >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_shared FROM chs
+        |  WHERE ch IN (SELECT ch FROM sh2) GROUP BY doc_id),
+        |nc AS (SELECT doc_id, count(*) AS n_chunks FROM chs GROUP BY doc_id)
+        |SELECT nc.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(coalesce(n_shared, 0) AS DOUBLE) / n_chunks AS shared_fraction
+        |FROM nc LEFT JOIN pd USING (doc_id) ORDER BY nc.doc_id""".stripMargin
   )
 }
