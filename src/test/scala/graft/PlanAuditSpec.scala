@@ -336,4 +336,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(eventsShared.nonEmpty,
       "q09/q10/q24 must read the same shared events dense-id cache")
   }
+
+  test("q93: index probe is keyed equi-joins end-to-end — no cartesian, counts partial-agg'd") {
+    val p = formatted("q93_incremental_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "batch-vs-corpus dedup must never degenerate to all-pairs")
+    assert(p.contains("partial_count"),
+      "per-doc match counts must combine map-side")
+  }
+
+  test("q94: windows are doc-keyed and every join is keyed — no cartesian") {
+    val p = formatted("q94_span_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("Window.*partitionBy|hashpartitioning\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      "the islands window must partition by doc_id (state bounded by doc length)")
+  }
+
+  test("q95: the scrub is a pure map — no joins, no hash shuffle") {
+    val p = formatted("q95_pii_scrub")
+    assert(!p.contains("Join"), "redaction must not join anything")
+    assert(!p.contains("hashpartitioning"),
+      "only the output sort may repartition (range), never a hash shuffle")
+  }
+
+  test("q98: classifier scores partial-aggregate map-side; no weight join") {
+    val p = formatted("q98_quality_classifier")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "token weights must combine before the doc-keyed shuffle")
+    assert(!p.contains("Join"),
+      "the closed-form weight must stay an expression, not become a join")
+  }
+
+  test("q99: the export shuffles ONCE, keyed by shard (the physical write shape)") {
+    val p = formatted("q99_shard_export")
+    assert("hashpartitioning\\(shard#\\d+".r.findFirstIn(p).isDefined,
+      "the rank window must be keyed by shard - the repartition the shard write performs")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"))
+  }
+
+  test("q100: chunk sharing is keyed on the chunk hash — no doc-cross-doc join") {
+    val p = formatted("q100_cdc_chunking")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "chunk-frequency counts must combine map-side")
+  }
 }
