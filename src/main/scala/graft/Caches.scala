@@ -69,6 +69,22 @@ object Caches {
     p
   }
 
+  /** EAGERLY materialize `df` as a local checkpoint and register it for
+    * [[releaseScoped]]. Unlike [[scopedPersist]], the result is immune
+    * to CacheManager PATH INVALIDATION: appending to a parquet path the
+    * plan reads (the standing-index pattern — compute decisions FROM the
+    * index, then append survivors TO it) recaches a persisted plan and
+    * silently re-evaluates it against the refreshed file listing, so a
+    * later action sees the batch's own appends (a doc "matching itself"
+    * was the observed failure). A local checkpoint is a materialized RDD
+    * with the lineage truncated — every later action replays the
+    * snapshot taken BEFORE the append. */
+  def scopedCheckpoint(df: DataFrame): DataFrame = synchronized {
+    val p = df.localCheckpoint(eager = true)
+    scoped += p
+    p
+  }
+
   /** Compute-once relation shared across queries of one (session, dir).
     *
     * Materialized EAGERLY: a shared build may internally register scoped

@@ -282,17 +282,14 @@ object CurationQueries {
         lit("."), ((id * 13) % 256).cast("string"),
         lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
         lit("-"), lpad(((id * 17) % 10000).cast("string"), 4, "0"))
-      val cnt = (p: String) => size(regexp_extract_all(col("pii"), lit(p), lit(0))).cast("long")
+      import graft.operators.TextCuration
       Tables.documents(s, d)
         .select(id, pii.as("pii"))
         .select(id,
-          cnt(PiiEmail).as("n_email"), cnt(PiiIpv4).as("n_ip"),
-          cnt(PiiPhone).as("n_phone"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("pii"), PiiEmail, "<EMAIL>"),
-              PiiIpv4, "<IP>"),
-            PiiPhone, "<PHONE>").as("clean_text"))
+          TextCuration.piiCount(col("pii"), TextCuration.PiiEmail).as("n_email"),
+          TextCuration.piiCount(col("pii"), TextCuration.PiiIpv4).as("n_ip"),
+          TextCuration.piiCount(col("pii"), TextCuration.PiiPhone).as("n_phone"),
+          TextCuration.scrubPii(col("pii")).as("clean_text"))
         .orderBy("doc_id")
     },
 
@@ -309,13 +306,7 @@ object CurationQueries {
     // combine does the heavy lifting, the shuffle carries one partial
     // sum per (doc, task). No UDF, no weight shuffle, linear in tokens.
     "q98_quality_classifier" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      val bucket = TextOps.hash56(col("tok")) % 1024
-      val weight = (bucket * 2654435761L) % 1997L - 998L
-      toks.select(col("doc_id"), weight.as("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      graft.operators.TextCuration.qualityScores(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"), col("score"),
           (col("score").cast("double") / col("n_tokens").cast("double"))
             .as("margin"),
@@ -334,7 +325,7 @@ object CurationQueries {
     // with production shard counts (1024+) each partition is
     // corpus/shards, never a single hot partition.
     "q99_shard_export" -> { (s, d) =>
-      val key = TextOps.hash56(concat(lit("shard_"), col("doc_id").cast("string")))
+      val key = graft.operators.TextCuration.shuffleKey(col("doc_id"))
       val win = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
       Tables.documents(s, d)
         .select(col("doc_id"), key.as("shuffle_key"))
@@ -384,12 +375,12 @@ object CurationQueries {
     }
   )
 
-  /** PII patterns — the Java-regex ∩ RE2 common dialect (both engines
-    * agree on character classes, bounded repetition and \b; lookaround
-    * and backreferences are RE2-absent and deliberately avoided). */
-  private val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  /** PII patterns — single definition in
+    * [[graft.operators.TextCuration]] (shared with the streaming
+    * pipeline); aliased here for the oracle-SQL interpolation. */
+  private val PiiEmail = graft.operators.TextCuration.PiiEmail
+  private val PiiIpv4 = graft.operators.TextCuration.PiiIpv4
+  private val PiiPhone = graft.operators.TextCuration.PiiPhone
 
   val oracles: Map[String, String] = Map(
     "q75_duplicated_spans" ->

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.TextCuration
+
+/** The CURATION flagship: the text-corpus analog of the video
+  * [[graft.FlagshipPipeline]] — one streaming chain composing the
+  * oracled curation operators over each micro-batch of raw documents:
+  *
+  *   1. quality filter  — hashed-BoW linear classifier score
+  *      ([[TextCuration.qualityScores]], the q98 operator); docs with
+  *      `score <= minScore` drop, the full score report appends to
+  *      `outDir/quality`;
+  *   2. incremental near-dup — survivors dedup against the STANDING
+  *      corpus index ([[IncrementalNearDup.dedupBatch]], the q93
+  *      operator): linear in the batch at any corpus size, survivors
+  *      join the index so later batches dedup against them;
+  *   3. PII scrub + shard export — kept docs redact
+  *      ([[TextCuration.scrubPii]], q95) and land in `outDir/shards`
+  *      PARTITIONED BY the reproducible shard key (q99's md5 key, the
+  *      physical layout a trainer reads).
+  *
+  * Operator order is the production one: quality first (cheapest, map
+  * + partial-agg — drop garbage before paying signature hashes), dedup
+  * on ORIGINAL text (redaction must not mask a near-dup), scrub last
+  * (only survivors pay the regex pass, and nothing after it sees raw
+  * PII).
+  *
+  * Every stage is the SAME code the batch oracle gate verifies — the
+  * pipeline composes operators, it does not re-implement them.
+  *
+  * Delivery: at-least-once under micro-batch retry, the
+  * [[IncrementalNearDup]] stance (a bounded harness run never
+  * retries; the exactly-once form keys each sink by batch_id and
+  * overwrites dynamically, like `FanOutPipeline.runExactlyOnce`).
+  */
+object CurationPipeline {
+
+  /** Shard fan-out of the export layout. Production uses 1024+; the
+    * test corpora are hundreds of docs. */
+  val Shards = 8
+
+  /** Per-batch counters, returned so callers (and the spec) can audit
+    * the funnel without re-reading sinks. */
+  final case class BatchStats(input: Long, qualityDropped: Long,
+                              dupDropped: Long, exported: Long)
+
+  /** Run ONE batch of (doc_id, text) through the full chain.
+    * Package-visible so the spec drives it directly, like
+    * [[IncrementalNearDup.processBatch]]. */
+  private[streaming] def processBatch(batch: DataFrame, indexDir: String,
+                                      outDir: String,
+                                      minScore: Long = 0L): BatchStats = {
+    val docs = graft.Caches.scopedPersist(batch.select("doc_id", "text"))
+    val input = docs.count()
+
+    // 1. quality: score every doc, keep score > minScore
+    val quality = graft.Caches.scopedPersist(
+      TextCuration.qualityScores(docs)
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          (col("score") > minScore).as("kept")))
+    quality.write.mode("append").parquet(s"$outDir/quality")
+    val passed = docs.join(
+      quality.filter(col("kept")).select("doc_id"), "doc_id")
+
+    // 2. near-dup vs the standing corpus (original text — scrubbing
+    // first could mask a duplicate)
+    val decisions = IncrementalNearDup.dedupBatch(passed, indexDir)
+    decisions.write.mode("append").parquet(s"$outDir/dedup")
+    val kept = passed.join(
+      decisions.filter(col("kept")).select("doc_id"), "doc_id")
+
+    // 3. scrub + export, partitioned by the reproducible shard key —
+    // the write-side layout q99 derives
+    val exported = kept.select(col("doc_id"),
+      TextCuration.scrubPii(col("text")).as("clean_text"),
+      (TextCuration.shuffleKey(col("doc_id")) % Shards).as("shard"))
+    exported.write.mode("append").partitionBy("shard")
+      .parquet(s"$outDir/shards")
+
+    val nPassed = passed.count()
+    val nKept = kept.count()
+    graft.Caches.releaseScoped()
+    BatchStats(input, input - nPassed, nPassed - nKept, nKept)
+  }
+
+  /** Run the chain over a streaming (doc_id, text) source. */
+  def run(docs: DataFrame, indexDir: String, outDir: String,
+          checkpointDir: String, minScore: Long = 0L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, indexDir, outDir, minScore)
+        ()
+      }
+      .start()
+}

@@ -54,6 +54,17 @@ object IncrementalNearDup {
     * Package-visible so the spec can also drive it directly. */
   private[streaming] def processBatch(batch: DataFrame, indexDir: String,
                                       outDir: String): Unit = {
+    dedupBatch(batch, indexDir).write.mode("append").parquet(outDir)
+    graft.Caches.releaseScoped()
+  }
+
+  /** The composable core: dedup `batch` against the index, append the
+    * SURVIVORS' signatures to the index, and return the per-doc
+    * decisions `(doc_id, dup_of, best_jaccard, kept)` — scoped-persisted,
+    * so the caller can fan them into its own sinks before calling
+    * `Caches.releaseScoped()`. Used by both [[processBatch]] and the
+    * composed [[CurationPipeline]]. */
+  private[streaming] def dedupBatch(batch: DataFrame, indexDir: String): DataFrame = {
     val spark = batch.sparkSession
     val bandsDir = s"$indexDir/bands"
     val shinglesDir = s"$indexDir/shingles"
@@ -92,12 +103,18 @@ object IncrementalNearDup {
           .agg(min("corpus_id").as("dup_of"), max("jaccard").as("best_jaccard"))
       }
 
-    val decisions = graft.Caches.scopedPersist(
+    // scopedCheckpoint, NOT scopedPersist: the decisions plan READS the
+    // index paths this method then APPENDS to, and Spark's CacheManager
+    // invalidates (recaches) any cached plan over a written path — a
+    // merely-persisted decisions would silently re-evaluate against the
+    // post-append listing on the caller's next action, matching each doc
+    // against its own just-indexed signature. The eager checkpoint
+    // freezes the pre-append answer.
+    val decisions = graft.Caches.scopedCheckpoint(
       batch.select("doc_id")
         .join(matches, col("doc_id") === col("new_id"), "left")
         .select(col("doc_id"), col("dup_of"), col("best_jaccard"),
           col("new_id").isNull.as("kept")))
-    decisions.write.mode("append").parquet(outDir)
 
     // only SURVIVORS join the standing corpus
     val keptIds = decisions.filter(col("kept")).select("doc_id")
@@ -105,7 +122,7 @@ object IncrementalNearDup {
     probes.select(col("band"), col("bucket"), col("new_id").as("doc_id"))
       .join(keptIds, "doc_id")
       .write.mode("append").parquet(bandsDir)
-    graft.Caches.releaseScoped()
+    decisions
   }
 
   /** Run the incremental dedup over a streaming (doc_id, text) source. */
