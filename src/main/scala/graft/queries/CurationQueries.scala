@@ -335,6 +335,34 @@ object CurationQueries {
         .orderBy("shard", "pos")
     },
 
+    // HYBRID dedup policy — the decision layer a production pipeline
+    // actually ships: a doc is dropped when EITHER signal fires — a
+    // verified text near-dup with a smaller-id original (the q30/q31
+    // two-phase pipeline, keep-first) OR a semantic dup in its IVF cell
+    // (the q77 SemDeDup decision), linked doc_id = vec_id. Both signals
+    // read SESSION-SHARED relations (the verified-pair relation and the
+    // IVF assignment), so the policy layer adds two keyed left joins —
+    // no signal is recomputed. Both branches fire at sf0.01: the corpus
+    // plants text near-dups and the 0.45 cosine tail is populated.
+    "q101_hybrid_dedup" -> { (s, d) =>
+      val textDup = PipelineQueries.verifiedPairs(s, d)
+        .groupBy("doc_b").agg(min("doc_a").as("text_dup_of"))
+        .withColumnRenamed("doc_b", "doc_id")
+      val sem = Ann.semanticDedupAssigned(
+        graft.similarity.IvfIndex.assignments(s, d), SemThreshold)
+        .select(col("vec_id").as("doc_id"), (lit(1L) - col("kept")).as("sem_dup"))
+      Tables.documents(s, d).select("doc_id")
+        .join(textDup, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("text_dup_of").isNotNull, 1L).otherwise(0L).as("text_dup"),
+          col("text_dup_of"),
+          coalesce(col("sem_dup"), lit(0L)).as("sem_dup"),
+          when(col("text_dup_of").isNull
+            && coalesce(col("sem_dup"), lit(0L)) === 0, 1L).otherwise(0L).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // Content-defined chunking (the FastCDC/rolling-hash shape): chunk
     // boundaries fall where a token's hash lands in a residue class, so
     // chunk identity is INSERTION-ROBUST — shifting a doc's prefix
@@ -550,6 +578,34 @@ object CurationQueries {
         |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
         |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
+    // Both signal CTE chains are the SHARED oracle prefixes (minhash +
+    // the full Lloyd replay); the policy layer is two left joins on top
+    "q101_hybrid_dedup" ->
+      s"""${PipelineQueries.MinhashCandidatesSql},
+         |${PipelineQueries.IvfCte.replaceFirst("^WITH ", "")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |tdup AS (SELECT doc_b AS doc_id, min(doc_a) AS text_dup_of FROM (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5)
+         |  GROUP BY doc_b),
+         |best AS (SELECT b.vec_id,
+         |    max(round(list_dot_product(a.nv, b.nv) / (a.nn * b.nn), 4)) AS bc
+         |  FROM asg b JOIN asg a ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  GROUP BY b.vec_id),
+         |sem AS (SELECT s.vec_id AS doc_id,
+         |    CASE WHEN t.bc IS NOT NULL AND t.bc >= $SemThreshold THEN 1 ELSE 0 END AS sem_dup
+         |  FROM asg s LEFT JOIN best t ON s.vec_id = t.vec_id)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN td.text_dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS text_dup,
+         |  td.text_dup_of,
+         |  CAST(coalesce(sem.sem_dup, 0) AS BIGINT) AS sem_dup,
+         |  CAST(CASE WHEN td.text_dup_of IS NULL AND coalesce(sem.sem_dup, 0) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents d LEFT JOIN tdup td USING (doc_id) LEFT JOIN sem USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // The cumulative-boundary window uses both engines' default frame
     // (RANGE UNBOUNDED PRECEDING..CURRENT ROW): a boundary token opens
     // the chunk it belongs to

@@ -161,7 +161,7 @@ object PipelineQueries {
     * [[graft.Caches]] as explicit shared relations: each is computed once
     * per (session, dir) and retained until session end, so q30/q31/q60
     * reuse is structural, not a cache-policy footnote in Bench.scala. */
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame =
     graft.Caches.sharedRelation(s, d, "verified_pairs") {
       val docs = shingleDocs(s, d)
       val cands = minhashCandidates(s, d)
