@@ -374,6 +374,11 @@ object CurationQueries {
     // shape) → 56-bit chunk hash. Cross-doc sharing is then an exact
     // groupBy on chunk hash — partial-agg'd, never doc×doc. Report:
     // per doc, chunks and the fraction shared with ANY other doc.
+    // Simplification vs production FastCDC: no min/max chunk-size
+    // clamp, so adjacent boundary tokens yield 1-token chunks whose
+    // sharing is common-word sharing — a real deploy adds the min-size
+    // rule (skip boundaries closer than m tokens), which is the same
+    // relational shape with a lagged-distance filter before the cumsum.
     "q100_cdc_chunking" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
