@@ -15,7 +15,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names =
-      if (args.length > 1) args(1).split(",").toSeq
+      if (args.length > 1 && args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args(1).split(",").toSeq
       else Seq("q01_ordered_scan", "q02_keyframe_sample", "q09_progress_ticks",
         "q14_tumbling_window", "q22_segment_range_join", "q24_union_reassembly",
         "q30_minhash_banding", "q31_ngram_jaccard", "q34_simhash_neardup",

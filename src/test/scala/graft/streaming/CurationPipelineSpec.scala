@@ -89,6 +89,44 @@ class CurationPipelineSpec extends SparkSpec {
     assert(quality.filter("n_tokens >= 12").count() === 5)
   }
 
+  test("restart from checkpoint: committed batches are not reprocessed, the index survives") {
+    val (indexDir, outDir, ckptDir) = mkDirs()
+    val inDir = Files.createTempDirectory("graft_curation_in")
+    graft.TempDirs.cleanupOnExit(inDir)
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def source() = spark.readStream.schema(schema).parquet(inDir.toString)
+    def drain(): Unit = {
+      val q = CurationPipeline.run(source(), indexDir, outDir.toString,
+        ckptDir, minScore = Long.MinValue)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // phase A: two docs, then STOP
+    Seq((1L, text(1)), (2L, text(2))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir.toString)
+    drain()
+    // phase B: restart on the SAME checkpoint with one near-copy of doc 1
+    Seq((3L, text(1) + " extra")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir.toString)
+    drain()
+
+    val dedup = spark.read.parquet(s"$outDir/dedup")
+      .select("doc_id", "dup_of", "kept").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    // exactly ONE decision per doc: phase A's committed batch was not
+    // re-read after the restart (a reprocess would re-append 1 and 2)
+    assert(dedup.length === 3, dedup.mkString(","))
+    val m = dedup.toMap
+    assert(m(1L) === (None, true) && m(2L) === (None, true))
+    // the restarted query dedups against the index built BEFORE the stop
+    assert(m(3L) === (Some(1L), false),
+      "post-restart batch must see the pre-restart corpus index")
+  }
+
   test("the quality gate drops low-scoring docs before they pay signature or regex cost") {
     val (indexDir, outDir, _) = mkDirs()
     import spark.implicits._

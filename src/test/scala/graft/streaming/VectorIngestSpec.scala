@@ -68,4 +68,41 @@ class VectorIngestSpec extends SparkSpec {
       "probed cells must prune the partitioned index scan dynamically")
     all.unpersist(); centroids.unpersist()
   }
+
+  test("restart from checkpoint: committed vector batches are not re-ingested") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_vec_restart")
+    graft.TempDirs.cleanupOnExit(root)
+    val indexDir = root.resolve("index").toString
+    val ckptDir = root.resolve("ckpt").toString
+    val inDir = root.resolve("in").toString
+
+    val all = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .cache()
+    val n = all.count()
+    val centroids = Ann.trainCentroids(all, k = 4, iters = 2).cache()
+    centroids.count()
+
+    val schema = all.schema
+    def drain(): Unit = {
+      val q = VectorIngest.run(
+        spark.readStream.schema(schema).parquet(inDir), centroids,
+        indexDir, ckptDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    all.filter(col("vec_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain() // phase A, then STOP
+    all.filter(col("vec_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    drain() // restart on the same checkpoint
+
+    val idx = spark.read.parquet(indexDir)
+    // every vector exactly once: a re-ingest of phase A's committed
+    // batch would duplicate the even ids
+    assert(idx.count() === n)
+    assert(idx.select("vec_id").distinct().count() === n)
+    all.unpersist(); centroids.unpersist()
+  }
 }
