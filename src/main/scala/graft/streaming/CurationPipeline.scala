@@ -32,10 +32,11 @@ import graft.operators.TextCuration
   * Every stage is the SAME code the batch oracle gate verifies — the
   * pipeline composes operators, it does not re-implement them.
   *
-  * Delivery: at-least-once under micro-batch retry, the
-  * [[IncrementalNearDup]] stance (a bounded harness run never
-  * retries; the exactly-once form keys each sink by batch_id and
-  * overwrites dynamically, like `FanOutPipeline.runExactlyOnce`).
+  * Delivery: [[run]] is at-least-once under micro-batch retry (the
+  * [[IncrementalNearDup]] stance; a bounded harness run never
+  * retries); [[runExactlyOnce]] is the idempotent form — every sink
+  * AND the standing index keyed by a `__batch` partition that a replay
+  * overwrites.
   */
 object CurationPipeline {
 
@@ -94,6 +95,60 @@ object CurationPipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, indexDir, outDir, minScore)
+        ()
+      }
+      .start()
+
+  /** EXACTLY-ONCE form for engines that retry micro-batches (the
+    * `FanOutPipeline.runExactlyOnce` stance): every sink — quality
+    * report, dedup decisions, shard export, and the standing index
+    * itself ([[IncrementalNearDup.dedupBatchIdempotent]]) — is keyed by
+    * a `__batch` partition and a replay OVERWRITES its own partition.
+    * The dedup reads exclude the replayed batch's partition, so a retry
+    * that crashed after its index write still reaches the same
+    * decisions. */
+  private[streaming] def processBatchExactlyOnce(batch: DataFrame, batchId: Long,
+                                                 indexDir: String, outDir: String,
+                                                 minScore: Long = 0L): BatchStats = {
+    val docs = graft.Caches.scopedPersist(batch.select("doc_id", "text"))
+    val input = docs.count()
+
+    def overwrite(df: DataFrame, path: String, parts: String*): Unit =
+      df.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch" +: parts: _*).parquet(path)
+
+    val quality = graft.Caches.scopedPersist(
+      TextCuration.qualityScores(docs)
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          (col("score") > minScore).as("kept")))
+    overwrite(quality, s"$outDir/quality")
+    val passed = docs.join(
+      quality.filter(col("kept")).select("doc_id"), "doc_id")
+
+    val decisions = IncrementalNearDup.dedupBatchIdempotent(passed, batchId, indexDir)
+    overwrite(decisions, s"$outDir/dedup")
+    val kept = passed.join(
+      decisions.filter(col("kept")).select("doc_id"), "doc_id")
+
+    val exported = kept.select(col("doc_id"),
+      TextCuration.scrubPii(col("text")).as("clean_text"),
+      (TextCuration.shuffleKey(col("doc_id")) % Shards).as("shard"))
+    overwrite(exported, s"$outDir/shards", "shard")
+
+    val nPassed = passed.count()
+    val nKept = kept.count()
+    graft.Caches.releaseScoped()
+    BatchStats(input, input - nPassed, nPassed - nKept, nKept)
+  }
+
+  /** [[run]] with the exactly-once batch body. */
+  def runExactlyOnce(docs: DataFrame, indexDir: String, outDir: String,
+                     checkpointDir: String, minScore: Long = 0L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        processBatchExactlyOnce(batch, bid, indexDir, outDir, minScore)
         ()
       }
       .start()

@@ -64,10 +64,32 @@ object IncrementalNearDup {
     * so the caller can fan them into its own sinks before calling
     * `Caches.releaseScoped()`. Used by both [[processBatch]] and the
     * composed [[CurationPipeline]]. */
-  private[streaming] def dedupBatch(batch: DataFrame, indexDir: String): DataFrame = {
+  private[streaming] def dedupBatch(batch: DataFrame, indexDir: String): DataFrame =
+    dedupCore(batch, indexDir, batchId = None)
+
+  /** IDEMPOTENT form of [[dedupBatch]] for engines that retry
+    * micro-batches: index rows carry a `__batch` partition and a retry
+    * OVERWRITES its own partition (dynamic partition overwrite) instead
+    * of appending twice. The index reads exclude the current batch's
+    * partition, so a retry that crashed AFTER its index write still
+    * computes the same decisions — without the exclusion, the replayed
+    * batch would find its own first-attempt signatures and match every
+    * doc against itself. An index directory is one mode or the other:
+    * rows written by the at-least-once form carry no `__batch` column. */
+  private[streaming] def dedupBatchIdempotent(batch: DataFrame, batchId: Long,
+                                              indexDir: String): DataFrame =
+    dedupCore(batch, indexDir, Some(batchId))
+
+  private def dedupCore(batch: DataFrame, indexDir: String,
+                        batchId: Option[Long]): DataFrame = {
     val spark = batch.sparkSession
     val bandsDir = s"$indexDir/bands"
     val shinglesDir = s"$indexDir/shingles"
+    def readIndex(dir: String): DataFrame = {
+      val df = spark.read.parquet(dir)
+      // a RETRIED batch must not dedup against its own first attempt
+      batchId.fold(df)(b => df.filter(col("__batch") =!= b))
+    }
 
     // batch signatures: the same fused shingle+hash pass as the batch
     // pipeline (positional md5 → distinct 56-bit sets → 16-hash bands)
@@ -88,11 +110,11 @@ object IncrementalNearDup {
           .withColumn("best_jaccard", lit(null).cast("double"))
           .select("new_id", "dup_of", "best_jaccard")
       } else {
-        val index = spark.read.parquet(bandsDir)
+        val index = readIndex(bandsDir)
         val cand = probes.join(index, Seq("band", "bucket"))
           .select(col("new_id"), col("doc_id").as("corpus_id")).distinct()
         val a = sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a"))
-        val b = spark.read.parquet(shinglesDir)
+        val b = readIndex(shinglesDir)
           .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
         val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
         cand.join(a, "new_id").join(b, "corpus_id")
@@ -118,10 +140,23 @@ object IncrementalNearDup {
 
     // only SURVIVORS join the standing corpus
     val keptIds = decisions.filter(col("kept")).select("doc_id")
-    sh.join(keptIds, "doc_id").write.mode("append").parquet(shinglesDir)
-    probes.select(col("band"), col("bucket"), col("new_id").as("doc_id"))
+    val keptSh = sh.join(keptIds, "doc_id")
+    val keptBands = probes
+      .select(col("band"), col("bucket"), col("new_id").as("doc_id"))
       .join(keptIds, "doc_id")
-      .write.mode("append").parquet(bandsDir)
+    batchId match {
+      case None =>
+        keptSh.write.mode("append").parquet(shinglesDir)
+        keptBands.write.mode("append").parquet(bandsDir)
+      case Some(b) =>
+        // retry-safe: the batch's partition overwrites itself
+        keptSh.withColumn("__batch", lit(b))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(shinglesDir)
+        keptBands.withColumn("__batch", lit(b))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch").parquet(bandsDir)
+    }
     decisions
   }
 

@@ -127,6 +127,37 @@ class CurationPipelineSpec extends SparkSpec {
       "post-restart batch must see the pre-restart corpus index")
   }
 
+  test("exactly-once form: a replayed batch overwrites itself, even after its index write landed") {
+    val (indexDir, outDir, _) = mkDirs()
+    import spark.implicits._
+    val b1 = Seq((1L, text(1)), (2L, text(2))).toDF("doc_id", "text")
+    CurationPipeline.processBatchExactlyOnce(b1, 0L, indexDir, outDir, Long.MinValue)
+    val b2 = Seq((3L, text(1) + " extra"), (4L, text(4))).toDF("doc_id", "text")
+    CurationPipeline.processBatchExactlyOnce(b2, 1L, indexDir, outDir, Long.MinValue)
+    // REPLAY batch 1 — the crash-after-index-write scenario: its first
+    // attempt's signatures are already in the index under __batch=1, and
+    // the retry must (a) not dedup doc 3 against its own first attempt,
+    // (b) overwrite rather than double every sink partition
+    CurationPipeline.processBatchExactlyOnce(b2, 1L, indexDir, outDir, Long.MinValue)
+
+    val dec = spark.read.parquet(s"$outDir/dedup")
+      .select("doc_id", "dup_of", "kept").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    assert(dec.length === 4, s"replay must not duplicate decisions: ${dec.mkString(",")}")
+    val m = dec.toMap
+    assert(m(1L) === (None, true) && m(2L) === (None, true) && m(4L) === (None, true))
+    assert(m(3L) === (Some(1L), false),
+      "the replayed batch must still dedup against the PRIOR corpus only")
+    // exports: survivors exactly once
+    val exported = spark.read.parquet(s"$outDir/shards").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(exported === Seq(1L, 2L, 4L))
+    // index: survivors exactly once
+    val indexed = spark.read.parquet(s"$indexDir/shingles").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(indexed === Seq(1L, 2L, 4L))
+  }
+
   test("the quality gate drops low-scoring docs before they pay signature or regex cost") {
     val (indexDir, outDir, _) = mkDirs()
     import spark.implicits._
