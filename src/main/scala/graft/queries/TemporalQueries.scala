@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +27,37 @@ object TemporalQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
         .orderBy("wstart")
+    },
+
+    // Time-series GAP-FILL + resample — the operator every metrics/
+    // telemetry pipeline needs and Spark has no native form of: events
+    // resample to a dense HOURLY grid per event_type (missing hours
+    // appear with n = 0) and the hourly mean forward-fills across gaps
+    // (last-observation-carried-forward, the gauge semantics). Shapes:
+    // the sparse hourly rollup is one partial-agg'd groupBy; the grid is
+    // corpus-size-INDEPENDENT (types × hours of the time range) and
+    // derives from a broadcast 1-row min/max; the ffill window is keyed
+    // by type and, in production, additionally by day so no partition
+    // scales with history. Decimal-exact hour sums (the q83 rule) keep
+    // the mean a single IEEE division both engines agree on.
+    "q102_gapfill_resample" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 3600000000").as("hour"),
+          col("event_type"), col("value"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,12)")).as("sv"))
+      val range = hourly.groupBy().agg(min("hour").as("lo"), max("hour").as("hi"))
+      val grid = Tables.events(s, d).select("event_type").distinct()
+        .crossJoin(broadcast(range))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      grid.join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sv").cast("double") / col("n"), ignoreNulls = true)
+            .over(w).as("ffill_avg"))
+        .orderBy("event_type", "hour")
     },
 
     // Session windows: events of a user merge while gaps stay under
@@ -81,6 +113,23 @@ object TemporalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same decimal hour-sums; IGNORE NULLS last_value over the same
+    // default frame replays the forward fill
+    "q102_gapfill_resample" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    count(*) AS n, sum(CAST(value AS DECIMAL(28,12))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour FROM t, r),
+        |f AS (SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n,
+        |    CAST(h.sv AS DOUBLE) / h.n AS avg_v
+        |  FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour)
+        |SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+        |  last_value(avg_v IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS ffill_avg
+        |FROM f ORDER BY event_type, hour""".stripMargin,
     "q39_sliding_window" ->
       """WITH expanded AS (
         |  SELECT unnest([date_trunc('minute', ts),
