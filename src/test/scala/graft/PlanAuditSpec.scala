@@ -374,6 +374,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"))
   }
 
+  test("q101: both policy signals join keyed — no cartesian, no doc-cross-doc") {
+    val p = formatted("q101_hybrid_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "the decision layer must stay keyed left joins over shared relations")
+  }
+
+  test("q102: the rollup partial-aggregates; only the 1-row range broadcast is nested-loop") {
+    val p = formatted("q102_gapfill_resample")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the sparse hourly rollup must combine map-side")
+    assert(!p.contains("CartesianProduct"),
+      "the grid must come from a BROADCAST of the 1-row min/max, never a cartesian")
+    assert(p.contains("BroadcastExchange"),
+      "the range row must broadcast onto the type list")
+  }
+
   test("q100: chunk sharing is keyed on the chunk hash — no doc-cross-doc join") {
     val p = formatted("q100_cdc_chunking")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
