@@ -17,8 +17,9 @@ import graft.similarity.Ann
   * packing (q78), temperature-balanced corpus mixing (q79), incremental
   * near-dup against a standing corpus index (q93), duplicated-span
   * REMOVAL (q94), PII scrubbing (q95), model-based quality filtering
-  * (q98), deterministic shard export (q99), and content-defined
-  * chunking (q100).
+  * (q98), deterministic shard export (q99), content-defined chunking
+  * (q100), per-domain document caps (q103), and weighted priority
+  * sampling (q104).
   *
   * Every query is DuckDB-oracled; the scale arguments live with each
   * operator (keyed joins and partial aggregation throughout — the only
@@ -52,6 +53,15 @@ object CurationQueries {
     * a production-style 0.95 would never drop — 0.45 sits inside the
     * observed tail and exercises both branches of the keep decision. */
   private val SemThreshold = 0.45
+
+  /** q103 per-domain document cap: binds at sf0.01 (25 docs/source) and
+    * above; at sf0.001 (2-3 docs/source) every doc is kept — correct,
+    * just unexercised, like q93's batch split at tiny SF. */
+  private val DomainCap = 15
+
+  /** q104 sample size. k+1 docs must exist for the threshold τ to be
+    * defined; below that the whole corpus is the sample and τ = 0. */
+  private val PrioritySampleK = 64
 
   /** Positional hashed 3-gram shingles per doc — q75's base relation,
     * the SHARED positional base the dedup trio's distinct sets also
@@ -405,6 +415,65 @@ object CurationQueries {
           (coalesce(col("n_shared"), lit(0L)).cast("double")
             / col("n_chunks").cast("double")).as("shared_fraction"))
         .orderBy("doc_id")
+    },
+
+    // Per-domain document cap — the RefinedWeb/C4 anti-spam pass: no
+    // single domain may contribute more than DomainCap docs, selection
+    // within a domain by a reproducible md5 priority (not arrival order,
+    // which at web scale is crawl-frontier order = itself domain-biased).
+    // The cap-k selection runs through the bounded MinKLong aggregator,
+    // NOT a row_number window: each map task ships at most cap pairs per
+    // domain to the shuffle, so a 100M-page domain costs the same
+    // shuffle as a 100-page one — and the 56-bit priorities compare as
+    // exact integers (TopK's double score loses bits above 2^53). The
+    // report keeps every doc with its kept bit, like q74/q77.
+    "q103_domain_cap" -> { (s, d) =>
+      val mink = udaf(new graft.expressions.MinKLong(DomainCap))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.hash56(concat(lit("cap:"), col("doc_id").cast("string")))
+            .as("pri"))
+      val kept = docs.groupBy("source")
+        .agg(mink(col("pri"), col("doc_id")).as("keep"))
+        .select(explode(col("keep")).as("e"))
+        .select(col("e._2").as("doc_id"), lit(1L).as("kept"))
+      docs.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("pri"),
+          coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // Weighted PRIORITY SAMPLING (Duffield–Lund–Thorup): each doc draws
+    // priority w/u — w = n_chars, u a uniform from the doc's md5 — and
+    // the global sample is the k largest priorities; est_weight =
+    // max(w, τ) with τ the (k+1)-th priority makes any subset-sum over
+    // the sample an unbiased estimate of the corpus sum. Chosen over
+    // Efraimidis–Spirakis (u^(1/w)) deliberately: pow/log are the one
+    // class of float op the two engines may round differently, while
+    // this needs only int→double conversion (IEEE round-to-nearest in
+    // both), one division by 2^56 (exact — power of two), and one w/u
+    // division. Physical shape: orderBy+limit = TakeOrderedAndProject,
+    // a bounded per-partition heap — k+1 rows per task reach the driver,
+    // never a global sort. The rank window after the limit orders k+1
+    // rows, bounded by k, not the corpus.
+    "q104_priority_sample" -> { (s, d) =>
+      val k = PrioritySampleK
+      val u = (TextOps.hash56(concat(lit("ps:"), col("doc_id").cast("string")))
+        .cast("double") + 1.0d) / lit(72057594037927936.0d)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars").cast("double") / u).as("pri"))
+      val top = scored.orderBy(col("pri").desc, col("doc_id")).limit(k + 1)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("pri").desc, col("doc_id"))))
+      val tau = top.agg(
+        max(when(col("rk") === k + 1, col("pri"))).as("tau"))
+      top.filter(col("rk") <= k)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("n_chars"), col("pri"),
+          greatest(col("n_chars").cast("double"),
+            coalesce(col("tau"), lit(0.0d))).as("est_weight"))
+        .orderBy("doc_id")
     }
   )
 
@@ -638,6 +707,34 @@ object CurationQueries {
         |SELECT nc.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
         |  CAST(coalesce(n_shared, 0) AS DOUBLE) / n_chunks AS shared_fraction
-        |FROM nc LEFT JOIN pd USING (doc_id) ORDER BY nc.doc_id""".stripMargin
+        |FROM nc LEFT JOIN pd USING (doc_id) ORDER BY nc.doc_id""".stripMargin,
+    // row_number <= cap replays the bounded MinKLong selection exactly:
+    // both rank by (priority asc, doc_id asc) within the domain
+    "q103_domain_cap" ->
+      s"""WITH p AS (SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS pri
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, pri,
+         |    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+         |  FROM p)
+         |SELECT doc_id, source, pri,
+         |  CAST(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // priority = w / ((CAST(h AS DOUBLE) + 1) / 2^56) mirrors the Spark
+    // expression op-for-op: int64→double conversion, exact power-of-two
+    // division, one w/u division — every step IEEE-identical
+    "q104_priority_sample" ->
+      s"""WITH p AS (SELECT doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) /
+         |      ((CAST(CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 14))
+         |          AS BIGINT) AS DOUBLE) + 1) / 72057594037927936.0) AS pri
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_chars, pri,
+         |    row_number() OVER (ORDER BY pri DESC, doc_id) AS rk FROM p),
+         |t AS (SELECT max(CASE WHEN rk = ${PrioritySampleK + 1} THEN pri END) AS tau FROM r)
+         |SELECT doc_id, n_chars, pri,
+         |  greatest(CAST(n_chars AS DOUBLE), coalesce(tau, 0.0)) AS est_weight
+         |FROM r, t WHERE rk <= $PrioritySampleK ORDER BY doc_id""".stripMargin
   )
 }

@@ -11,9 +11,9 @@ import graft.operators.BloomDedup
   * incremental dedup (q72), shuffle-free co-located joins (q73),
   * train/test n-gram decontamination (q74), partition-pruned scans over
   * a Hive-partitioned layout (q82), incremental rollup maintenance
-  * (q83), and dynamic partition pruning through a star join (q84). Each
-  * is oracled; the plan properties that make them scale are pinned in
-  * PlanAuditSpec.
+  * (q83), dynamic partition pruning through a star join (q84), and
+  * Z-ordered 2-D box scans (q105). Each is oracled; the plan properties
+  * that make them scale are pinned in PlanAuditSpec / ZOrderSpec.
   */
 object ScaleQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -24,6 +24,16 @@ object ScaleQueries {
 
   /** Test split for q74: every 10th doc plays the eval set. */
   private val TestMod = 10
+
+  /** q105's 2-D box (inclusive grid coordinates): ~18% of user buckets ×
+    * ~12% of value buckets — selective on both dimensions, which is the
+    * case Z-ordering exists for (a 1-D sort prunes one of them only).
+    * The low x edge starts at 8 so the box is non-empty even at
+    * sf0.001, where user ids only reach 14. */
+  private val ZXLo = 8L
+  private val ZXHi = 191L
+  private val ZYLo = 32L
+  private val ZYHi = 159L
 
   val queries: Map[String, Q] = Map(
     // Stream-stream event-time interval join (both sides unbounded,
@@ -173,6 +183,29 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("category")
+    },
+
+    // Z-ordered 2-D box scan: events laid out by the Morton code of
+    // (user bucket, value bucket), the box decomposed driver-side into
+    // ≤ MaxRanges contiguous z intervals (operators/ZOrder.zRanges),
+    // pushed as BETWEEN predicates parquet footer stats can evaluate —
+    // so a box selective on BOTH dimensions skips whole files where a
+    // 1-D sort prunes only its own column. The exact box predicate
+    // behind the interval screen removes the decomposition's
+    // over-coverage (same screen-then-verify contract as bloom/LSH).
+    // Oracle = the identical box over the RAW events parquet: the
+    // layout must not change the answer. ZOrderSpec pins the encode
+    // round-trip, the decomposition's exactness, and the file skipping.
+    "q105_zorder_scan" -> { (s, d) =>
+      import graft.operators.ZOrder
+      val base = graft.ZOrderTables.eventsZOrdered(s, d)
+      val ranges = ZOrder.zRanges(ZXLo, ZXHi, ZYLo, ZYHi)
+      s.read.parquet(base)
+        .filter(ZOrder.rangesPredicate(col("zval"), ranges))
+        .filter(graft.ZOrderTables.xCol.between(ZXLo, ZXHi)
+          && graft.ZOrderTables.yCol.between(ZYLo, ZYHi))
+        .select(col("event_id"), col("user_id"), col("value"), col("zval"))
+        .orderBy("event_id")
     }
   )
 
@@ -231,6 +264,17 @@ object ScaleQueries {
         |FROM events JOIN dim USING (event_type)
         |WHERE category IN ('convert', 'ops')
         |GROUP BY category ORDER BY category""".stripMargin,
+    // the raw-table replay of the box, with the Morton code recomputed
+    // by the identical shift/and arithmetic (ZOrder.zvalSql)
+    "q105_zorder_scan" -> {
+      val z = graft.operators.ZOrder.zvalSql(
+        graft.ZOrderTables.XSql, graft.ZOrderTables.YSql)
+      s"""SELECT event_id, user_id, value, $z AS zval
+         |FROM events
+         |WHERE (${graft.ZOrderTables.XSql}) BETWEEN $ZXLo AND $ZXHi
+         |  AND (${graft.ZOrderTables.YSql}) BETWEEN $ZYLo AND $ZYHi
+         |ORDER BY event_id""".stripMargin
+    },
     // the FULL recompute — the merge on the Spark side must equal it
     "q83_incremental_rollup" ->
       """SELECT event_type, date_trunc('minute', ts) AS minute,
