@@ -33,6 +33,18 @@ object PipelineQueries {
     * linear in the corpus (corpus × 1000 dot products), never O(n²). */
   val Q32QueryCap = 1000L
 
+  /** q107's Misra–Gries sketch width / heaviness threshold: items with
+    * frequency > total/k report. k=32 sits just under the fixture
+    * vocabulary (31 tokens) so the report is non-empty on the
+    * near-uniform corpus; the sketch's decrement/merge paths are
+    * exercised on a skewed synthetic corpus in MisraGriesSpec. */
+  private val HeavyHittersK = 32
+
+  /** q106's neighbor predicate: vectors with label < 3 (~30% of the
+    * corpus) are searchable; the filter applies BEFORE any distance is
+    * computed. */
+  private val FilteredAnnLabelMax = 3
+
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
   /** POSITIONAL hashed 3-gram shingles per doc — one entry per token
@@ -365,6 +377,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Heavy hitters over the token stream — two-pass sketch-then-verify:
+    // a Misra–Gries partial aggregate (expressions/MisraGries) nominates
+    // ≤ k−1 candidates (a GUARANTEED superset of every token with
+    // frequency > total/k), an exact pass counts only those candidates
+    // (left-semi against a ≤ 31-row broadcast), and the n·k > total
+    // threshold makes the final set exact and deterministic under any
+    // partitioning — the sketch's merge-order-dependent counts never
+    // reach the output. vs a full groupBy(token): the shuffle carries
+    // ≤ k−1 counters per task instead of the whole vocabulary (billions
+    // of distinct tokens at web scale, for a report that wants dozens).
+    "q107_heavy_hitters" -> { (s, d) =>
+      val k = HeavyHittersK
+      val mg = udaf(new graft.expressions.MisraGries(k))
+      val toks = Tables.documents(s, d).select(explode(tokensCol).as("tok"))
+      val cand = toks.agg(mg(col("tok")).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("tok"))
+      val tot = toks.agg(count(lit(1)).as("total"))
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") * k > col("total"))
+        .select(col("tok"), col("n"), col("total"),
+          (col("n").cast("double") / col("total").cast("double")).as("frac"))
+        .orderBy("tok")
+    },
+
     // Quality scoring: stopword / length / symbol ratios + keep flag.
     // All ratios are single exact IEEE divisions — no rounding hazards.
     "q27_quality_score" -> { (s, d) =>
@@ -458,6 +496,28 @@ object PipelineQueries {
       // the query-side probe selection runs here.
       Ann.ivfKnnAssigned(graft.similarity.IvfIndex.assignments(s, d),
           queries, graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // FILTERED vector search — q33 with a metadata predicate on the
+    // neighbor side (the "filtered ANN" every retrieval stack needs:
+    // search only docs matching a lang/date/source restriction). The
+    // label predicate lands on the INVERTED FILE before the probe join,
+    // so no distance is ever computed against an excluded vector —
+    // pre-filtering, not post-filtering, which at a selective predicate
+    // is the difference between nprobe·cell work and k× that to refill
+    // a post-filtered result. Same codebook, assignment, and probe
+    // machinery as q33 (session-shared index); the filter is one
+    // broadcast-joined label column.
+    "q106_filtered_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 32).select("vec_id", "embedding")
+      val searchable = emb
+        .filter(col("label") < FilteredAnnLabelMax).select("vec_id")
+      val assigned = graft.similarity.IvfIndex.assignments(s, d)
+        .join(searchable, "vec_id")
+      Ann.ivfKnnAssigned(assigned, queries,
+          graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     },
 
@@ -1114,6 +1174,16 @@ object PipelineQueries {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact heavy hitters — the MG screen is a correctness no-op (a
+    // guaranteed candidate superset), so the oracle is the plain
+    // threshold over exact counts
+    "q107_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS total FROM t),
+         |c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+         |SELECT tok, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+         |  CAST(n AS DOUBLE) / total AS frac
+         |FROM c, tot WHERE n * $HeavyHittersK > total ORDER BY tok""".stripMargin,
     "q27_quality_score" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
         |    length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym
@@ -1234,6 +1304,27 @@ object PipelineQueries {
          |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
          |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
          |         FROM pr JOIN asg a USING (cell) WHERE a.vec_id <> pr.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |           FROM cand)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // q106: the q33 replay with the label predicate applied to the
+    // inverted file before the probe join
+    "q106_filtered_ann" -> {
+      s"""$IvfCte,
+         |af AS (SELECT a.* FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id
+         |       WHERE e.label < $FilteredAnnLabelMax),
+         |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
+         |pr AS (SELECT query_id, qv, qn, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c2.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
+         |    FROM q, c2) WHERE r <= 4),
+         |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
+         |         FROM pr JOIN af a USING (cell) WHERE a.vec_id <> pr.query_id),
          |ranked AS (SELECT query_id, neighbor_id, cos,
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |           FROM cand)
