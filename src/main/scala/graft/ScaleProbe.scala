@@ -41,8 +41,11 @@ object ScaleProbe {
     // the IVF build is the most expensive shared family and its cached
     // corpus-sized assignment competes for storage memory — build it only
     // when a probed query actually reads the index
-    if (names.exists(n => n.startsWith("q33") || n.startsWith("q77")))
+    if (names.exists(n => n.startsWith("q33") || n.startsWith("q77")
+        || n.startsWith("q101") || n.startsWith("q106")))
       similarity.IvfIndex.warm(spark, dir)
+    // same stance for the z-ordered layout (one write job)
+    if (names.exists(_.startsWith("q105"))) ZOrderTables.warm(spark, dir)
     Caches.releaseScoped()
     println(f"[probe] shared_build              ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     for (n <- names) {

@@ -396,4 +396,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "chunk-frequency counts must combine map-side")
   }
+
+  test("q103: the cap selection partial-aggregates — no per-domain window sort") {
+    val p = formatted("q103_domain_cap")
+    assert(p.contains("partial_minklong") || p.contains("MinKLong"),
+      "the bounded aggregator must appear as a partial aggregate")
+    assert(!p.contains("Window"),
+      "selection must not fall back to a row_number window over every doc")
+  }
+
+  test("q104: the global top-k is a bounded TakeOrderedAndProject, not a sort") {
+    val p = formatted("q104_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan as the per-partition heap")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row tau joins back by broadcast")
+  }
+
+  test("q105: the z-interval screen reaches the parquet scan as pushed filters") {
+    val p = formatted("q105_zorder_scan")
+    assert(p.contains("PushedFilters: [Or(And(GreaterThanOrEqual(zval,")
+      || "PushedFilters: \\[.*zval".r.findFirstIn(p).isDefined,
+      "the BETWEEN intervals must land in PushedFilters for footer-stat skipping")
+    assert(!p.contains("Join"), "the screen is a predicate, never a join")
+  }
+
+  test("q106: the label filter lands before the cell join; probe side broadcasts") {
+    val p = formatted("q106_filtered_ann")
+    assert(!p.contains("CartesianProduct"),
+      "filtered search must stay the keyed cell join")
+    // the searchable-id semi join keys on vec_id (the pre-filter); the
+    // distance computation sits above the cell equi-join only
+    assert("hashpartitioning\\(cell".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastExchange"),
+      "candidate generation must remain cell-keyed or broadcast")
+  }
+
+  test("q107: the exact pass joins a broadcast candidate set — no vocabulary shuffle on output") {
+    val p = formatted("q107_heavy_hitters")
+    assert(p.contains("BroadcastExchange"),
+      "the <= k-1 MG candidates must broadcast into the semi join")
+    assert(p.contains("LeftSemi"),
+      "the exact pass must screen tokens with a semi join, not materialize the vocabulary")
+    assert(p.contains("partial_count"),
+      "candidate counts must combine map-side")
+  }
 }
