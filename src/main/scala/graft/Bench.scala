@@ -179,12 +179,13 @@ object Bench {
     val sharedBuckets = timed(BucketedTables.warm(spark, sfDir))
     val sharedParts = timed(PartitionedTables.warm(spark, sfDir))
     val sharedIvf = timed(graft.similarity.IvfIndex.warm(spark, sfDir))
+    val sharedPq = timed(graft.similarity.PqIndex.warm(spark, sfDir))
     val sharedZorder = timed(ZOrderTables.warm(spark, sfDir))
     val sharedBuild =
       if (sharedTrio < 0 || sharedDense < 0 || sharedBuckets < 0 ||
-        sharedParts < 0 || sharedIvf < 0 || sharedZorder < 0) -1.0
+        sharedParts < 0 || sharedIvf < 0 || sharedPq < 0 || sharedZorder < 0) -1.0
       else sharedTrio + sharedDense + sharedBuckets + sharedParts +
-        sharedIvf + sharedZorder
+        sharedIvf + sharedPq + sharedZorder
     val runs: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // one measurement: (seconds or -1, external CPU share in window)
@@ -278,7 +279,7 @@ object Bench {
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()
   }

@@ -145,6 +145,41 @@ object PipelineQueries {
        |    FROM n, c2) WHERE rn = 1)""".stripMargin
   }
 
+  /** PQ replay appended to [[IvfCte]]'s namespace (pc/pa/pm prefixes so
+    * nothing clashes with the coarse chain): per-subspace view of the
+    * corpus, the SAME md5 seed ranking as the coarse init, two unrolled
+    * L2 Lloyd iterations with the argmax(dot − ‖c‖²/2) assignment rule
+    * and decimal-exact means, ending at `pc2(s, code, cv)` (the trained
+    * sub-codebooks) and `pcodes(vec_id, s, code)` (the code table) —
+    * mirroring [[graft.similarity.Pq]] op-for-op. */
+  private[queries] val PqCte: String = {
+    def iter(i: Int, o: Int): String =
+      s"""pa$o AS (SELECT vec_id, s, code, sv FROM (
+         |    SELECT v.vec_id, v.s, c.code, v.sv,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.s
+         |        ORDER BY list_dot_product(v.sv, c.cv) - 0.5 * list_dot_product(c.cv, c.cv) DESC, c.code) AS rn
+         |    FROM psv v JOIN pc$i c ON v.s = c.s) WHERE rn = 1),
+         |pm$o AS (SELECT s, code, g.i AS dim,
+         |           CAST(sum(CAST(sv[g.i + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+         |         FROM pa$o, (SELECT unnest(range(16)) AS i) g
+         |         GROUP BY s, code, g.i),
+         |pc$o AS (SELECT s, code, list(m ORDER BY dim) AS cv FROM pm$o GROUP BY s, code)""".stripMargin
+    s"""psv AS (SELECT vec_id, g.s AS s, list_slice(nv, g.s * 16 + 1, g.s * 16 + 16) AS sv
+       |  FROM n, (SELECT unnest(range(4)) AS s) g),
+       |pseed AS (SELECT vec_id, code FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 14)) AS BIGINT) ASC, vec_id ASC) - 1 AS code
+       |    FROM n) WHERE code < 16),
+       |pc0 AS (SELECT v.s, p.code, v.sv AS cv FROM psv v JOIN pseed p ON v.vec_id = p.vec_id),
+       |${iter(0, 1)},
+       |${iter(1, 2)},
+       |pcodes AS (SELECT vec_id, s, code FROM (
+       |    SELECT v.vec_id, v.s, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY list_dot_product(v.sv, c.cv) - 0.5 * list_dot_product(c.cv, c.cv) DESC, c.code) AS rn
+       |    FROM psv v JOIN pc2 c ON v.s = c.s) WHERE rn = 1)""".stripMargin
+  }
+
   /** MinHash LSH candidates, relationally: 16 hashes, 8 bands of 2.
     * Signature rows are reduced map-side; only (band, bucket) keys
     * shuffle, then an equi-join surfaces candidate pairs. */
@@ -518,6 +553,37 @@ object PipelineQueries {
         .join(searchable, "vec_id")
       Ann.ivfKnnAssigned(assigned, queries,
           graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+
+    // IVF-PQ with ADC scoring — the memory-bandwidth tier of the vector
+    // path (similarity/Pq): candidates come from the SAME nprobe coarse
+    // cells as q33 (session-shared IVF index), but scoring reads the
+    // PQ CODE TABLE (M bytes per vector) instead of raw embeddings —
+    // a per-query M·K lookup table of exact query-side dot products
+    // broadcasts onto the candidates' codes and the approximate dot is
+    // an M-term decimal-exact partial aggregate. At 100 TB the scoring
+    // scan is ~64× smaller than q33's raw-vector read; the oracle
+    // replays BOTH trained quantizers end-to-end (coarse Lloyd + M
+    // per-subspace Lloyds + codes + LUT + rank).
+    "q108_ivfpq_adc" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 32).select("vec_id", "embedding")
+      val probes = Ann.probeCells(queries,
+        graft.similarity.IvfIndex.codebook(s, d), nprobe = 4)
+      val cand = graft.similarity.IvfIndex.assignments(s, d)
+        .select(col("vec_id"), col("cell"))
+        .join(probes.select("query_id", "cell"), "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      graft.similarity.Pq.adcScores(cand,
+          graft.similarity.PqIndex.codes(s, d),
+          graft.similarity.PqIndex.centroids(s, d),
+          queries.withColumnRenamed("vec_id", "query_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
         .orderBy("query_id", "rank")
     },
 
@@ -1329,6 +1395,35 @@ object PipelineQueries {
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |           FROM cand)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // q108: coarse probe (q33's pr) + the full PQ replay (PqCte) + the
+    // ADC lookup-table score — both trained quantizers replayed in SQL
+    "q108_ivfpq_adc" -> {
+      s"""$IvfCte,
+         |$PqCte,
+         |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
+         |pr AS (SELECT query_id, centroid_id AS cell FROM (
+         |    SELECT q.query_id, c2.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
+         |    FROM q, c2) WHERE r <= 4),
+         |cand AS (SELECT pr.query_id, a.vec_id FROM pr JOIN asg a USING (cell)
+         |         WHERE a.vec_id <> pr.query_id),
+         |qsub AS (SELECT vec_id AS query_id, g.s AS s,
+         |           list_slice(nv, g.s * 16 + 1, g.s * 16 + 16) AS sv
+         |         FROM n, (SELECT unnest(range(4)) AS s) g WHERE vec_id < 32),
+         |lut AS (SELECT q2.query_id, c.s, c.code, list_dot_product(q2.sv, c.cv) AS part
+         |        FROM qsub q2 JOIN pc2 c ON q2.s = c.s),
+         |sc AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+         |         round(CAST(sum(CAST(l.part AS DECIMAL(28,12))) AS DOUBLE), 4) AS score
+         |       FROM cand cd JOIN pcodes pc ON cd.vec_id = pc.vec_id
+         |         JOIN lut l ON l.query_id = cd.query_id AND l.s = pc.s AND l.code = pc.code
+         |       GROUP BY cd.query_id, cd.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "q34_simhash_neardup" ->

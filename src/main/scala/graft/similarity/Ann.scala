@@ -192,26 +192,33 @@ object Ann {
     // fully parallel)
     ivfKnnAssigned(assignCells(vectors, centroids), queries, centroids, k, nprobe)
 
-  /** [[ivfKnn]] over a prebuilt assignment ([[IvfIndex.assignments]]) —
-    * the per-vector partitioning pass is the index build, not part of
-    * the search. `assigned` carries [[assignCells]]'s schema. */
-  def ivfKnnAssigned(assigned0: DataFrame, queries: DataFrame,
-                     centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  /** Per query, the `nprobe` nearest coarse cells — the probe-selection
+    * front half of IVF search, shared by the raw-vector scorer
+    * ([[ivfKnnAssigned]]) and the PQ/ADC scorer ([[Pq]]). Output:
+    * (query_id, qv, qn, cell). */
+  def probeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val c = withNorm(centroids, "embedding")
       .select(col("centroid_id"), col("__v").as("cv"), col("__norm").as("cn"))
-
-    val assigned = assigned0
-      .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"), col("cell"))
-
-    // per query: the nprobe closest cells
     val probeW = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("centroid_id").asc)
-    val probes = withNorm(queries, "embedding")
+    withNorm(queries, "embedding")
       .select(col("vec_id").as("query_id"), col("__v").as("qv"), col("__norm").as("qn"))
       .crossJoin(broadcast(c))
       .withColumn("qcos", cos(col("qv"), col("qn"), col("cv"), col("cn")))
       .withColumn("r", row_number().over(probeW))
       .filter(col("r") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("cell"))
+  }
+
+  /** [[ivfKnn]] over a prebuilt assignment ([[IvfIndex.assignments]]) —
+    * the per-vector partitioning pass is the index build, not part of
+    * the search. `assigned` carries [[assignCells]]'s schema. */
+  def ivfKnnAssigned(assigned0: DataFrame, queries: DataFrame,
+                     centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val assigned = assigned0
+      .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"), col("cell"))
+
+    // per query: the nprobe closest cells
+    val probes = probeCells(queries, centroids, nprobe)
 
     // search only the probed cells (equi-join on cell — shuffle keyed by
     // cell id, no O(n·q) cross product)

@@ -432,6 +432,16 @@ class PlanAuditSpec extends SparkSpec {
       "candidate generation must remain cell-keyed or broadcast")
   }
 
+  test("q108: ADC scoring is a broadcast-LUT equi-join + partial agg — no raw-vector read") {
+    val p = formatted("q108_ivfpq_adc")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must stay the keyed cell join")
+    assert(p.contains("BroadcastExchange"),
+      "the per-query LUT must broadcast onto the code rows")
+    assert(p.contains("partial_sum"),
+      "the M-term ADC sum must combine map-side")
+  }
+
   test("q107: the exact pass joins a broadcast candidate set — no vocabulary shuffle on output") {
     val p = formatted("q107_heavy_hitters")
     assert(p.contains("BroadcastExchange"),
