@@ -763,6 +763,41 @@ object PipelineQueries {
         .orderBy("doc_id", "window_id")
     },
 
+    // CROSS-MODAL temporal alignment — the join a multimodal training
+    // pipeline runs to caption/score video with audio features: every
+    // VIDEO frame (the real q85 MJPEG/AVI fixture through the
+    // connector's frame clock, 24 fps) aligns to the latest AUDIO
+    // energy window (q88's real RIFF-decoded PCM, 125 ms windows) at or
+    // before its timestamp. The alignment is the NATIVE as-of operator
+    // (plans/AsOfJoinNative — its third consumer after q44/q70), keyed
+    // by stream id: at scale that key is (camera, day) and the sort-
+    // merge walk shuffles once per side. The oracle replays both
+    // modality clocks closed-form (frame ts = epoch + fn·10⁶/24 µs,
+    // window ts = epoch + wid·125000 µs) and the as-of as the
+    // arithmetic floor over the bounded window range — proving decode,
+    // clocks, and alignment in one hash.
+    "q109_av_align" -> { (s, _) =>
+      import s.implicits._
+      val frames = s.read.format("graft-frames")
+        .option("path", aviFixture(s)).load()
+        .select(col("frame_number"), col("ts_us"), lit(0L).as("stream_id"))
+      val samples0 = Array.tabulate(8000)(i => ((i * 73) % 4001) - 2000)
+      val media = Seq((0L, graft.multimodal.WavCodec.writePcm16Mono(samples0, 8000)))
+        .toDF("doc_id", "payload")
+      val windows = media.select(
+          posexplode(graft.multimodal.WavCodec.samplesUdf(col("payload")))
+            .as(Seq("idx", "sample")))
+        .groupBy(expr("CAST(idx AS BIGINT) div 1000").as("window_id"))
+        .agg(sum(col("sample") * col("sample")).as("energy"))
+        .select(lit(0L).as("stream_id"),
+          (lit(1704067200000000L) + col("window_id") * 125000L).as("ts_us"),
+          col("window_id"), col("energy"))
+      graft.operators.AsOfJoin.lastAtOrBeforeNative(
+          frames, windows, "stream_id", "ts_us", "window_id")
+        .select("frame_number", "ts_us", "window_id", "energy")
+        .orderBy("frame_number")
+    },
+
     // VIDEO near-dup detection — the missing video-level dedup class
     // (image/text/embedding dedup exist; a 100 TB video corpus dedups
     // at the VIDEO level): per-frame perceptual hashes form a per-video
@@ -1470,6 +1505,24 @@ object PipelineQueries {
         |  CAST(sum(smp * smp) AS BIGINT) AS energy,
         |  CAST(max(abs(smp)) AS INTEGER) AS peak
         |FROM s GROUP BY doc_id, window_id ORDER BY doc_id, window_id""".stripMargin,
+    // q109: both modality clocks replayed closed-form — frame ts from
+    // the container's 24 fps clock, window energies from the q88 sample
+    // formula (doc 0) — and the as-of resolves arithmetically because
+    // the window grid is regular and bounded: the latest window at or
+    // before a frame is floor(offset / 125 ms), clamped to the last
+    // window (7)
+    "q109_av_align" ->
+      """WITH sam AS (
+        |  SELECT range // 1000 AS window_id, ((range * 73) % 4001) - 2000 AS smp
+        |  FROM range(8000)),
+        |w AS (SELECT window_id, CAST(sum(smp * smp) AS BIGINT) AS energy
+        |      FROM sam GROUP BY window_id),
+        |f AS (SELECT range AS frame_number,
+        |        1704067200000000 + range * 1000000 // 24 AS ts_us,
+        |        least((range * 1000000 // 24) // 125000, 7) AS window_id
+        |      FROM range(48))
+        |SELECT f.frame_number, f.ts_us, f.window_id, w.energy
+        |FROM f JOIN w USING (window_id) ORDER BY frame_number""".stripMargin,
     // q96: the fixture's container headers are deterministic, so the
     // oracle is the closed-form inventory; a hash match proves the
     // engine's RIFF and ISO-BMFF header parses (incl. the avc1 track's)
