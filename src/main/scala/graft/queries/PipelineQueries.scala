@@ -45,6 +45,17 @@ object PipelineQueries {
     * computed. */
   private val FilteredAnnLabelMax = 3
 
+  /** q111's fixed merge table — the tokenizer ARTIFACT a deploy ships
+    * (trained offline; q110 is the training statistic that ranks such
+    * pairs). Merges compose ("table" assembles in four steps) and every
+    * pair's two symbols differ, so `replace`'s non-overlapping
+    * left-to-right semantics are unambiguous and identical across
+    * engines. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t a" -> "ta", "ta b" -> "tab", "tab l" -> "tabl", "tabl e" -> "table",
+    "s c" -> "sc", "sc a" -> "sca", "sca n" -> "scan",
+    "r o" -> "ro", "ro w" -> "row", "k e" -> "ke", "ke y" -> "key")
+
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
   /** POSITIONAL hashed 3-gram shingles per doc — one entry per token
@@ -409,6 +420,68 @@ object PipelineQueries {
           size(tokensCol).cast("long").as("n_tokens"),
           regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"),
           col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // BPE pair statistics — the inner loop of byte-pair-encoding
+    // TRAINING: frequencies of adjacent symbol (character) pairs,
+    // weighted by word frequency. The scale shape is the one every real
+    // BPE trainer uses: pair counting runs over the DISTINCT-WORD table
+    // (vocabulary-sized) with corpus frequencies as weights — the
+    // corpus-sized pass is just the word count, a partial-agg'd
+    // groupBy. The char-pair expansion (a transform HOF, interpreted)
+    // touches only vocab × word-length rows — thousands, at any corpus
+    // size. Top-20 via TakeOrderedAndProject (bounded heap).
+    "q110_bpe_pair_stats" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(tokensCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+      val chars = split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " ")
+      val pairs = words
+        .withColumn("c", chars)
+        .filter(size(col("c")) >= 2)
+        .select(col("wf"), explode(transform(sequence(lit(0), size(col("c")) - 2),
+          i => concat(element_at(col("c"), i + 1), lit(" "),
+            element_at(col("c"), i + 2)))).as("pair"))
+      pairs.groupBy("pair").agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    },
+
+    // BPE tokenizer APPLY — the deploy face of q110's statistic: encode
+    // every document with a FIXED merge table (the artifact a trained
+    // tokenizer ships; merges are expression constants, broadcast by
+    // codegen — never a join). Per word: split to spaced symbols, fold
+    // the merge chain (plain `replace`, non-overlapping left-to-right
+    // in both engines), then reassemble the doc in order via the
+    // q94/q100 array_sort(collect_list(struct)) shape — words encode as
+    // TOP-LEVEL codegen'd string expressions on exploded rows (a
+    // transform-lambda form would run the whole chain interpreted, the
+    // q75 lesson), at the cost of one doc-keyed shuffle. Output per
+    // doc: the byte-exact encoded text, symbol count, and the
+    // compression ratio vs raw characters.
+    "q111_bpe_apply" -> { (s, d) =>
+      val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+      val enc = BpeMerges.foldLeft(spaced) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokensCol).as(Seq("idx", "w")))
+        .select(col("doc_id"), col("idx"), enc.as("e"))
+      toks.groupBy("doc_id")
+        .agg(concat_ws(" ¦ ",
+          transform(array_sort(collect_list(struct(col("idx"), col("e")))),
+            x => x.getField("e"))).as("enc_text"),
+          count(lit(1)).as("n_words"))
+        .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          (size(split(col("enc_text"), " ")) - (col("n_words") - 1))
+            .cast("long").as("n_symbols"),
+          col("n_chars"), col("enc_text"))
+        // symbols per raw character: < 1 exactly where merges fired
+        .withColumn("compression",
+          col("n_symbols").cast("double") /
+            (col("n_chars") - col("n_words") + 1).cast("double"))
         .orderBy("doc_id")
     },
 
@@ -1275,6 +1348,37 @@ object PipelineQueries {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // q110: the same vocab-sized pair expansion, weighted by word
+    // frequency
+    "q110_bpe_pair_stats" ->
+      """WITH wds AS (SELECT w, count(*) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+        |ch AS (SELECT wf, string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ') AS c
+        |       FROM wds),
+        |p AS (SELECT wf, unnest(list_transform(generate_series(1, len(c) - 1),
+        |        i -> c[i] || ' ' || c[i + 1])) AS pair
+        |      FROM ch WHERE len(c) >= 2)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // q111: the identical merge chain as nested replace() calls — plain
+    // (non-regex) replace, so left-to-right non-overlapping semantics
+    // agree byte-for-byte
+    "q111_bpe_apply" -> {
+      val encSql = BpeMerges.foldLeft(
+        """trim(regexp_replace(w, '(.)', '\1 ', 'g'))""") {
+        case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+      }
+      s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
+         |e AS (SELECT doc_id, n_chars, len(tk) AS n_words,
+         |        array_to_string(list_transform(tk, w -> $encSql), ' ¦ ') AS enc_text
+         |      FROM t)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(len(string_split(enc_text, ' ')) - (n_words - 1) AS BIGINT) AS n_symbols,
+         |  n_chars, enc_text,
+         |  CAST(len(string_split(enc_text, ' ')) - (n_words - 1) AS DOUBLE)
+         |    / CAST(n_chars - n_words + 1 AS DOUBLE) AS compression
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
     // exact heavy hitters — the MG screen is a correctness no-op (a
     // guaranteed candidate superset), so the oracle is the plain
     // threshold over exact counts

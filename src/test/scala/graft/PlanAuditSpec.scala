@@ -442,6 +442,22 @@ class PlanAuditSpec extends SparkSpec {
       "the M-term ADC sum must combine map-side")
   }
 
+  test("q110: pair counting runs over the distinct-word table, top-20 is a bounded heap") {
+    val p = formatted("q110_bpe_pair_stats")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 must plan as the per-partition heap, not a global sort")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "word frequencies and pair weights must combine map-side")
+  }
+
+  test("q111: the merge chain is codegen'd string expressions — no join, no window") {
+    val p = formatted("q111_bpe_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      "the merge table must stay expression constants; reassembly is the keyed agg")
+    assert("hashpartitioning\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      "the doc reassembly shuffles once, keyed by doc")
+  }
+
   test("q107: the exact pass joins a broadcast candidate set — no vocabulary shuffle on output") {
     val p = formatted("q107_heavy_hitters")
     assert(p.contains("BroadcastExchange"),
