@@ -49,6 +49,50 @@ object AnalyticsQueries {
         .orderBy("cohort")
     },
 
+    // ROLLUP hierarchy — the multi-granularity aggregate every OLAP
+    // dashboard wants ((type, hour), (type), ()) computed in ONE pass:
+    // Spark expands the grouping sets before the shuffle, so partial
+    // aggregation still collapses map-side and the three granularities
+    // cost one corpus read instead of three. grouping_id disambiguates
+    // real NULLs from subtotal markers; the orderBy pins NULLS FIRST
+    // explicitly because the engines' defaults differ.
+    "q112_rollup" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"),
+          col("value"))
+        .rollup("event_type", "hour")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid").asc,
+          col("event_type").asc_nulls_first, col("hour").asc_nulls_first)
+    },
+
+    // SCD2 (slowly-changing-dimension type 2) construction — turning a
+    // change log into validity intervals: each user's events become
+    // versions with [valid_from, valid_to) ranges and a current-row
+    // flag. One lead() window keyed by user (bounded by per-user
+    // version count, the gaps-and-islands scale argument) — the
+    // warehouse operator behind every dimension table load.
+    "q113_scd2" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_from", col("ts"))
+        // the canonical SCD2 open-interval sentinel instead of NULL: a
+        // dimension consumer can always range-join on [from, to)
+        .withColumn("is_current",
+          when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(w),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+        .select("user_id", "version", "event_id", "value",
+          "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "version")
+    },
+
     // Exact interpolated quantiles (quantile_cont semantics in both
     // engines — deterministic, unlike t-digest/GK sketches).
     "q46_quantiles" -> { (s, d) =>
@@ -182,6 +226,27 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q53_above_type_avg" -> AboveTypeAvgSql,
+    // DuckDB's GROUPING returns per-column bits; composing them as
+    // 2*g(type)+g(hour) reproduces Spark's grouping_id bit layout
+    "q112_rollup" ->
+      """SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(2 * GROUPING(event_type) + GROUPING(epoch_us(ts) // 3600000000) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP (event_type, epoch_us(ts) // 3600000000)
+        |ORDER BY gid ASC, event_type ASC NULLS FIRST, hour ASC NULLS FIRST""".stripMargin,
+    "q113_scd2" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_id, value,
+        |  ts AS valid_from,
+        |  coalesce(lead(ts, 1) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM events
+        |WHERE event_type IN ('signup', 'purchase')
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q45_pivot_counts" -> {
       val cols = EventTypes.map(t =>
         s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS \"$t\"").mkString(", ")

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Kappa-style backfill→stream unification — the architecture seam every
+  * production streaming deployment crosses: history is aggregated once
+  * as a BATCH job, the live tail continues as a STREAM, and the stream's
+  * per-key state must start exactly where the batch left off. Spark's
+  * native lever is `mapGroupsWithState(..., initialState)` — the batch
+  * result is handed to the state store as the stream's first snapshot,
+  * so no event is double-counted and none is dropped at the seam.
+  *
+  * The running aggregate is (event count, value cents): cents as LONG —
+  * the fixture values carry two decimals, so ×100 is exact — because a
+  * double accumulator folded in arrival order would differ from the
+  * batch's shuffle-order sum in the last ulp and the seam equality
+  * (KappaBackfillSpec: backfill-then-stream ≡ one full batch) could
+  * never be asserted bitwise.
+  *
+  * Scale: the backfill is one partial-agg'd groupBy over history; the
+  * stream's state is one row per ACTIVE key, keyed exactly like the
+  * batch shuffle; the handoff itself moves only the aggregate rows —
+  * never history. That is the kappa pitch: reprocess = rerun the batch,
+  * then re-seed the stream.
+  */
+object KappaBackfill {
+
+  /** Per-user running aggregate: event count + exact value cents. */
+  case class UserState(n: Long, cents: Long)
+
+  /** Emitted row: the state after folding a micro-batch's events. */
+  case class UserUpdate(user_id: Long, n: Long, cents: Long)
+
+  private def centsCol = round(col("value") * 100).cast("long")
+
+  /** The BATCH half: per-user aggregate of all events at or before
+    * `cutUs` (epoch micros) — one partial-agg'd groupBy over history. */
+  def backfill(spark: SparkSession, dir: String, cutUs: Long): Dataset[(Long, UserState)] = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .filter(expr("unix_micros(ts)") <= cutUs)
+      .select(col("user_id"), centsCol.as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .select(col("user_id"), col("n"), col("c"))
+      .as[(Long, Long, Long)]
+      .map { case (u, n, c) => (u, UserState(n, c)) }
+  }
+
+  /** The STREAM half: a files-source of post-cut events, folded into the
+    * backfilled state via `initialState`. Each invocation emits the
+    * group's updated running aggregate (update output mode). */
+  def run(spark: SparkSession, inputDir: String,
+          initial: Dataset[(Long, UserState)],
+          checkpoint: String, sinkTable: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+    val init = initial.groupByKey(_._1).mapValues(_._2)
+    spark.readStream.schema(schema).parquet(inputDir)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout, init) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n; var c = prev.cents
+          rows.foreach { case (_, cents) => n += 1; c += cents }
+          val next = UserState(n, c)
+          state.update(next)
+          UserUpdate(user, next.n, next.cents)
+      }
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName(sinkTable)
+      .start()
+  }
+
+  /** Post-cut events in the stream's wire shape, for the spec to stage
+    * as micro-batch files. */
+  def tail(spark: SparkSession, dir: String, cutUs: Long): DataFrame =
+    graft.Tables.events(spark, dir)
+      .filter(expr("unix_micros(ts)") > cutUs)
+      .select(col("user_id"), centsCol.as("cents"))
+
+  /** The ground truth the seam must reproduce: ONE batch over all
+    * history — no cut, no seam. */
+  def fullBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), centsCol.as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+}
