@@ -93,6 +93,88 @@ object AnalyticsQueries {
         .orderBy("user_id", "version")
     },
 
+    // Data profiling — the ANALYZE pass a pipeline runs on every new
+    // table before anything else: per column, row/null/distinct counts
+    // and min/max (as strings, binary collation in both engines). All
+    // columns profile in ONE aggregation over ONE scan (Spark expands
+    // the multi-distinct into one Expand node — still partial-agg'd);
+    // the wide 1-row result melts to the long report with a stack()
+    // projection. At 100 TB exact distinct counts become the
+    // approx_count_distinct tier (q38's documented trade).
+    "q114_profile" -> { (s, d) =>
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c).cast("string")).as(s"mn_$c"),
+          max(col(c).cast("string")).as(s"mx_$c")))
+      val stackExpr = cols.map(c =>
+        s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      Tables.documents(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          s"stack(${cols.size}, $stackExpr) AS (column_name, n_notnull, n_distinct, min_s, max_s)")
+        .select(col("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_notnull")).as("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy("column_name")
+    },
+
+    // PageRank — the iterative-graph class (the web-graph authority
+    // signal URL-curation pipelines rank domains with), built scale-
+    // correctly: the interaction graph derives from consecutive events
+    // within 1000-event buckets (keyed lag window — parallel; bucket-
+    // boundary edges forfeited by construction, documented), and each
+    // of the two unrolled iterations is one keyed join + one partial-
+    // agg'd sum. Per-node inbound sums go through DECIMAL(28,12) so
+    // shuffle-merge order can't wiggle the last ulp (the q47/q83 rule);
+    // dangling mass is redistributed uniformly, keeping Σr = 1.
+    "q115_pagerank" -> { (s, d) =>
+      val damp = 0.85
+      val w = Window.partitionBy("bucket").orderBy("event_id")
+      val edges = graft.Caches.scopedPersist(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("event_id div 1000").as("bucket"))
+          .withColumn("dst", lead(col("user_id"), 1).over(w))
+          .filter(col("dst").isNotNull && col("dst") =!= col("user_id"))
+          .select(col("user_id").as("src"), col("dst")))
+      val nodes = graft.Caches.scopedPersist(
+        Tables.events(s, d).select(col("user_id").as("node")).distinct())
+      val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nRow = nodes.agg(count(lit(1)).as("nn"))
+
+      def iterate(ranks: DataFrame): DataFrame = {
+        val contrib = edges.join(outDeg, "src")
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            (col("r") / col("deg")).cast("decimal(28,12)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).cast("double").as("in_sum"))
+        // dangling nodes (no out-edges) leak their mass; redistribute it
+        // uniformly so the ranks stay a distribution
+        val dangling = ranks.join(outDeg, col("node") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("r").cast("decimal(28,12)")), lit(0).cast("decimal(28,12)"))
+            .cast("double").as("dm"))
+        // 0.15 as a LITERAL, not 1.0 − 0.85 computed: DuckDB's decimal
+        // literal arithmetic would yield exact 0.15 while double
+        // subtraction yields 0.15000000000000002 — both engines parse
+        // the same 0.15 literal to the same nearest double instead
+        nodes.join(contrib, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+          .select(col("node"), col("nn"),
+            (lit(0.15) / col("nn")
+              + lit(damp) * (coalesce(col("in_sum"), lit(0.0)) + col("dm") / col("nn")))
+              .as("r"))
+      }
+
+      val r0 = nodes.crossJoin(broadcast(nRow))
+        .select(col("node"), (lit(1.0) / col("nn")).as("r"))
+      val r2 = iterate(iterate(r0).select("node", "r"))
+      r2.select(col("node").as("user_id"), round(col("r"), 8).as("rank"))
+        .orderBy("user_id")
+    },
+
     // Exact interpolated quantiles (quantile_cont semantics in both
     // engines — deterministic, unlike t-digest/GK sketches).
     "q46_quantiles" -> { (s, d) =>
@@ -236,6 +318,44 @@ object AnalyticsQueries {
         |FROM events
         |GROUP BY ROLLUP (event_type, epoch_us(ts) // 3600000000)
         |ORDER BY gid ASC, event_type ASC NULLS FIRST, hour ASC NULLS FIRST""".stripMargin,
+    "q114_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.sorted.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    // q115: the same derived edge list, then TWO unrolled iterations with
+    // the identical decimal-exact inbound sums, dangling-mass terms, and
+    // double literals (0.15/0.85 parsed, never computed)
+    "q115_pagerank" -> {
+      def iter(i: Int, o: Int): String =
+        s"""c$o AS (SELECT e.dst, CAST(sum(CAST(r$i.r / deg.deg AS DECIMAL(28,12))) AS DOUBLE) AS in_sum
+           |  FROM edges e JOIN deg ON e.src = deg.src JOIN r$i ON e.src = r$i.node
+           |  GROUP BY e.dst),
+           |d$o AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(28,12))), 0) AS DOUBLE) AS dm
+           |  FROM r$i WHERE node NOT IN (SELECT src FROM deg)),
+           |r$o AS (SELECT n.node,
+           |    CAST(0.15 AS DOUBLE) / nn.nn
+           |      + CAST(0.85 AS DOUBLE) * (coalesce(c$o.in_sum, CAST(0 AS DOUBLE)) + d$o.dm / nn.nn) AS r
+           |  FROM nodes n LEFT JOIN c$o ON n.node = c$o.dst, nn, d$o)""".stripMargin
+      s"""WITH ev AS (SELECT event_id, user_id, event_id // 1000 AS bucket FROM events),
+         |ed AS (SELECT user_id AS src,
+         |         lead(user_id) OVER (PARTITION BY bucket ORDER BY event_id) AS dst
+         |       FROM ev),
+         |edges AS (SELECT src, dst FROM ed WHERE dst IS NOT NULL AND dst <> src),
+         |nodes AS (SELECT DISTINCT user_id AS node FROM events),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS nn FROM nodes),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.nn AS r FROM nodes, nn),
+         |${iter(0, 1)},
+         |${iter(1, 2)}
+         |SELECT node AS user_id, round(r, 8) AS rank FROM r2 ORDER BY user_id""".stripMargin
+    },
     "q113_scd2" ->
       """SELECT user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS version,

@@ -442,6 +442,20 @@ class PlanAuditSpec extends SparkSpec {
       "the M-term ADC sum must combine map-side")
   }
 
+  test("q114: the whole profile is one scan — no join, multi-distinct via Expand") {
+    val p = formatted("q114_profile")
+    assert(!p.contains("Join"), "five column profiles must not become five scans glued by joins")
+    assert(p.contains("Expand"), "multi-count-distinct plans through one Expand")
+  }
+
+  test("q115: every PageRank iteration is keyed joins + partial-agg'd sums") {
+    val p = formatted("q115_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row nn/dangling terms may broadcast; node×node never materializes")
+    assert(p.contains("partial_sum"),
+      "inbound rank sums must combine map-side")
+  }
+
   test("q110: pair counting runs over the distinct-word table, top-20 is a bounded heap") {
     val p = formatted("q110_bpe_pair_stats")
     assert(p.contains("TakeOrderedAndProject"),
