@@ -485,6 +485,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Fuzzy (edit-distance) join — the entity-resolution operator: all
+    // vocabulary word pairs within Levenshtein distance 2, WITHOUT an
+    // all-pairs comparison. Blocking is the SymSpell deletion
+    // neighborhood: each word expands to its ≤ 2-deletion variants
+    // (bounded: 1 + n + n(n−1)/2 per word), candidates are the pairs
+    // sharing a variant (equi-join on the variant string), and the
+    // exact levenshtein verifies — the same screen-then-verify contract
+    // as every LSH pipeline here. The ORACLE is the exhaustive
+    // all-pairs truth over the (vocabulary-sized) word table, so the
+    // hash match PROVES the blocking complete on this corpus, not just
+    // self-consistent. Scale: candidates are variant-bucket-bounded;
+    // the ''-variant bucket (words of length ≤ 2 all meet there) is the
+    // known hot key — production adds a min-length guard, same shape.
+    "q116_fuzzy_join" -> { (s, d) =>
+      def dels(c: Column): Column = array_distinct(concat(array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokensCol).as("w")).distinct()
+      val d1 = vocab.select(col("w"), explode(dels(col("w"))).as("v1"))
+      val d2 = graft.Caches.scopedPersist(
+        d1.select(col("w"), explode(dels(col("v1"))).as("v")).distinct())
+      d2.as("a").join(d2.as("b"),
+          col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("w_a"), col("b.w").as("w_b")).distinct()
+        .withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .orderBy("w_a", "w_b")
+    },
+
     // Heavy hitters over the token stream — two-pass sketch-then-verify:
     // a Misra–Gries partial aggregate (expressions/MisraGries) nominates
     // ≤ k−1 candidates (a GUARANTEED superset of every token with
@@ -1348,6 +1378,16 @@ object PipelineQueries {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // q116: the EXHAUSTIVE all-pairs truth (vocab-sized, fine for the
+    // oracle) — matching it proves the deletion-neighborhood blocking
+    // missed nothing
+    "q116_fuzzy_join" ->
+      """WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT a.w AS w_a, b.w AS w_b,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM w a JOIN w b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2
+        |ORDER BY w_a, w_b""".stripMargin,
     // q110: the same vocab-sized pair expansion, weighted by word
     // frequency
     "q110_bpe_pair_stats" ->

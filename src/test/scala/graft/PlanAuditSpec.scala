@@ -442,6 +442,12 @@ class PlanAuditSpec extends SparkSpec {
       "the M-term ADC sum must combine map-side")
   }
 
+  test("q116: fuzzy candidates come from the variant equi-join — never word×word") {
+    val p = formatted("q116_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the levenshtein verify must sit behind the deletion-variant screen")
+  }
+
   test("q114: the whole profile is one scan — no join, multi-distinct via Expand") {
     val p = formatted("q114_profile")
     assert(!p.contains("Join"), "five column profiles must not become five scans glued by joins")
