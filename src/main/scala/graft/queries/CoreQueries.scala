@@ -87,6 +87,37 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // TOLERANT ingestion — what a real feed looks like: some payloads
+    // are malformed and the pipeline must quarantine, count, and keep
+    // going, never fail the job. Every 10th payload is deterministically
+    // corrupted (a doubled OPENING brace — a prefix corruption, because
+    // Spark's Jackson parses one value and ignores trailing bytes, so a
+    // dangling suffix would not trip it), the PERMISSIVE from_json
+    // routes bad rows to the
+    // corrupt-record column, and the report carries the valid/corrupt
+    // split plus the aggregate over the valid slice only. Map-only +
+    // one partial-agg'd groupBy; the oracle replays the corruption and
+    // the quarantine decision with json_valid.
+    "q118_tolerant_parse" -> { (s, d) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      val raw = when(col("event_id") % 10 === 0, concat(lit("{"), col("props")))
+        .otherwise(col("props"))
+      Tables.events(s, d)
+        .select(col("event_type"), from_json(raw, schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("j._corrupt").isNull, 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("j._corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("j._corrupt").isNull, col("j.k"))).as("sum_k"))
+        .orderBy("event_type")
+    },
+
     // D1 — run counters: total frames + keyframes (main.py:90-91,117).
     "q08_frame_counters" -> { (s, d) =>
       Tables.events(s, d).agg(
@@ -220,6 +251,21 @@ object CoreQueries {
     "q07_json_extract" ->
       """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // the same deterministic corruption; json_valid is the quarantine
+    // decision both parsers agree on for a doubled opening brace
+    "q118_tolerant_parse" ->
+      """WITH r AS (SELECT event_type,
+        |    CASE WHEN event_id % 10 = 0 THEN '{' || props ELSE props END AS raw
+        |  FROM events),
+        |p AS (SELECT event_type, json_valid(raw) AS ok,
+        |    CASE WHEN json_valid(raw)
+        |      THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+        |  FROM r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q08_frame_counters" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_frames,
         |  CAST(sum(CASE WHEN event_id % 30 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS keyframes

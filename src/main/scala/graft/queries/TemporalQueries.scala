@@ -82,6 +82,43 @@ object TemporalQueries {
       graft.streaming.StreamingSessions.sessionsPerUserToFiles(s, d)
     },
 
+    // INTERVAL OVERLAP join — the remaining temporal-join class beside
+    // as-of (q44/q70) and the stream-stream band join (q71): which
+    // session intervals of DIFFERENT users overlap in time (the
+    // concurrency/collision question every ops dashboard asks). Scale
+    // shape: each session explodes to the 10-minute buckets it spans
+    // (bounded by session length ÷ bucket width), candidates equi-join
+    // on the bucket — never session×session — and the exact half-open
+    // overlap predicate verifies behind the screen. Session intervals
+    // are [min ts, max ts + 5 min), exactly Spark's session_window
+    // contract, so the oracle's gaps-and-islands replay lands on the
+    // same intervals.
+    "q117_interval_join" -> { (s, d) =>
+      val bucketUs = 600000000L // 10 minutes
+      val sess = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("s_us"),
+          expr("unix_micros(session_window.end)").as("e_us"))
+      val withB = sess.select(col("user_id"), col("s_us"), col("e_us"),
+        explode(sequence(expr(s"s_us div $bucketUs"),
+          expr(s"(e_us - 1) div $bucketUs"))).as("bucket"))
+      val a = withB.select(col("bucket"), col("user_id").as("user_a"),
+        col("s_us").as("a_start"), col("e_us").as("a_end"))
+      val b = withB.select(col("bucket"), col("user_id").as("user_b"),
+        col("s_us").as("b_start"), col("e_us").as("b_end"))
+      a.join(b, Seq("bucket"))
+        .filter(col("user_a") < col("user_b"))
+        .select("user_a", "a_start", "a_end", "user_b", "b_start", "b_end")
+        .distinct()
+        .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        .select(col("user_a"), col("user_b"), col("a_start"), col("b_start"),
+          (least(col("a_end"), col("b_end"))
+            - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+        .orderBy("user_a", "user_b", "a_start", "b_start")
+    },
+
     // As-of join: each event enriched with the user's latest purchase
     // at-or-before it (telemetry-lookup shape; operator composed in
     // operators/AsOfJoin — union + keyed cumulative window).
@@ -176,6 +213,31 @@ object TemporalQueries {
         |FROM g, wm
         |WHERE epoch_ns(session_end + INTERVAL 5 MINUTE) // 1000 <= wm.w_ms * 1000
         |ORDER BY user_id, session_start""".stripMargin,
+    // q117: the q40-style gaps-and-islands session build (µs arithmetic
+    // mirrors session_window: end = max ts + 5 min), then the
+    // all-pairs overlap truth over the session table — session-count-
+    // sized, fine for the oracle, and matching it proves the bucket
+    // screen dropped nothing
+    "q117_interval_join" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (SELECT user_id, min(us) AS s_us, max(us) + 300000000 AS e_us
+        |         FROM g GROUP BY user_id, sid)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  a.s_us AS a_start, b.s_us AS b_start,
+        |  least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us
+        |ORDER BY user_a, user_b, a_start, b_start""".stripMargin,
     "q44_asof_join" -> AsOfOracleSql,
     // composed and native as-of forms share one oracle: the gate itself
     // cross-checks the two implementations against the same SQL truth.

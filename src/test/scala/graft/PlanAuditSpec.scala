@@ -442,6 +442,12 @@ class PlanAuditSpec extends SparkSpec {
       "the M-term ADC sum must combine map-side")
   }
 
+  test("q117: interval candidates come from the bucket equi-join — never session×session") {
+    val p = formatted("q117_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the overlap predicate must verify behind the time-bucket screen")
+  }
+
   test("q116: fuzzy candidates come from the variant equi-join — never word×word") {
     val p = formatted("q116_fuzzy_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
