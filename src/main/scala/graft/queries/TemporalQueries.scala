@@ -119,6 +119,40 @@ object TemporalQueries {
         .orderBy("user_a", "user_b", "a_start", "b_start")
     },
 
+    // POINT-IN-TIME enrichment — the bitemporal lookup every warehouse
+    // fact load runs: each error event joins the SCD2 dimension version
+    // (q113's intervals over the user's signup/purchase history) in
+    // force AT ITS TIMESTAMP — fact.ts ∈ [valid_from, valid_to). The
+    // range join stays keyed on user_id (the non-equi bounds evaluate
+    // within the key partition — never a cross product), LEFT so
+    // pre-first-version facts surface with a NULL version (an audit
+    // must show them, not drop them). All time arithmetic in epoch µs
+    // on BOTH engines (the q71 rule: DuckDB keeps parquet ns, Spark
+    // truncates to µs — raw-timestamp bounds could flip a sub-µs edge).
+    // PitAsOfSpec cross-checks the range form against the native as-of
+    // operator: same semantics, two physical shapes.
+    "q119_pit_enrichment" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("v_from").asc, col("event_id").asc)
+      val dim = Tables.events(s, d)
+        .filter(col("event_type") === "signup" || col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("v_from"),
+          col("value").as("dim_value"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("v_to", coalesce(lead(col("v_from"), 1).over(w), lit(Long.MaxValue)))
+        .select("user_id", "version", "v_from", "v_to", "dim_value")
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("ts_us"))
+      facts.join(dim,
+          facts("user_id") === dim("user_id")
+            && col("ts_us") >= col("v_from") && col("ts_us") < col("v_to"),
+          "left")
+        .select(facts("event_id"), facts("user_id"), col("ts_us"),
+          col("version"), col("dim_value"))
+        .orderBy("event_id")
+    },
+
     // As-of join: each event enriched with the user's latest purchase
     // at-or-before it (telemetry-lookup shape; operator composed in
     // operators/AsOfJoin — union + keyed cumulative window).
@@ -238,6 +272,25 @@ object TemporalQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us
         |ORDER BY user_a, user_b, a_start, b_start""".stripMargin,
+    // q119: the window ordering runs on epoch µs explicitly — Spark's ts
+    // is µs-truncated, so ordering DuckDB by raw (ns) ts could break a
+    // same-µs tie differently
+    "q119_pit_enrichment" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    epoch_us(ts) AS v_from,
+        |    coalesce(lead(epoch_us(ts), 1) OVER w, 9223372036854775807) AS v_to,
+        |    value AS dim_value
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'error')
+        |SELECT f.event_id, f.user_id, f.ts_us, d.version, d.dim_value
+        |FROM f LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts_us >= d.v_from AND f.ts_us < d.v_to
+        |ORDER BY f.event_id""".stripMargin,
     "q44_asof_join" -> AsOfOracleSql,
     // composed and native as-of forms share one oracle: the gate itself
     // cross-checks the two implementations against the same SQL truth.
