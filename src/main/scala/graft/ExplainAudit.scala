@@ -32,7 +32,12 @@ object ExplainAudit {
         // runtime DPP subquery
         "q70_asof_native", "q72_bloom_incremental_dedup",
         "q73_bucketed_colocated_join", "q80_latest_compaction",
-        "q82_partition_pruned_scan", "q84_dpp_star_join")
+        "q82_partition_pruned_scan", "q84_dpp_star_join",
+        // round-10 additions: bounded MinKLong partial agg, pushed
+        // z-interval screen, broadcast ADC LUT join, MG semi-join,
+        // bucket-screened interval join, PIT range join
+        "q103_domain_cap", "q105_zorder_scan", "q108_ivfpq_adc",
+        "q107_heavy_hitters", "q117_interval_join", "q119_pit_enrichment")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
