@@ -24,6 +24,39 @@ object TextCuration {
   val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
+  /** The q121 data-quality assertion pass, factored here so the oracle
+    * gate (over the fixture corpus, where every check passes) and the
+    * planted-violation spec (CurationQueriesSpec, where every branch
+    * fires) run literally the same expressions. One conditional
+    * aggregation over one scan; long-form (check_name, n_violations,
+    * pass) report. */
+  def dqChecks(docs: DataFrame): DataFrame = {
+    val wide = docs.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null_id"),
+      sum(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1L)
+        .otherwise(0L)).as("v_bad_lang"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("v_chars_mismatch"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("v_empty"),
+      // uniqueness over NON-NULL ids: a null key is its own violation
+      // (doc_id_not_null), not a duplicate of other nulls
+      count(col("doc_id")).as("n_notnull_ids"),
+      countDistinct(col("doc_id")).as("n_ids"))
+    wide.select(col("n_rows"), col("v_null_id"), col("v_bad_lang"),
+        col("v_chars_mismatch"), col("v_empty"),
+        (col("n_notnull_ids") - col("n_ids")).as("v_dup_id"))
+      .selectExpr("stack(5, " +
+        "'doc_id_not_null', v_null_id, " +
+        "'lang_in_domain', v_bad_lang, " +
+        "'n_chars_consistent', v_chars_mismatch, " +
+        "'text_not_empty', v_empty, " +
+        "'doc_id_unique', v_dup_id) AS (check_name, n_violations)")
+      .select(col("check_name"), col("n_violations"),
+        when(col("n_violations") === 0, 1L).otherwise(0L).as("pass"))
+      .orderBy("check_name")
+  }
+
   /** The q95 redaction chain: email → IP → phone, in that order (the
     * order is load-bearing — an IP-looking fragment inside an already
     * redacted email must not double-redact). */

@@ -417,6 +417,36 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Train/val/test SPLIT — the last step before training: every doc
+    // lands in exactly one split by its md5 fraction (80/10/10 range
+    // cuts), stratified by lang because the cuts apply WITHIN each
+    // lang's hash distribution — reproducible across engines, runs,
+    // and cluster sizes (rand() would be none of those), map-only, and
+    // leakage-free by construction (one hash, disjoint ranges). The
+    // report is per-(lang, split) counts; the per-doc assignment is
+    // the same expression any exporter would filter on.
+    "q120_train_split" -> { (s, d) =>
+      val frac = TextOps.hash56(concat(lit("split:"), col("doc_id").cast("string")))
+        .cast("double") / lit(72057594037927936.0d)
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(frac < 0.8, "train").when(frac < 0.9, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
+    // Data-quality ASSERTIONS (the Deequ/dbt-test shape) — the checks a
+    // pipeline runs on every ingest, all in ONE pass with conditional
+    // aggregation (never one scan per check): null keys, out-of-domain
+    // lang values, n_chars disagreeing with the actual text length,
+    // duplicate ids, and empty docs. Long-form report (check_name,
+    // n_violations, pass) so a monitor alerts on any pass=0 row.
+    "q121_dq_checks" -> { (s, d) =>
+      graft.operators.TextCuration.dqChecks(Tables.documents(s, d))
+    },
+
     // Per-domain document cap — the RefinedWeb/C4 anti-spam pass: no
     // single domain may contribute more than DomainCap docs, selection
     // within a domain by a reproducible md5 priority (not arrival order,
@@ -708,6 +738,33 @@ object CurationQueries {
         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
         |  CAST(coalesce(n_shared, 0) AS DOUBLE) / n_chunks AS shared_fraction
         |FROM nc LEFT JOIN pd USING (doc_id) ORDER BY nc.doc_id""".stripMargin,
+    "q120_train_split" ->
+      """WITH p AS (SELECT lang,
+        |    CAST(CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 14))
+        |      AS BIGINT) AS DOUBLE) / 72057594037927936.0 AS frac
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q121_dq_checks" ->
+      """WITH w AS (SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null_id,
+        |    sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS v_bad_lang,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars_mismatch,
+        |    sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS v_empty,
+        |    count(doc_id) - count(DISTINCT doc_id) AS v_dup_id
+        |  FROM documents),
+        |l AS (
+        |  SELECT 'doc_id_not_null' AS check_name, v_null_id AS n_violations FROM w
+        |  UNION ALL SELECT 'lang_in_domain', v_bad_lang FROM w
+        |  UNION ALL SELECT 'n_chars_consistent', v_chars_mismatch FROM w
+        |  UNION ALL SELECT 'text_not_empty', v_empty FROM w
+        |  UNION ALL SELECT 'doc_id_unique', v_dup_id FROM w)
+        |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM l ORDER BY check_name""".stripMargin,
     // row_number <= cap replays the bounded MinKLong selection exactly:
     // both rank by (priority asc, doc_id asc) within the domain
     "q103_domain_cap" ->

@@ -154,4 +154,28 @@ class CurationQueriesSpec extends SparkSpec {
     assert(keptPerLang(smallest) == cnt(smallest))
     assert(keptPerLang(biggest) < cnt(biggest))
   }
+
+  test("q121's checks fire on planted violations (every branch, exact counts)") {
+    // the fixture corpus passes all five checks, so the gate alone
+    // cannot prove the violation branches count; this corpus violates
+    // every one a known number of times, through the SAME shared
+    // operator the query runs
+    val rows = Seq(
+      (Some(1L), "ok text", "en", 7L),        // clean
+      (None, "x", "en", 1L),                  // null id
+      (Some(2L), "hola", "xx", 4L),           // bad lang
+      (Some(3L), "abc", "de", 99L),           // n_chars mismatch
+      (Some(4L), "", "fr", 0L),               // empty text
+      (Some(5L), "dup", "es", 3L),
+      (Some(5L), "dup", "es", 3L))            // duplicate id
+    val df = rows.toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.operators.TextCuration.dqChecks(df)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, p) => k -> ((n, p)) }.toMap
+    assert(got("doc_id_not_null") === ((1L, 0L)))
+    assert(got("lang_in_domain") === ((1L, 0L)))
+    assert(got("n_chars_consistent") === ((1L, 0L)))
+    assert(got("text_not_empty") === ((1L, 0L)))
+    assert(got("doc_id_unique") === ((1L, 0L)))
+  }
 }
