@@ -175,6 +175,23 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // RETENTION COHORTS — the product-analytics staple: users grouped
+    // by the day of their FIRST event (the cohort), then counted as
+    // active per (cohort, day-offset) — the retention matrix every
+    // growth dashboard draws. Two partial-agg'd passes: first-day per
+    // user (min), then distinct actives per (cohort, offset); the
+    // cohort table joins back keyed by user. Day arithmetic in epoch
+    // days (µs div 86400e6) so both engines bucket identically.
+    "q122_retention_cohorts" -> { (s, d) =>
+      val day = expr("unix_micros(ts) div 86400000000")
+      val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // Exact interpolated quantiles (quantile_cont semantics in both
     // engines — deterministic, unlike t-digest/GK sketches).
     "q46_quantiles" -> { (s, d) =>
@@ -318,6 +335,13 @@ object AnalyticsQueries {
         |FROM events
         |GROUP BY ROLLUP (event_type, epoch_us(ts) // 3600000000)
         |ORDER BY gid ASC, event_type ASC NULLS FIRST, hour ASC NULLS FIRST""".stripMargin,
+    "q122_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT c.cohort_day, ev.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q114_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       cols.sorted.map { c =>

@@ -485,6 +485,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Distributed GRAM MATRIX (G = Σ x·xᵀ) — the linear-algebra
+    // preprocessing pass behind PCA/whitening of an embedding corpus:
+    // every (i ≤ j) dimension pair's co-moment, computed as a partial-
+    // aggregated sum over an explode of the UPPER TRIANGLE per row
+    // (d(d+1)/2 = 2080 terms for d = 64 — bounded by the embedding
+    // width, independent of corpus size; the repartition fans the
+    // single-row-group parquet across cores BEFORE the 2080× expansion,
+    // the q92 rule). Sums route through DECIMAL(38,10) so shuffle-merge
+    // order cannot wiggle the result; the eigen step on the 64×64
+    // output is driver-sized by construction — the distributed part IS
+    // this pass. At 100 TB: one scan, one shuffle of d²-bounded partial
+    // sums per task.
+    "q123_gram_matrix" -> { (s, d) =>
+      val pairs = expr(
+        "flatten(transform(sequence(0, 63), i -> " +
+          "transform(sequence(i, 63), j -> " +
+          "struct(i AS i, j AS j, " +
+          "CAST(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE) AS DECIMAL(38,10)) AS p))))")
+      Tables.embeddings(s, d)
+        .repartition(8)
+        .select(col("embedding").as("v"))
+        .select(explode(pairs).as("e"))
+        .groupBy(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
+        .agg(sum(col("e.p")).cast("double").as("g"))
+        .orderBy("i", "j")
+    },
+
     // Fuzzy (edit-distance) join — the entity-resolution operator: all
     // vocabulary word pairs within Levenshtein distance 2, WITHOUT an
     // all-pairs comparison. Blocking is the SymSpell deletion
@@ -1378,6 +1405,15 @@ object PipelineQueries {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // q123: the same upper-triangle co-moments, decimal-summed
+    "q123_gram_matrix" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT g.i, g2.j, CAST(v[g.i + 1] * v[g2.j + 1] AS DECIMAL(38,10)) AS p
+        |      FROM v, (SELECT unnest(range(64)) AS i) g,
+        |           (SELECT unnest(range(64)) AS j) g2
+        |      WHERE g2.j >= g.i)
+        |SELECT i, j, CAST(sum(p) AS DOUBLE) AS g
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
     // q116: the EXHAUSTIVE all-pairs truth (vocab-sized, fine for the
     // oracle) — matching it proves the deletion-neighborhood blocking
     // missed nothing
