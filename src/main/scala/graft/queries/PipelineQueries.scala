@@ -512,6 +512,39 @@ object PipelineQueries {
         .orderBy("i", "j")
     },
 
+    // INCREMENTAL Gram maintenance — q83's materialized-view pattern
+    // lifted to linear algebra: co-moment sums are decomposable, so the
+    // standing 64×64 Gram of the corpus MERGES with a new batch's
+    // partial Gram instead of recomputing over history — at 100 TB the
+    // nightly update touches the delta's volume only, and the merge is
+    // a 2080-row keyed sum. Exactness carries through the two-level
+    // aggregation because the sums stay DECIMAL until the final cast
+    // (the q83 rule); the oracle is the FULL recompute, so the gate
+    // proves the merge changes nothing.
+    "q124_incremental_gram" -> { (s, d) =>
+      val pairs = expr(
+        "flatten(transform(sequence(0, 63), i -> " +
+          "transform(sequence(i, 63), j -> " +
+          "struct(i AS i, j AS j, " +
+          "CAST(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE) AS DECIMAL(38,10)) AS p))))")
+      def partial(df: DataFrame) = df
+        .repartition(8)
+        .select(col("embedding").as("v"))
+        .select(explode(pairs).as("e"))
+        .groupBy(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
+        .agg(sum(col("e.p")).as("pg"))
+      val e = Tables.embeddings(s, d)
+      // history = 4 of every 5 vectors (the standing corpus), delta =
+      // the rest (today's ingest) — the q83 split, self-contained on
+      // the read-only fixtures
+      val standing = partial(e.filter(col("vec_id") % 5 =!= 0))
+      val delta = partial(e.filter(col("vec_id") % 5 === 0))
+      standing.unionByName(delta)
+        .groupBy("i", "j")
+        .agg(sum(col("pg")).cast("double").as("g"))
+        .orderBy("i", "j")
+    },
+
     // Fuzzy (edit-distance) join — the entity-resolution operator: all
     // vocabulary word pairs within Levenshtein distance 2, WITHOUT an
     // all-pairs comparison. Blocking is the SymSpell deletion
@@ -1405,6 +1438,16 @@ object PipelineQueries {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |  len(regexp_extract_all(text, '$BpePattern')) AS n_bpe, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // q124: the FULL recompute — the merged standing+delta Gram on the
+    // Spark side must equal it exactly (decomposable decimal sums)
+    "q124_incremental_gram" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT g.i, g2.j, CAST(v[g.i + 1] * v[g2.j + 1] AS DECIMAL(38,10)) AS p
+        |      FROM v, (SELECT unnest(range(64)) AS i) g,
+        |           (SELECT unnest(range(64)) AS j) g2
+        |      WHERE g2.j >= g.i)
+        |SELECT i, j, CAST(sum(p) AS DOUBLE) AS g
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
     // q123: the same upper-triangle co-moments, decimal-summed
     "q123_gram_matrix" ->
       """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
