@@ -37,6 +37,23 @@ object Bench {
     * rule. */
   def isHotWindow(externalBusy: Double): Boolean = externalBusy >= MaxExternalBusy
 
+  /** Relative-band taint (VERDICT r10 item 3): BENCH_r10 ran ~2.3×
+    * slow against a loaded host yet passed BOTH per-window rules — the
+    * contending process evaded the sampling windows (start load 2.79
+    * was under the 3.0 gate; external CPU sampled 0 between its
+    * bursts). What the contamination could NOT hide is rep-to-rep
+    * variance: its band was 112–197 s (1.76×) where every clean run in
+    * the repo's history sits ≤ ~1.4× (the r10 judge's clean re-run:
+    * 59.2–82.4, 1.39×). A band this wide means the reps did not run
+    * under one set of conditions, whatever the samplers saw. */
+  val MaxBandRatio = 1.5
+
+  /** True when the run's min/max band violates the rule. Non-positive
+    * minima (all-failed runs) are already marked by `failed` and carry
+    * no meaningful band. */
+  def isBandTainted(totalMin: Double, totalMax: Double): Boolean =
+    totalMin > 0 && totalMax / totalMin > MaxBandRatio
+
   /** Whole-run taint verdict (VERDICT r7 item 1, wired into the stamp in
     * round 9 — ADVICE r8 found the r8 version dead code): the record is
     * tainted when the idle start window was hot (loadavg rule), when the
@@ -48,6 +65,14 @@ object Bench {
   def isTainted(loadStart: Double, endExternalBusy: Double,
                 anyKeptRepHot: Boolean): Boolean =
     isTainted(loadStart) || isHotWindow(endExternalBusy) || anyKeptRepHot
+
+  /** Whole-run verdict including the band rule (round 11): the three
+    * sampled signals OR the variance signal they cannot fake. */
+  def isTainted(loadStart: Double, endExternalBusy: Double,
+                anyKeptRepHot: Boolean,
+                totalMin: Double, totalMax: Double): Boolean =
+    isTainted(loadStart, endExternalBusy, anyKeptRepHot) ||
+      isBandTainted(totalMin, totalMax)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -186,8 +211,15 @@ object Bench {
         sharedParts < 0 || sharedIvf < 0 || sharedPq < 0 || sharedZorder < 0) -1.0
       else sharedTrio + sharedDense + sharedBuckets + sharedParts +
         sharedIvf + sharedPq + sharedZorder
+    // per-rep loadavg stamps (VERDICT r10 item 3): mid-run loadavg
+    // mostly measures the bench's own 32 threads, so it is NOT a taint
+    // input — but stamping its max on the record lets a reader see the
+    // contention profile the external-CPU windows may have missed
+    // (BENCH_r10's contending process evaded every sampled window).
+    var maxMidLoad = 0.0
     val runs: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        maxMidLoad = math.max(maxMidLoad, loadAvg())
         // one measurement: (seconds or -1, external CPU share in window)
         def rep(): (Double, Double) = {
           externalBusy() // close the preceding window
@@ -267,7 +299,12 @@ object Bench {
     // the stamp is computed AFTER the run so it reflects the whole
     // window — an end-hot or mid-hot run can no longer go on record as
     // clean (the BENCH_r07/r08 failure mode)
-    val tainted = isTainted(loadStart, extEnd, anyKeptRepHot)
+    val tainted = isTainted(loadStart, extEnd, anyKeptRepHot, totalMin, totalMax)
+    if (isBandTainted(totalMin, totalMax))
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] WARNING: band %.1f-%.1f s (ratio %.2f > %.1f) - reps did not run under one set of conditions; record stamped tainted",
+        Double.box(totalMin), Double.box(totalMax),
+        Double.box(totalMax / totalMin), Double.box(MaxBandRatio)))
     // zero valid MXBean samples over the whole run = the external-CPU
     // rule was inoperative (unsupported platform/JVM); say so on the
     // record rather than letting `tainted: false` imply it ran
@@ -279,7 +316,15 @@ object Bench {
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    // The driver persists only the LAST ~2000 chars of stdout. At 124
+    // queries the full line above outgrew that window and BENCH_r10 went
+    // on record with "parsed": null — no total at all (VERDICT r10 item
+    // 2). This SECOND line repeats every summary field WITHOUT the
+    // per-query map (≪ 2000 chars, forever): printed last, it is always
+    // inside the tail the driver parses. The full line stays for humans
+    // and per-query analysis.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
     Caches.releaseShared()
     spark.stop()
   }

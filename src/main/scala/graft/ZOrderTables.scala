@@ -30,12 +30,17 @@ object ZOrderTables {
   val NumFiles = 8
 
   /** Grid coordinates: both clamp into the 1024-cell grid via modulo —
-    * closed-form, mirrored 1:1 in the oracle SQL. */
+    * closed-form, mirrored 1:1 in the oracle SQL. POSITIVE modulo on
+    * both engines (ADVICE r10): Spark's pmod is always non-negative,
+    * but a bare `%` in DuckDB follows the dividend's sign — a negative
+    * value (refunds) or user_id would silently diverge the mirrors, so
+    * the SQL uses the ((x % g) + g) % g double-mod form. */
   def xCol = pmod(col("user_id"), lit(ZOrder.Grid))
   def yCol = pmod(floor(col("value")).cast("long"), lit(ZOrder.Grid))
 
-  val XSql = s"user_id % ${ZOrder.Grid}"
-  val YSql = s"CAST(floor(value) AS BIGINT) % ${ZOrder.Grid}"
+  val XSql = s"((user_id % ${ZOrder.Grid}) + ${ZOrder.Grid}) % ${ZOrder.Grid}"
+  val YSql =
+    s"((CAST(floor(value) AS BIGINT) % ${ZOrder.Grid}) + ${ZOrder.Grid}) % ${ZOrder.Grid}"
 
   /** Ensures the z-ordered events layout exists for (session, dir);
     * returns its root path. The write job runs outside any monitor via

@@ -10,9 +10,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * Gries 1982; merge form per Agarwal et al., "Mergeable Summaries",
   * PODS 2012): every item with true frequency > n/k retains a positive
   * counter, and no counter overestimates. The merge combines counts and
-  * subtracts the k-th largest combined counter value — a VALUE-based
-  * rule, so the surviving key set is independent of merge ORDER even
-  * though the counter values are not. The query layer therefore never
+  * subtracts the k-th largest combined counter value. What IS
+  * merge-order-independent is only the containment guarantee (every
+  * >n/k item survives) and the 2-way merge of two fixed summaries; the
+  * surviving key set and the counter values of a DEEPER merge tree are
+  * NOT (ADVICE r10: a={x:5,y:1}, b={z:4}, c={w:3}, k=3 keeps {x} via
+  * (a+b)+c but {x,z} via (b+c)+a) — so neither keys nor counts may
+  * ever be golden-hashed or otherwise treated as deterministic under
+  * partitioning. The query layer therefore never
   * reads the approximate counts: the sketch only nominates ≤ k−1
   * candidates (a guaranteed superset of the true heavy hitters), and an
   * exact second pass counts those candidates and applies the n/k

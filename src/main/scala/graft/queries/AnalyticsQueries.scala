@@ -76,18 +76,23 @@ object AnalyticsQueries {
     // version count, the gaps-and-islands scale argument) — the
     // warehouse operator behind every dimension table load.
     "q113_scd2" -> { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
       Tables.events(s, d)
         .filter(col("event_type") === "signup" || col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"))
         .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_from", col("ts_us"))
         // the canonical SCD2 open-interval sentinel instead of NULL: a
-        // dimension consumer can always range-join on [from, to)
+        // dimension consumer can always range-join on [from, to). The
+        // interval bounds travel as epoch-µs BIGINTs with Long.MaxValue
+        // as the open sentinel (the q81/q119 rule: a 9999-12-31
+        // TIMESTAMP overflows the driver's datetime64[ns] compare —
+        // nullable integers are the proven-safe cross-engine carrier).
         .withColumn("is_current",
-          when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
-        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(w),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+          when(lead(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("valid_to",
+          coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
         .select("user_id", "version", "event_id", "value",
           "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "version")
@@ -384,12 +389,12 @@ object AnalyticsQueries {
       """SELECT user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS version,
         |  event_id, value,
-        |  ts AS valid_from,
-        |  coalesce(lead(ts, 1) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  epoch_us(ts) AS valid_from,
+        |  coalesce(lead(epoch_us(ts), 1) OVER w, 9223372036854775807) AS valid_to,
         |  CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM events
         |WHERE event_type IN ('signup', 'purchase')
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY user_id, version""".stripMargin,
     "q45_pivot_counts" -> {
       val cols = EventTypes.map(t =>

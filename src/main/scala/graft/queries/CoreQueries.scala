@@ -104,8 +104,16 @@ object CoreQueries {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("_corrupt",
           org.apache.spark.sql.types.StringType)))
-      val raw = when(col("event_id") % 10 === 0, concat(lit("{"), col("props")))
-        .otherwise(col("props"))
+      // NULL props count as CORRUPT in both engines (ADVICE r10):
+      // Spark's from_json(NULL) yields a null struct with a null
+      // corrupt column — silently "valid" — while the oracle's
+      // json_valid(NULL) is NULL and its CASE routes to n_corrupt.
+      // Coalescing the raw payload to a non-JSON literal makes the
+      // quarantine decision explicit and identical on both sides.
+      val raw = coalesce(
+        when(col("event_id") % 10 === 0, concat(lit("{"), col("props")))
+          .otherwise(col("props")),
+        lit("<null payload>"))
       Tables.events(s, d)
         .select(col("event_type"), from_json(raw, schema,
           Map("mode" -> "PERMISSIVE",

@@ -63,6 +63,12 @@ object CurationQueries {
     * defined; below that the whole corpus is the sample and τ = 0. */
   private val PrioritySampleK = 64
 
+  /** q100 min chunk size: a raw boundary within this many tokens of the
+    * previous raw boundary is suppressed (the FastCDC min-size rule as
+    * a lagged-distance filter). 4 ≈ mean-chunk/4, FastCDC's own
+    * default proportion. */
+  private val MinChunkTokens = 4L
+
   /** Positional hashed 3-gram shingles per doc — q75's base relation,
     * the SHARED positional base the dedup trio's distinct sets also
     * derive from ([[PipelineQueries.positionalShingleDocs]]): the md5
@@ -384,18 +390,31 @@ object CurationQueries {
     // shape) → 56-bit chunk hash. Cross-doc sharing is then an exact
     // groupBy on chunk hash — partial-agg'd, never doc×doc. Report:
     // per doc, chunks and the fraction shared with ANY other doc.
-    // Simplification vs production FastCDC: no min/max chunk-size
-    // clamp, so adjacent boundary tokens yield 1-token chunks whose
-    // sharing is common-word sharing — a real deploy adds the min-size
-    // rule (skip boundaries closer than m tokens), which is the same
-    // relational shape with a lagged-distance filter before the cumsum.
+    // Min-chunk-size clamp (the production FastCDC rule, VERDICT r10
+    // item 5): a raw residue-class boundary is SUPPRESSED when the
+    // previous RAW boundary is closer than MinChunkTokens, so adjacent
+    // boundary tokens can no longer spawn 1-token chunks whose
+    // "sharing" is common-word noise. The clamp is a lagged-distance
+    // filter over raw boundaries — fully relational, one extra window
+    // column, both engines replay it identically. (True sequential
+    // FastCDC measures from the previous KEPT boundary — a chain; the
+    // fixed raw-lag rule is its deterministic relational stand-in.
+    // Max-size is the residue parameter's job — mean chunk ≈ 16
+    // tokens; production adds a hard cap the same way.)
     "q100_cdc_chunking" -> { (s, d) =>
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(TextOps.tokens(col("text"))).as(Seq("idx", "tok")))
-      val boundary = when(TextOps.hash56(col("tok")) % 16 === 0, 1L).otherwise(0L)
+      val rawBoundary = when(TextOps.hash56(col("tok")) % 16 === 0, 1L).otherwise(0L)
       val win = Window.partitionBy("doc_id").orderBy("idx")
+      val prevRaw = last(when(col("raw_bd") === 1L, col("idx")), ignoreNulls = true)
+        .over(win.rowsBetween(Window.unboundedPreceding, -1))
+      val boundary = when(col("raw_bd") === 1L
+        && (col("prev_raw").isNull
+          || col("idx") - col("prev_raw") >= MinChunkTokens), 1L).otherwise(0L)
       val chunks = toks
+        .withColumn("raw_bd", rawBoundary)
+        .withColumn("prev_raw", prevRaw)
         .withColumn("chunk", sum(boundary).over(win))
         .groupBy(col("doc_id"), col("chunk"))
         .agg(concat_ws(" ",
@@ -445,6 +464,60 @@ object CurationQueries {
     // n_violations, pass) so a monitor alerts on any pass=0 row.
     "q121_dq_checks" -> { (s, d) =>
       graft.operators.TextCuration.dqChecks(Tables.documents(s, d))
+    },
+
+    // Streaming DQ HISTORY promoted into the oracle gate (VERDICT r10
+    // item 8, the q63 promotion precedent): the documents feed replayed
+    // as 4 deterministic micro-batches through the DqMonitor's own
+    // batch body, history read back — and the oracle recomputes each
+    // batch's five checks with one GROUP BY, so the gate proves N
+    // streamed per-batch reports ≡ the batch truth (stream/batch
+    // parity, the q25/q61 contract). The monitor's scale shape is the
+    // q121 one: each batch is ONE conditional-aggregation scan, the
+    // report is 5 rows, and history grows 5 rows per batch forever.
+    "q125_dq_history" -> { (s, d) =>
+      graft.streaming.DqMonitor.boundedHistory(s, d, 4)
+    },
+
+    // Unigram-LM quality TIERS — the CCNet bucket operator: each doc
+    // scored by its average token surprisal under the corpus's OWN
+    // unigram model, then cut at the exact tertiles into head (most
+    // fluent) / middle / tail — the canonical LM-based curation pass
+    // that decides what a web crawl keeps. Cross-engine exactness:
+    // surprisal is QUANTIZED to integer bits — floor(log2(T/c)) as
+    // length(bin(T div c)) − 1, pure integer arithmetic on both
+    // engines (the q42 no-libm-log rule) — so per-doc sums are exact
+    // BIGINTs and avg_bits is ONE final IEEE division. Tier cuts come
+    // from one exact-percentile aggregation (the q46
+    // percentile↔quantile_cont agreement), broadcast back as a 1-row
+    // crossJoin: assignment is map-side, no global ntile sort. Scale:
+    // token counts partial-agg; the model join shuffles on token (no
+    // broadcast — vocabulary is unbounded at web scale, the q42 rule);
+    // at 100 TB the exact percentile swaps for approx_percentile (the
+    // q114 exact→approx tier trade).
+    "q127_lm_quality" -> { (s, d) =>
+      val toks = graft.Caches.scopedPersist(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok")))
+      val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("t"))
+      val perDoc = graft.Caches.scopedPersist(
+        toks.join(cnt, "tok").crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            (length(bin(expr("t div c"))) - 1).cast("long").as("bits"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum("bits").as("sum_bits"))
+          .withColumn("avg_bits",
+            col("sum_bits").cast("double") / col("n_tok").cast("double")))
+      val cuts = perDoc.agg(
+        expr("percentile(avg_bits, 0.3333333333333333)").as("t1"),
+        expr("percentile(avg_bits, 0.6666666666666666)").as("t2"))
+      perDoc.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_tok"), col("sum_bits"), col("avg_bits"),
+          when(col("avg_bits") <= col("t1"), "head")
+            .when(col("avg_bits") <= col("t2"), "middle")
+            .otherwise("tail").as("tier"))
+        .orderBy("doc_id")
     },
 
     // Per-domain document cap — the RefinedWeb/C4 anti-spam pass: no
@@ -712,18 +785,29 @@ object CurationQueries {
          |ORDER BY d.doc_id""".stripMargin,
     // The cumulative-boundary window uses both engines' default frame
     // (RANGE UNBOUNDED PRECEDING..CURRENT ROW): a boundary token opens
-    // the chunk it belongs to
+    // the chunk it belongs to. b2/b3 replay the min-chunk-size clamp:
+    // a raw boundary whose previous RAW boundary is < 4 tokens away is
+    // suppressed (same lagged-distance rule as the Spark side).
     "q100_cdc_chunking" ->
       """WITH t AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS idx,
         |    unnest(tk) AS tok
         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
         |b AS (SELECT doc_id, idx, tok,
         |    CASE WHEN CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 16 = 0
-        |      THEN 1 ELSE 0 END AS bd
+        |      THEN 1 ELSE 0 END AS raw_bd
         |  FROM t),
+        |b2 AS (SELECT doc_id, idx, tok, raw_bd,
+        |    max(CASE WHEN raw_bd = 1 THEN idx END) OVER
+        |      (PARTITION BY doc_id ORDER BY idx
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_raw
+        |  FROM b),
+        |b3 AS (SELECT doc_id, idx, tok,
+        |    CASE WHEN raw_bd = 1 AND (prev_raw IS NULL OR idx - prev_raw >= 4)
+        |      THEN 1 ELSE 0 END AS bd
+        |  FROM b2),
         |c AS (SELECT doc_id, idx, tok,
         |    sum(bd) OVER (PARTITION BY doc_id ORDER BY idx) AS chunk
-        |  FROM b),
+        |  FROM b3),
         |ct AS (SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY idx) AS chunk_text
         |  FROM c GROUP BY doc_id, chunk),
         |chs AS (SELECT doc_id,
@@ -765,6 +849,45 @@ object CurationQueries {
         |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM l ORDER BY check_name""".stripMargin,
+    // q125: each micro-batch's five checks recomputed batch-at-once
+    // with one GROUP BY over the same doc_id % 4 arrival split — the N
+    // streamed reports must equal this batch truth
+    "q125_dq_history" ->
+      """WITH w AS (SELECT doc_id % 4 AS batch_id,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null_id,
+        |    sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS v_bad_lang,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars_mismatch,
+        |    sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS v_empty,
+        |    count(doc_id) - count(DISTINCT doc_id) AS v_dup_id
+        |  FROM documents GROUP BY 1),
+        |l AS (
+        |  SELECT batch_id, 'doc_id_not_null' AS check_name, v_null_id AS n_violations FROM w
+        |  UNION ALL SELECT batch_id, 'lang_in_domain', v_bad_lang FROM w
+        |  UNION ALL SELECT batch_id, 'n_chars_consistent', v_chars_mismatch FROM w
+        |  UNION ALL SELECT batch_id, 'text_not_empty', v_empty FROM w
+        |  UNION ALL SELECT batch_id, 'doc_id_unique', v_dup_id FROM w)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id, check_name,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM l ORDER BY batch_id, check_name""".stripMargin,
+    // q127: the same quantized-surprisal model replayed — T // c is
+    // integer division (Spark's `div`), bin() the binary string on
+    // both engines, quantile_cont the q46 percentile twin
+    "q127_lm_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(sum(length(bin(t // c)) - 1) AS BIGINT) AS sum_bits
+        |  FROM tok JOIN cnt USING (tok), tot GROUP BY doc_id),
+        |pda AS (SELECT doc_id, n_tok, sum_bits,
+        |    CAST(sum_bits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_bits FROM pd),
+        |cut AS (SELECT quantile_cont(avg_bits, 0.3333333333333333) AS t1,
+        |    quantile_cont(avg_bits, 0.6666666666666666) AS t2 FROM pda)
+        |SELECT doc_id, n_tok, sum_bits, avg_bits,
+        |  CASE WHEN avg_bits <= t1 THEN 'head'
+        |       WHEN avg_bits <= t2 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM pda, cut ORDER BY doc_id""".stripMargin,
     // row_number <= cap replays the bounded MinKLong selection exactly:
     // both rank by (priority asc, doc_id asc) within the domain
     "q103_domain_cap" ->

@@ -58,6 +58,10 @@ object PipelineQueries {
 
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
+  /** q126's fixed retrieval query — terms chosen from the fixture
+    * vocabulary so the postings lookup is exercised at every SF. */
+  private val Bm25Terms = Seq("join", "vector", "spark", "window")
+
   /** POSITIONAL hashed 3-gram shingles per doc — one entry per token
     * position, duplicates preserved (docs shorter than 3 tokens drop out
     * — mirrored in the oracles). The documents table arrives as one
@@ -189,6 +193,25 @@ object PipelineQueries {
        |      row_number() OVER (PARTITION BY v.vec_id, v.s
        |        ORDER BY list_dot_product(v.sv, c.cv) - 0.5 * list_dot_product(c.cv, c.cv) DESC, c.code) AS rn
        |    FROM psv v JOIN pc2 c ON v.s = c.s) WHERE rn = 1)""".stripMargin
+  }
+
+  /** q116's SymSpell blocking relation: each vocabulary word `w`
+    * expands to its ≤ 2-deletion variants `v` (bounded per word:
+    * 1 + n + n(n−1)/2 rows), MINUS the `''` variant — the one bucket
+    * whose width grows with the corpus (every word of length ≤ 2 lands
+    * in it). Dropping it is lossless for the fuzzy join as long as the
+    * caller adds the exact short×short pass: a pair can meet ONLY at
+    * `''` when both words delete down to empty, i.e. both have length
+    * ≤ 2 — exactly the pairs the short pass enumerates exhaustively
+    * (≤ (26+26²)² comparisons, alphabet-bounded, corpus-independent).
+    * SymSpellGuardSpec pins both the guard and the completeness. */
+  private[graft] def symspellBlocking(vocab: DataFrame): DataFrame = {
+    def dels(c: Column): Column = array_distinct(concat(array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
+    vocab.select(col("w"), explode(dels(col("w"))).as("v1"))
+      .select(col("w"), explode(dels(col("v1"))).as("v")).distinct()
+      .filter(length(col("v")) >= 1)
   }
 
   /** MinHash LSH candidates, relationally: 16 hashes, 8 bands of 2.
@@ -504,7 +527,10 @@ object PipelineQueries {
           "struct(i AS i, j AS j, " +
           "CAST(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE) AS DECIMAL(38,10)) AS p))))")
       Tables.embeddings(s, d)
-        .repartition(8)
+        // session shuffle width, not a literal (VERDICT r10 item 4): a
+        // hardcoded 8 capped the 2080× expansion at 8 tasks on a
+        // 32-core bench and would cap it the same on 1000 executors
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("embedding").as("v"))
         .select(explode(pairs).as("e"))
         .groupBy(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
@@ -528,7 +554,7 @@ object PipelineQueries {
           "struct(i AS i, j AS j, " +
           "CAST(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE) AS DECIMAL(38,10)) AS p))))")
       def partial(df: DataFrame) = df
-        .repartition(8)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("embedding").as("v"))
         .select(explode(pairs).as("e"))
         .groupBy(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
@@ -555,21 +581,28 @@ object PipelineQueries {
     // as every LSH pipeline here. The ORACLE is the exhaustive
     // all-pairs truth over the (vocabulary-sized) word table, so the
     // hash match PROVES the blocking complete on this corpus, not just
-    // self-consistent. Scale: candidates are variant-bucket-bounded;
-    // the ''-variant bucket (words of length ≤ 2 all meet there) is the
-    // known hot key — production adds a min-length guard, same shape.
+    // self-consistent. Scale: candidates are variant-bucket-bounded,
+    // and the one unbounded bucket is GUARDED (VERDICT r10 item 6):
+    // the '' variant — where every word of length ≤ 2 meets every
+    // other — is dropped from the blocking relation, and the pairs
+    // only it could produce (both words length ≤ 2: '' requires
+    // deleting the whole word within the 2-deletion budget) come from
+    // an exact all-pairs over the SHORT vocabulary instead, which the
+    // alphabet bounds at 26+26² words regardless of corpus size.
+    // Completeness is unchanged (SymSpellGuardSpec pins both halves);
+    // the hot key is gone.
     "q116_fuzzy_join" -> { (s, d) =>
-      def dels(c: Column): Column = array_distinct(concat(array(c),
-        transform(sequence(lit(1), length(c)),
-          i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c))))))
-      val vocab = Tables.documents(s, d)
-        .select(explode(tokensCol).as("w")).distinct()
-      val d1 = vocab.select(col("w"), explode(dels(col("w"))).as("v1"))
-      val d2 = graft.Caches.scopedPersist(
-        d1.select(col("w"), explode(dels(col("v1"))).as("v")).distinct())
-      d2.as("a").join(d2.as("b"),
+      val vocab = graft.Caches.scopedPersist(Tables.documents(s, d)
+        .select(explode(tokensCol).as("w")).distinct())
+      val d2 = graft.Caches.scopedPersist(symspellBlocking(vocab))
+      val longPairs = d2.as("a").join(d2.as("b"),
           col("a.v") === col("b.v") && col("a.w") < col("b.w"))
-        .select(col("a.w").as("w_a"), col("b.w").as("w_b")).distinct()
+        .select(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      val short = vocab.filter(length(col("w")) <= 2)
+      val shortPairs = short.as("a").join(broadcast(short.as("b"))
+          .select(col("w").as("wb")), col("w") < col("wb"))
+        .select(col("w").as("w_a"), col("wb").as("w_b"))
+      longPairs.unionByName(shortPairs).distinct()
         .withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("long"))
         .filter(col("dist") <= 2)
         .orderBy("w_a", "w_b")
@@ -1263,6 +1296,47 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // BM25 ranked retrieval — the inverted-index scoring operator
+    // behind every lexical search / retrieval-augmentation pipeline:
+    // score(doc) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    // over the fixed query terms (k1=1.2, b=0.75, Robertson/Spärck
+    // Jones). Scale shape: the (doc, token) tf relation filters to the
+    // QUERY TERMS' postings before aggregating (the inverted-index
+    // point lookup — the shuffle carries 4 terms' rows, not the
+    // vocabulary), dl and avgdl are exact integer aggregates, and the
+    // top-10 is a TakeOrdered, never a global sort. Two determinism
+    // rules carried from the repo: idf stays RATIONAL
+    // ((N−df+0.5)/(df+0.5) — the q42 no-libm-log rule; same ranking
+    // monotonicity), and each per-term contribution rounds to 6dp then
+    // sums as DECIMAL(28,10) so Σ is shuffle-order-independent (the
+    // q47 decimal-sum rule).
+    "q126_bm25" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(tokensCol).as("token"))
+        .filter(col("token").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = docs.select(col("doc_id"), size(tokensCol).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(tokensCol).cast("long")).as("total_tokens"))
+      // dfreq is ≤ |query terms| rows — broadcast is bounded by the
+      // QUERY, not the corpus (unlike q42's vocabulary-sized dfreq)
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val denom = col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl)
+      val c = idf * (col("tf").cast("double") * lit(2.2)) / denom
+      tf.join(broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(c, 6).cast("decimal(28,10)").as("c"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum(col("c")).cast("double").as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    },
+
     // TF-IDF top terms per document. idf kept rational (N/df, exact
     // division) rather than log-scaled: libm log differs across engines
     // in the last ulp, a ratio does not.
@@ -1884,6 +1958,28 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q126: identical expression tree (association, casts, literal
+    // strings) so the pre-round doubles are bit-equal; the 6dp round +
+    // decimal sum then makes Σ order-independent on both engines
+    "q126_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |c AS (SELECT tf.doc_id,
+         |    CAST(round(
+         |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |          / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+         |      AS DECIMAL(28,10)) AS c
+         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, CAST(sum(c) AS DOUBLE) AS score
+         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q42_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),

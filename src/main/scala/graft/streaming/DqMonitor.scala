@@ -49,4 +49,24 @@ object DqMonitor {
     spark.read.parquet(outDir)
       .select("batch_id", "check_name", "n_violations", "pass")
       .orderBy("batch_id", "check_name")
+
+  /** Bounded N-way micro-batch replay — the q125 oracle-gate face
+    * (VERDICT r10 item 8, the q63 promotion precedent): the documents
+    * table splits into `n` deterministic micro-batches (`doc_id % n` —
+    * the arrival partition a replayed feed would have), each folds
+    * through the SAME batch body the unbounded form runs
+    * ([[processBatch]]), and the accumulated history reads back. The
+    * oracle replays the five checks per batch with one GROUP BY — so
+    * the gate proves N streamed reports ≡ the batch truth, the same
+    * stream/batch-parity contract as q25/q61/q63. */
+  def boundedHistory(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-dqhist-")
+    graft.TempDirs.cleanupOnExit(out)
+    val docs = graft.Tables.documents(spark, sfDir)
+    (0 until n).foreach { b =>
+      processBatch(docs.filter(pmod(col("doc_id"), lit(n)) === b), b.toLong,
+        out.toString)
+    }
+    history(spark, out.toString)
+  }
 }

@@ -14,40 +14,64 @@ import graft.expressions.MisraGries
   * (the same typed partial aggregate as q107 — each map task ships
   * ≤ k−1 counters), the batch sketch merges into the standing sketch
   * with the value-based mergeable-summaries rule, and the merged summary
-  * overwrites the state table. The merge runs driver-side ON THE TWO
+  * becomes a NEW state version. The merge runs driver-side ON THE TWO
   * SUMMARIES (≤ 2(k−1) rows by construction — summary-sized, not
   * data-sized; the same stance as the q104 τ row or the q102 range row).
   *
   * Guarantee carried across batches (Agarwal et al., PODS 2012): after
   * any number of merges, every token whose TOTAL stream frequency
   * exceeds n/k retains a positive counter, and no counter overestimates.
-  * Unlike q107, a streaming report cannot re-scan history for the exact
-  * second pass — the summary (candidates + total) IS the deliverable,
-  * and a consumer wanting exact counts runs the q107 exact pass over
-  * the candidates against whatever history it retains.
+  * The surviving KEY SET and counter values are merge-order-dependent
+  * (see the MisraGries header) — only the containment guarantee is
+  * stable, so consumers must never golden-hash the summary. Unlike q107,
+  * a streaming report cannot re-scan history for the exact second pass —
+  * the summary (candidates + total) IS the deliverable, and a consumer
+  * wanting exact counts runs the q107 exact pass over the candidates
+  * against whatever history it retains.
   *
-  * State layout at `sketchDir`: `sketch/` (tok, c) and `total/` (n) —
-  * overwritten per batch; both tiny. Delivery: overwrite-per-batch makes
-  * a micro-batch RETRY idempotent only if the retry re-reads the same
-  * pre-batch state; the bounded harness runs never retry (same
-  * at-least-once stance as [[IncrementalNearDup]], which documents the
-  * batch-keyed exactly-once form).
+  * State layout at `sketchDir` (ADVICE r10: the old read-then-overwrite
+  * of one live path lost ALL standing state if the writer died between
+  * the overwrite's delete and commit): versioned dirs `v{batchId}/`
+  * each holding `sketch/` (tok, c), `total/` (n) and a COMMITTED marker
+  * created LAST — marker creation is the one atomic step, so a crash
+  * mid-write leaves an uncommitted version that every reader ignores
+  * while the previous committed version stays intact. Keying the
+  * version by micro-batch id also upgrades delivery to EXACTLY-ONCE
+  * under retry: a re-delivered batch finds its own version committed
+  * and no-ops (the [[FanOutPipeline]] batch-keyed idempotence rule).
+  * Committed predecessors are pruned best-effort after each commit;
+  * state on disk is ≤ 2 summary-sized versions.
   */
 object StreamingHeavyHitters {
 
   val K = 16
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committed(spark: SparkSession, sketchDir: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(sketchDir)
+    val f = fs(spark, sketchDir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath)
+      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "COMMITTED")))
+      .map(_.getName.drop(1).toLong)
+      .sorted
   }
 
-  /** Fold ONE micro-batch of (doc_id, text) into the standing sketch.
-    * Package-visible so the spec drives it directly (the same contract
-    * as [[IncrementalNearDup.processBatch]]). */
-  private[streaming] def processBatch(batch: DataFrame, sketchDir: String): Unit = {
+  /** Fold ONE micro-batch of (doc_id, text) into the standing sketch,
+    * exactly-once under retry (version keyed by `batchId`). Package-
+    * visible so the spec drives it directly (the same contract as
+    * [[IncrementalNearDup.processBatch]]). */
+  private[streaming] def processBatch(batch: DataFrame, sketchDir: String,
+                                      batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val versions = committed(spark, sketchDir)
+    if (versions.contains(batchId)) return // retry of a committed batch: no-op
     val agg = new MisraGries(K)
     val mg = udaf(agg)
     val toks = batch.select(explode(split(col("text"), " ")).as("tok"))
@@ -56,34 +80,50 @@ object StreamingHeavyHitters {
       toks.agg(mg(col("tok")).as("sk")).as[Map[String, Long]].head()
     val batchN = toks.count()
 
-    val (standing, standingN) =
-      if (exists(spark, s"$sketchDir/sketch")) {
-        val s = spark.read.parquet(s"$sketchDir/sketch")
+    val (standing, standingN) = versions.lastOption match {
+      case Some(v) =>
+        val s = spark.read.parquet(s"$sketchDir/v$v/sketch")
           .as[(String, Long)].collect().toMap
-        val n = spark.read.parquet(s"$sketchDir/total").as[Long].head()
+        val n = spark.read.parquet(s"$sketchDir/v$v/total").as[Long].head()
         (s, n)
-      } else (Map.empty[String, Long], 0L)
+      case None => (Map.empty[String, Long], 0L)
+    }
 
     val merged = agg.merge(standing, batchSketch)
+    val vdir = s"$sketchDir/v$batchId"
     merged.toSeq.toDF("tok", "c").coalesce(1)
-      .write.mode("overwrite").parquet(s"$sketchDir/sketch")
+      .write.mode("overwrite").parquet(s"$vdir/sketch")
     Seq(standingN + batchN).toDF("n").coalesce(1)
-      .write.mode("overwrite").parquet(s"$sketchDir/total")
+      .write.mode("overwrite").parquet(s"$vdir/total")
+    // the commit point: atomic zero-byte create — everything before it
+    // is invisible to readers, everything after it is durable
+    val f = fs(spark, sketchDir)
+    f.create(new org.apache.hadoop.fs.Path(vdir, "COMMITTED"), false).close()
+    // prune superseded committed versions (best-effort: a failure here
+    // costs disk, never correctness — readers always take the max)
+    versions.filter(_ < batchId).foreach { v =>
+      try f.delete(new org.apache.hadoop.fs.Path(s"$sketchDir/v$v"), true)
+      catch { case _: java.io.IOException => }
+    }
   }
 
   /** The standing report: candidate tokens with their (under-estimating)
     * counters and the stream total — every true heavy hitter (freq >
-    * n/K) is guaranteed present. */
+    * n/K) is guaranteed present. Reads the newest COMMITTED version;
+    * uncommitted (mid-crash) versions are invisible. */
   def report(spark: SparkSession, sketchDir: String): DataFrame = {
-    val sketch = spark.read.parquet(s"$sketchDir/sketch")
-    val total = spark.read.parquet(s"$sketchDir/total")
+    val v = committed(spark, sketchDir).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed sketch version under $sketchDir"))
+    val sketch = spark.read.parquet(s"$sketchDir/v$v/sketch")
+    val total = spark.read.parquet(s"$sketchDir/v$v/total")
     sketch.crossJoin(broadcast(total))
       .select(col("tok"), col("c"), col("n"))
       .orderBy(col("c").desc, col("tok"))
   }
 
   /** Unbounded form: a files-source document stream folded batch-by-batch
-    * ([[processBatch]]) via foreachBatch. */
+    * ([[processBatch]]) via foreachBatch, exactly-once per the version
+    * keying above. */
   def run(spark: SparkSession, inputDir: String, sketchDir: String,
           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -92,7 +132,7 @@ object StreamingHeavyHitters {
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (b: DataFrame, _: Long) => processBatch(b, sketchDir) }
+      .foreachBatch { (b: DataFrame, id: Long) => processBatch(b, sketchDir, id) }
       .start()
   }
 }

@@ -48,5 +48,27 @@ class BenchGuardSpec extends AnyFunSuite {
   test("the documented methodology bounds") {
     assert(Bench.MaxLoad === 3.0)
     assert(Bench.MaxExternalBusy === 0.10)
+    assert(Bench.MaxBandRatio === 1.5)
+  }
+
+  test("the band rule taints a wide min/max band even when the samplers saw nothing") {
+    assert(!Bench.isBandTainted(59.2, 82.4),
+      "the r10 judge's clean re-run band (1.39x) stays clean")
+    assert(Bench.isBandTainted(112.0, 197.0),
+      "the contaminated BENCH_r10 band (1.76x) is tainted - the r10 failure mode")
+    assert(!Bench.isBandTainted(10.0, 15.0), "boundary: the rule is strictly-greater-than 1.5")
+    assert(Bench.isBandTainted(10.0, 15.01))
+    assert(!Bench.isBandTainted(0.0, 100.0),
+      "an all-failed run has no meaningful band (failed-count marks it instead)")
+    assert(!Bench.isBandTainted(-1.0, 100.0))
+  }
+
+  test("the 5-arg whole-run verdict composes the sampled rules with the band rule") {
+    assert(!Bench.isTainted(2.0, 0.05, false, 60.0, 80.0), "clean everywhere: untainted")
+    assert(Bench.isTainted(2.79, 0.0, false, 112.0, 197.0),
+      "the exact BENCH_r10 stamp inputs now taint: samplers clean, band wide")
+    assert(Bench.isTainted(5.0, 0.0, false, 60.0, 61.0), "hot start still taints on its own")
+    assert(Bench.isTainted(2.0, 0.4, false, 60.0, 61.0), "hot end still taints on its own")
+    assert(Bench.isTainted(2.0, 0.0, true, 60.0, 61.0), "kept-hot rep still taints on its own")
   }
 }

@@ -450,8 +450,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q116: fuzzy candidates come from the variant equi-join — never word×word") {
     val p = formatted("q116_fuzzy_join")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       "the levenshtein verify must sit behind the deletion-variant screen")
+    // exactly ONE nested-loop join is sanctioned: the short×short
+    // exact pass over the length-≤2 vocabulary (alphabet-bounded at
+    // 26+26² rows, corpus-independent) that replaces the dropped ''
+    // variant bucket. The full-vocab pairs must still come from the
+    // variant equi-join.
+    // formatted explain prints each node twice (tree line + detail
+    // header), so ONE physical nested-loop join = 2 string hits
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the alphabet-bounded short-word pass may nested-loop")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "the main candidate screen must be the variant equi-join")
   }
 
   test("q114: the whole profile is one scan — no join, multi-distinct via Expand") {

@@ -66,4 +66,35 @@ class IncrementalNearDupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(indexed === Set(1L, 2L, 3L, 4L, 6L), "index holds survivors only")
   }
+
+  test("exactly-once: a retried batch leaves no duplicate decisions or index rows") {
+    val (indexDir, outDir, _) = mkDirs()
+    import spark.implicits._
+
+    def b1 = Seq((1L, text(1)), (2L, text(2))).toDF("doc_id", "text")
+    def b2 = Seq((3L, text(1) + " extra"), (4L, text(4))).toDF("doc_id", "text")
+
+    IncrementalNearDup.processBatchExactlyOnce(b1, 0L, indexDir, outDir)
+    IncrementalNearDup.processBatchExactlyOnce(b2, 1L, indexDir, outDir)
+    def decisions() = spark.read.parquet(outDir)
+      .select("doc_id", "dup_of", "kept").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    def indexRows() = spark.read.parquet(s"$indexDir/shingles")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val dBefore = decisions()
+    val iBefore = indexRows()
+    assert(dBefore === Seq((1L, None, true), (2L, None, true),
+      (3L, Some(1L), false), (4L, None, true)))
+    assert(iBefore === Seq(1L, 2L, 4L), "survivors only, once each")
+
+    // the retry failure mode: batch 1 re-delivered AFTER its index and
+    // decision writes committed — the at-least-once form would append a
+    // second copy of everything and (worse) match each doc against its
+    // own first-attempt signatures
+    IncrementalNearDup.processBatchExactlyOnce(b2, 1L, indexDir, outDir)
+    assert(decisions() === dBefore, "replay must not change or duplicate decisions")
+    assert(indexRows() === iBefore, "replay must not duplicate index rows")
+  }
 }

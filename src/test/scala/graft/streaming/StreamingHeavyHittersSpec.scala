@@ -27,8 +27,8 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-shh-")
     graft.TempDirs.cleanupOnExit(dir)
     val (b1, b2) = batches
-    StreamingHeavyHitters.processBatch(b1.toDF("doc_id", "text"), dir.toString)
-    StreamingHeavyHitters.processBatch(b2.toDF("doc_id", "text"), dir.toString)
+    StreamingHeavyHitters.processBatch(b1.toDF("doc_id", "text"), dir.toString, 0L)
+    StreamingHeavyHitters.processBatch(b2.toDF("doc_id", "text"), dir.toString, 1L)
 
     val rep = StreamingHeavyHitters.report(spark, dir.toString)
       .as[(String, Long, Long)].collect()
@@ -64,5 +64,39 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       .as[(String, Long, Long)].collect()
     assert(Set("alpha", "omega", "both").subsetOf(rep.map(_._1).toSet))
     assert(rep.forall(_._3 === (b1 ++ b2).flatMap(_._2.split(" ")).size.toLong))
+  }
+
+  test("a retried micro-batch is a no-op (exactly-once via the version key)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shh-retry-")
+    graft.TempDirs.cleanupOnExit(dir)
+    val (b1, b2) = batches
+    StreamingHeavyHitters.processBatch(b1.toDF("doc_id", "text"), dir.toString, 0L)
+    StreamingHeavyHitters.processBatch(b2.toDF("doc_id", "text"), dir.toString, 1L)
+    val before = StreamingHeavyHitters.report(spark, dir.toString)
+      .as[(String, Long, Long)].collect().toSeq
+    // the at-least-once failure mode: batch 1 re-delivered after commit
+    StreamingHeavyHitters.processBatch(b2.toDF("doc_id", "text"), dir.toString, 1L)
+    val after = StreamingHeavyHitters.report(spark, dir.toString)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(after === before, "a re-folded batch would double-count; the retry must no-op")
+    assert(after.forall(_._3 === (b1 ++ b2).flatMap(_._2.split(" ")).size.toLong))
+  }
+
+  test("a crash mid-write cannot lose the standing state (uncommitted versions are invisible)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shh-crash-")
+    graft.TempDirs.cleanupOnExit(dir)
+    val (b1, _) = batches
+    StreamingHeavyHitters.processBatch(b1.toDF("doc_id", "text"), dir.toString, 0L)
+    val before = StreamingHeavyHitters.report(spark, dir.toString)
+      .as[(String, Long, Long)].collect().toSeq
+    // simulate the ADVICE r10 crash window: a newer version fully
+    // written EXCEPT its COMMITTED marker (the old overwrite-in-place
+    // design had already deleted the standing state at this point)
+    Seq(("ghost", 999L)).toDF("tok", "c").write.parquet(s"$dir/v7/sketch")
+    Seq(999L).toDF("n").write.parquet(s"$dir/v7/total")
+    val after = StreamingHeavyHitters.report(spark, dir.toString)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(after === before, "readers must keep serving the last committed version")
+    assert(!after.exists(_._1 == "ghost"))
   }
 }
