@@ -98,6 +98,35 @@ object AnalyticsQueries {
         .orderBy("user_id", "version")
     },
 
+    // Z-score ANOMALY detection — the monitoring operator behind every
+    // metrics/ingest alert: per-group exact moments (the q47 rule:
+    // count + DECIMAL-exact Σy and Σy² so shuffle order cannot wiggle
+    // them), sample σ from the closed form, then a map-side flag of
+    // every row with |z| > 3 against the 5-row broadcast stats. Two
+    // scans total (one for moments, one for flagging), no window, no
+    // per-group sort — at 100 TB the stats pass is a partial-agg'd
+    // shuffle of 5 groups and the flag pass is embarrassingly map-only.
+    "q129_anomaly" -> { (s, d) =>
+      val y = col("value").cast("decimal(18,2)")
+      val stats = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(y).cast("double").as("sy"),
+          sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"))
+        .withColumn("mu", col("sy") / col("n"))
+        .withColumn("sigma",
+          sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            / (col("n") * (col("n") - 1))))
+        .select("event_type", "mu", "sigma")
+      Tables.events(s, d)
+        .join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    },
+
     // Data profiling — the ANALYZE pass a pipeline runs on every new
     // table before anything else: per column, row/null/distinct counts
     // and min/max (as strings, binary collation in both engines). All
@@ -385,6 +414,21 @@ object AnalyticsQueries {
          |${iter(1, 2)}
          |SELECT node AS user_id, round(r, 8) AS rank FROM r2 ORDER BY user_id""".stripMargin
     },
+    // q129: identical moment sums and closed forms — the z doubles are
+    // bit-equal, so the |z| > 3 cut can never straddle engines
+    "q129_anomaly" ->
+      """WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, sy / n AS mu,
+        |    sqrt((n * syy - sy * sy) / (n * (n - 1))) AS sigma FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mu) / m.sigma, 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs((e.value - m.mu) / m.sigma) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
     "q113_scd2" ->
       """SELECT user_id,
         |  CAST(row_number() OVER w AS BIGINT) AS version,

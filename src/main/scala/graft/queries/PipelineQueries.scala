@@ -62,6 +62,58 @@ object PipelineQueries {
     * vocabulary so the postings lookup is exercised at every SF. */
   private val Bm25Terms = Seq("join", "vector", "spark", "window")
 
+  /** The shared oracle CTE chain ending in `sc(doc_id, n_hit, score)` —
+    * the DuckDB replay of [[bm25Scores]], used verbatim by both the
+    * q126 and q128 oracles so the two gates replay ONE scorer. */
+  private val Bm25ScoredCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
+       |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |c AS (SELECT tf.doc_id,
+       |    CAST(round(
+       |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |          / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+       |      AS DECIMAL(28,10)) AS c
+       |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), st),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(c) AS DOUBLE) AS score
+       |  FROM c GROUP BY doc_id)""".stripMargin
+
+  /** The q126/q128 BM25 scorer: per-doc (n_hit, score) over
+    * [[Bm25Terms]]. See the q126 entry for the determinism rules
+    * (rational idf, 6dp-round + decimal sum). */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(tokensCol).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"), size(tokensCol).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokensCol).cast("long")).as("total_tokens"))
+    // dfreq is ≤ |query terms| rows — broadcast is bounded by the
+    // QUERY, not the corpus (unlike q42's vocabulary-sized dfreq)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl)
+    val c = idf * (col("tf").cast("double") * lit(2.2)) / denom
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(c, 6).cast("decimal(28,10)").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("c")).cast("double").as("score"))
+  }
+
   /** POSITIONAL hashed 3-gram shingles per doc — one entry per token
     * position, duplicates preserved (docs shorter than 3 tokens drop out
     * — mirrored in the oracles). The documents table arrives as one
@@ -1311,29 +1363,35 @@ object PipelineQueries {
     // sums as DECIMAL(28,10) so Σ is shuffle-order-independent (the
     // q47 decimal-sum rule).
     "q126_bm25" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val tf = docs.select(col("doc_id"), explode(tokensCol).as("token"))
-        .filter(col("token").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dl = docs.select(col("doc_id"), size(tokensCol).cast("long").as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(tokensCol).cast("long")).as("total_tokens"))
-      // dfreq is ≤ |query terms| rows — broadcast is bounded by the
-      // QUERY, not the corpus (unlike q42's vocabulary-sized dfreq)
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
-      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))
-      val denom = col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl)
-      val c = idf * (col("tf").cast("double") * lit(2.2)) / denom
-      tf.join(broadcast(dfreq), "token")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), round(c, 6).cast("decimal(28,10)").as("c"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_hit"), sum(col("c")).cast("double").as("score"))
+      bm25Scores(s, d)
         .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    },
+
+    // HYBRID two-stage retrieval — the RAG-standard recall→rerank
+    // pipeline: BM25 nominates the top-50 LEXICAL candidates (stage 1,
+    // the q126 scorer — an inverted-index lookup, corpus-cheap), then
+    // only those 50 join their embeddings and rerank by cosine to the
+    // query vector (stage 2 — the expensive semantic signal paid on a
+    // candidate set bounded by the RECALL budget, never the corpus).
+    // This shape is exactly why hybrid search scales: the vector work
+    // is O(candidates), the lexical work is O(postings). Query vector =
+    // vec_id 0's embedding (the deterministic stand-in for an encoded
+    // query, the q19 convention); cosine via the codegen'd native dot
+    // with q19's exact oracle form, rounded to 4dp.
+    "q128_hybrid_retrieval" -> { (s, d) =>
+      val cand = bm25Scores(s, d)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("score").as("bm25"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.toDoubleArray(col("embedding")).as("ve"))
+      val q = e.filter(col("vec_id") === 0).select(col("ve").as("qe"))
+      cand.join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("bm25"),
+          round(VectorOps.cosine(col("ve"), col("qe")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
         .limit(10)
     },
 
@@ -1962,24 +2020,22 @@ object PipelineQueries {
     // strings) so the pre-round doubles are bit-equal; the 6dp round +
     // decimal sum then makes Σ order-independent on both engines
     "q126_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
-         |  WHERE token IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
-         |  GROUP BY doc_id, token),
-         |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens FROM documents),
-         |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
-         |c AS (SELECT tf.doc_id,
-         |    CAST(round(
-         |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |      * (CAST(tf AS DOUBLE) * 2.2)
-         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-         |          / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
-         |      AS DECIMAL(28,10)) AS c
-         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), st)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, CAST(sum(c) AS DOUBLE) AS score
-         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      s"""WITH $Bm25ScoredCtes
+         |SELECT doc_id, n_hit, score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // q128: the same scorer CTEs feed the top-50 candidate cut, then
+    // the q19-form cosine reranks — both stages replayed end-to-end
+    "q128_hybrid_retrieval" ->
+      s"""WITH $Bm25ScoredCtes,
+         |cand AS (SELECT doc_id, score AS bm25 FROM sc
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT cand.doc_id, bm25,
+         |  round(list_dot_product(e.ve, q.qe)
+         |    / (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos
+         |FROM cand JOIN e ON cand.doc_id = e.vec_id, q
+         |ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin,
     "q42_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),

@@ -465,6 +465,30 @@ class PlanAuditSpec extends SparkSpec {
       "the main candidate screen must be the variant equi-join")
   }
 
+  test("q126: the postings filter lands before the tf aggregation; top-10 is a bounded take") {
+    val p = formatted("q126_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-10 must be a bounded heap, not a global sort")
+    assert(p.contains("In(token") || p.contains("token#") && p.contains(" IN "),
+      "the query-term IN filter must screen the token stream before any aggregation")
+  }
+
+  test("q128: the semantic rerank is candidate-bounded — vectors join AFTER the top-50 cut") {
+    val p = formatted("q128_hybrid_retrieval")
+    assert(p.contains("TakeOrderedAndProject"),
+      "both stage cuts must be bounded takes")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row query-vector broadcast may cross")
+  }
+
+  test("q129: the 5-row stats broadcast back onto a map-only flag — no window, no per-group sort") {
+    val p = formatted("q129_anomaly")
+    assert(p.contains("BroadcastHashJoin"), "the stats join must broadcast")
+    assert(!p.contains("Window"), "flagging must not re-sort per group")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "moments must combine map-side")
+  }
+
   test("q114: the whole profile is one scan — no join, multi-distinct via Expand") {
     val p = formatted("q114_profile")
     assert(!p.contains("Join"), "five column profiles must not become five scans glued by joins")
