@@ -27,6 +27,18 @@ object AnalyticsQueries {
       |               FROM events i WHERE i.event_type = e.event_type)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** One SQL text, two engines (the q53 rule) for q131: explicit
+    * GROUPING SETS — the third grouping-extension face beside q43's
+    * CUBE and q112's ROLLUP, with two DISJOINT groupings plus the grand
+    * total, which neither CUBE nor ROLLUP can express. */
+  private[queries] val GroupingSetsSql =
+    """SELECT event_type, user_id % 10 AS cohort,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+      |ORDER BY event_type NULLS LAST, cohort NULLS LAST""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // SQL entry path: the oracle string itself, parsed by Spark. The
     // temp view exists only for the eager analysis inside sql() — it is
@@ -96,6 +108,50 @@ object AnalyticsQueries {
         .select("user_id", "version", "event_id", "value",
           "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "version")
+    },
+
+    // Explicit GROUPING SETS (q131) — two disjoint groupings + the
+    // grand total in ONE pass (Expand node, partial-agg'd per set),
+    // run through the SQL entry path like q53 so the text is the
+    // oracle. At 100 TB this is one scan feeding every set, vs one
+    // scan per report the naive pipeline runs.
+    "q131_grouping_sets" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      try s.sql(GroupingSetsSql)
+      finally s.catalog.dropTempView("events")
+    },
+
+    // Incremental CDC MERGE (q130) — the warehouse upsert-apply: the
+    // events table read as a change log (event_id = commit order;
+    // 'error' = DELETE, anything else = UPSERT carrying value), split
+    // at max_id/2 into a SNAPSHOT prefix and a DELTA suffix. The
+    // snapshot materializes per-key latest ops (tombstones KEPT as
+    // rows — a delete must be able to out-version an earlier upsert),
+    // the delta merges via one keyed full-outer join (delta's op wins
+    // where present), and tombstones drop only at publish. The ORACLE
+    // is the full-log replay, so the gate proves merge ≡ replay — the
+    // q83/q124 materialized-view pattern applied to MERGE INTO. Scale:
+    // two partial-agg'd groupBys + one keyed join; the snapshot never
+    // re-scans history at apply time.
+    "q130_cdc_merge" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val sp = ev.agg(expr("max(event_id) div 2").as("s"))
+      val tagged = ev.crossJoin(broadcast(sp))
+      // latest op per key: max over (event_id, ...) structs — event_id
+      // is unique, so the lexicographic max IS the last commit
+      def lastOp(df: DataFrame): DataFrame =
+        df.groupBy("user_id").agg(
+          max(struct(col("event_id"), col("event_type"), col("value"))).as("o"))
+      val snap = lastOp(tagged.filter(col("event_id") <= col("s")))
+      val delta = lastOp(tagged.filter(col("event_id") > col("s")))
+      snap.as("a").join(delta.as("b"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("b.o"), col("a.o")).as("o"))
+        .filter(col("o.event_type") =!= "error")
+        .select(col("user_id"), col("o.event_id").as("last_event_id"),
+          col("o.value").as("value"))
+        .orderBy("user_id")
     },
 
     // Z-score ANOMALY detection — the monitoring operator behind every
@@ -359,6 +415,17 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q53_above_type_avg" -> AboveTypeAvgSql,
+    "q131_grouping_sets" -> GroupingSetsSql,
+    // q130: the FULL-log replay — the merge of snapshot+delta must
+    // equal it (max_by deterministic: event_id is unique)
+    "q130_cdc_merge" ->
+      """WITH last AS (SELECT user_id,
+        |    max_by(event_type, event_id) AS t,
+        |    max_by(value, event_id) AS v,
+        |    max(event_id) AS id
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, id AS last_event_id, v AS value
+        |FROM last WHERE t <> 'error' ORDER BY user_id""".stripMargin,
     // DuckDB's GROUPING returns per-column bits; composing them as
     // 2*g(type)+g(hour) reproduces Spark's grouping_id bit layout
     "q112_rollup" ->
