@@ -489,6 +489,13 @@ class PlanAuditSpec extends SparkSpec {
       "moments must combine map-side")
   }
 
+  test("q130: latest-op compaction partial-aggregates; the merge is ONE keyed join, no window") {
+    val p = formatted("q130_cdc_merge")
+    assert(p.contains("partial_max"), "per-key latest ops must combine map-side")
+    assert(!p.contains("Window"), "MERGE must not re-sort history per key")
+    assert("FullOuter".r.findAllIn(p).size >= 1, "snapshot⊕delta is a keyed full-outer join")
+  }
+
   test("q114: the whole profile is one scan — no join, multi-distinct via Expand") {
     val p = formatted("q114_profile")
     assert(!p.contains("Join"), "five column profiles must not become five scans glued by joins")
