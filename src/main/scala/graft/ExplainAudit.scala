@@ -37,7 +37,12 @@ object ExplainAudit {
         // z-interval screen, broadcast ADC LUT join, MG semi-join,
         // bucket-screened interval join, PIT range join
         "q103_domain_cap", "q105_zorder_scan", "q108_ivfpq_adc",
-        "q107_heavy_hitters", "q117_interval_join", "q119_pit_enrichment")
+        "q107_heavy_hitters", "q117_interval_join", "q119_pit_enrichment",
+        // round-11 additions: postings-screened BM25 + candidate-bounded
+        // hybrid rerank, broadcast-stats anomaly flag, full-outer CDC
+        // merge, one-Expand grouping sets
+        "q126_bm25", "q128_hybrid_retrieval", "q129_anomaly",
+        "q130_cdc_merge", "q131_grouping_sets")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

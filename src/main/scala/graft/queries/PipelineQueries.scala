@@ -782,6 +782,34 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN RECALL@5 — the EVAL-HARNESS operator every vector deployment
+    // runs before touching nprobe/codebook/quantizer knobs: per query,
+    // how many of the exact top-5 the IVF path actually returned. Both
+    // arms are the repo's own oracled machinery (q33's probe chain on
+    // the shared index; q32's bounded brute force as ground truth), so
+    // the metric itself is oracle-checked — recall isn't a spec-only
+    // assertion (AnnSpec) anymore but a queryable, regression-gated
+    // table. Scale: ground truth costs corpus × |query set| (a FIXED
+    // eval set, the q32 rule — never all-pairs); the hit join is keyed
+    // on (query, neighbor).
+    "q132_ann_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 32)
+      val approx = Ann.ivfKnnAssigned(graft.similarity.IvfIndex.assignments(s, d),
+          queries, graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Ann.bruteForceKnn(e, queries, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0).as("recall"))
+        .orderBy("query_id")
+    },
+
     // FILTERED vector search — q33 with a metadata predicate on the
     // neighbor side (the "filtered ANN" every retrieval stack needs:
     // search only docs matching a lang/date/source restriction). The
@@ -1765,6 +1793,36 @@ object PipelineQueries {
          |           FROM cand)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // q132: q33's replay (the approx arm) + the exact top-5 via the
+    // same rounded-cos (DESC, id) ranking, hits counted per query
+    "q132_ann_recall" -> {
+      s"""$IvfCte,
+         |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
+         |pr AS (SELECT query_id, qv, qn, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c2.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
+         |    FROM q, c2) WHERE r <= 4),
+         |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
+         |         FROM pr JOIN asg a USING (cell) WHERE a.vec_id <> pr.query_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM cand) WHERE rank <= 5),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, n2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_dot_product(q.qv, n2.nv) / (q.qn * n2.nn), 4) DESC,
+         |                 n2.vec_id) AS r
+         |    FROM q JOIN n n2 ON n2.vec_id <> q.query_id) WHERE r <= 5),
+         |h AS (SELECT e.query_id, count(*) AS n_hit
+         |      FROM ex e JOIN approx a USING (query_id, neighbor_id)
+         |      GROUP BY e.query_id)
+         |SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
     },
     // q106: the q33 replay with the label predicate applied to the
     // inverted file before the probe join
