@@ -62,6 +62,11 @@ object PipelineQueries {
     * vocabulary so the postings lookup is exercised at every SF. */
   private val Bm25Terms = Seq("join", "vector", "spark", "window")
 
+  /** q133's merge budget: rounds of greedy BPE training. Small enough
+    * that the 8-round unrolled oracle stays readable; the loop shape is
+    * budget-bounded at any value. */
+  private val BpeTrainRounds = 8
+
   /** The shared oracle CTE chain ending in `sc(doc_id, n_hit, score)` —
     * the DuckDB replay of [[bm25Scores]], used verbatim by both the
     * q126 and q128 oracles so the two gates replay ONE scorer. */
@@ -521,6 +526,50 @@ object PipelineQueries {
       pairs.groupBy("pair").agg(sum(col("wf")).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)
+    },
+
+    // Iterative BPE TRAINING — the full trainer loop q110 is ONE round
+    // of: 8 greedy merge rounds, each = adjacent-pair stats over the
+    // (vocabulary-sized) word-symbol table → argmax pair (n DESC, pair
+    // ASC — deterministic) → non-overlapping left-to-right merge apply
+    // (plain `replace`, the q111 cross-engine byte-agreement rule) →
+    // recount over the MERGED symbols. The driver loop is bounded by
+    // the merge BUDGET (like q60's diameter-bounded propagation): one
+    // 1-row action per round, everything heavy stays relational and
+    // vocabulary-sized — the only corpus-sized pass is the initial
+    // word count, a partial-agg'd groupBy. Output = the trained merge
+    // table, exactly the artifact q111 ships. The oracle replays all 8
+    // rounds UNROLLED, so training is proven end-to-end, not just one
+    // round's statistic.
+    "q133_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      var words = Tables.documents(s, d)
+        .select(explode(tokensCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to BpeTrainRounds) {
+        val cs = split(col("seq"), " ")
+        val best = words
+          .withColumn("c", cs)
+          .filter(size(col("c")) >= 2)
+          .select(col("wf"), explode(transform(sequence(lit(0), size(col("c")) - 2),
+            i => concat(element_at(col("c"), i + 1), lit(" "),
+              element_at(col("c"), i + 2)))).as("pair"))
+          .groupBy("pair").agg(sum(col("wf")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()(0) // 1-row action per round, budget-bounded
+        val pair = best.getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((r.toLong, pair, merged, best.getLong(1)))
+        val esc = pair.replace("'", "''")
+        val escM = merged.replace("'", "''")
+        words = words
+          .withColumn("seq", expr(s"replace(seq, '$esc', '$escM')"))
+          .localCheckpoint()
+      }
+      merges.result().toDF("round", "pair", "merged", "n").orderBy("round")
     },
 
     // BPE tokenizer APPLY — the deploy face of q110's statistic: encode
@@ -1639,6 +1688,31 @@ object PipelineQueries {
         |      FROM ch WHERE len(c) >= 2)
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // q133: the 8 training rounds UNROLLED — each b_i picks the argmax
+    // pair from the previous round's merged symbols, each w_i applies
+    // it with the same plain-replace semantics as the Spark loop
+    "q133_bpe_train" -> {
+      def round(i: Int): String =
+        s"""p$i AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM (
+           |  SELECT wf, unnest(list_transform(generate_series(1, len(cs) - 1),
+           |      j -> cs[j] || ' ' || cs[j+1])) AS pair
+           |  FROM (SELECT wf, string_split(seq, ' ') AS cs FROM w${i - 1})
+           |  WHERE len(cs) >= 2) GROUP BY pair),
+           |b$i AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p$i
+           |  ORDER BY n DESC, pair LIMIT 1),
+           |w$i AS (SELECT w, wf,
+           |    replace(seq, (SELECT pair FROM b$i), (SELECT merged FROM b$i)) AS seq
+           |  FROM w${i - 1})""".stripMargin
+      s"""WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |w0 AS (SELECT w, wf, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq FROM wd),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT * FROM (
+         |  ${(1 to 8).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS round, pair, merged, n FROM b$i")
+              .mkString("\n  UNION ALL ")})
+         |ORDER BY round""".stripMargin
+    },
     // q111: the identical merge chain as nested replace() calls — plain
     // (non-regex) replace, so left-to-right non-overlapping semantics
     // agree byte-for-byte
