@@ -29,6 +29,29 @@ object Salting {
     * The extra distinct-keys pass is skew-tolerant (partial aggregation
     * collapses hot keys map-side) and its output is one row per key —
     * broadcast-sized at any realistic cardinality. */
+  /** Replication-salted equi-join — the classic PRE-AQE skew-join fix,
+    * kept as the explicit form for engines/plans where AQE's runtime
+    * split doesn't reach (e.g. a skewed key feeding a non-shuffle
+    * consumer, or a fixed-plan production job): the fact side gains a
+    * deterministic salt in [0, salts), the dimension side replicates
+    * ×salts (one exploded row per salt), and the join keys on
+    * (key, salt) — a hot key's rows now land on `salts` reducers
+    * instead of one. Join semantics are UNCHANGED (every fact row still
+    * meets exactly one copy of its dim row); q134's oracle proves it
+    * against the plain join. Cost: dim inflates ×salts — the technique
+    * is for dimension-sized right sides only.
+    *
+    * `saltExpr` must be deterministic per fact row (a column hash, NOT
+    * rand()) or retries/replays re-salt and break reproducibility. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 saltExpr: org.apache.spark.sql.Column): DataFrame = {
+    require(salts > 0, s"saltedJoin needs salts > 0, got $salts")
+    val f = fact.withColumn("__graft_salt", saltExpr.cast("int"))
+    val d = dim.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, Seq(key, "__graft_salt")).drop("__graft_salt")
+  }
+
   def skewSafeDistinctCount(df: DataFrame, keyCol: String, valueCol: String,
                             outCol: String): DataFrame = {
     val pairCounts = df.select(col(keyCol), col(valueCol))

@@ -262,6 +262,26 @@ object ExtendedQueries {
         .orderBy("event_type")
     },
 
+    // Replication-SALTED join ([[Salting.saltedJoin]]) promoted into the
+    // oracle gate — the explicit pre-AQE skew-join fix the §2 preamble
+    // names: fact rows gain a deterministic salt (event_id % 8 — a
+    // column hash, never rand()), the customer dimension replicates ×8,
+    // and the join keys on (user_id, salt), spreading any hot user over
+    // 8 reducers. The oracle is the PLAIN join, so the gate proves
+    // salting changes nothing; PlanAuditSpec pins that the salted key
+    // actually reaches the join. AQE's runtime skew split (spec'd in
+    // AqeSkewJoinSpec) is the preferred form when shuffles allow it —
+    // this is the fixed-plan fallback.
+    "q134_salted_join" -> { (s, d) =>
+      val fact = Tables.events(s, d).select("event_id", "user_id", "value")
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Salting.saltedJoin(fact, dim, "user_id", 8,
+          pmod(col("event_id"), lit(8)))
+        .select("event_id", "user_id", "value", "c_mktsegment")
+        .orderBy("event_id")
+    },
+
     // Error-tolerant execution (main.py:156-159; frame_processing.py:53-57,
     // 113-115): a failing operator yields null instead of killing the
     // stream; downstream coalesces a fallback and counts errors — the
@@ -377,6 +397,11 @@ object ExtendedQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q64_skew_distinct_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q134: the PLAIN join — salting must be invisible in the result
+    "q134_salted_join" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin
   )
 }

@@ -496,6 +496,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("FullOuter".r.findAllIn(p).size >= 1, "snapshot⊕delta is a keyed full-outer join")
   }
 
+  test("q134: the salted key actually reaches the join — (user_id, salt), dim replicated") {
+    val p = formatted("q134_salted_join")
+    assert(p.contains("__graft_salt"),
+      "the join must key on the salt column, not collapse to the plain key")
+    assert(p.contains("Explode") || p.contains("explode"),
+      "the dimension side must replicate via the salt explode")
+  }
+
   test("q114: the whole profile is one scan — no join, multi-distinct via Expand") {
     val p = formatted("q114_profile")
     assert(!p.contains("Join"), "five column profiles must not become five scans glued by joins")
