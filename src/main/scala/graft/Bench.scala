@@ -154,10 +154,16 @@ object Bench {
     // warm-up: JIT + codegen + parquet footer caches, so the first timed
     // query isn't charged for JVM start-up. Events must go through
     // Tables (TIMESTAMP(NANOS) needs the nanosAsLong conf — a raw
-    // spark.read here throws and silently skips the warm-up).
+    // spark.read here throws and silently skips the warm-up). All three
+    // hot tables warm (round 11): rep-1 cold footer/page reads on
+    // documents/embeddings were the main honest contribution to the
+    // min/max band the isBandTainted rule now polices — warming them
+    // keeps an honest run's band well under the 1.5 line.
     try {
       spark.range(100000).selectExpr("sum(id)").count()
       Tables.events(spark, sfDir).count()
+      Tables.documents(spark, sfDir).count()
+      Tables.embeddings(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
     }
