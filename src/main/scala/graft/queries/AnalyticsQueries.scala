@@ -146,8 +146,12 @@ object AnalyticsQueries {
       val snap = lastOp(tagged.filter(col("event_id") <= col("s")))
       val delta = lastOp(tagged.filter(col("event_id") > col("s")))
       snap.as("a").join(delta.as("b"), Seq("user_id"), "full_outer")
+        // greatest-by-commit-id, not arrival order (the CdcApply LSN
+        // rule): here delta ids are all > snapshot ids by construction,
+        // but the commit-ordered form is the one that stays correct
+        // when batches don't respect commit order
         .select(col("user_id"),
-          coalesce(col("b.o"), col("a.o")).as("o"))
+          greatest(col("b.o"), col("a.o")).as("o"))
         .filter(col("o.event_type") =!= "error")
         .select(col("user_id"), col("o.event_id").as("last_event_id"),
           col("o.value").as("value"))

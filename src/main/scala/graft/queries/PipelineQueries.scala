@@ -67,6 +67,42 @@ object PipelineQueries {
     * budget-bounded at any value. */
   private val BpeTrainRounds = 8
 
+  /** q60's converged min-label propagation over the verified near-dup
+    * pair graph — shared by q60 (the keep/drop decision) and q136 (the
+    * leakage-safe split). Each round: every doc takes the min label
+    * among itself and its neighbors (keyed join + partial-agg min);
+    * the driver loop runs to a converged count with lineage cut per
+    * round — the bounded-iteration shape of k-means. Returns
+    * (doc_id, lbl) with lbl = the component's min doc_id. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) { // cap >> any near-dup chain length
+      val prop = edges.join(labels, edges("t") === labels("doc_id"))
+        .groupBy(col("s").as("doc_id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist() // labels are checkpointed; the graph isn't needed again
+    // fail loudly, not wrongly: a non-converged exit would silently
+    // disagree with the oracle's true component minimum
+    require(converged,
+      s"label propagation did not converge in $rounds rounds — component diameter > cap")
+    labels
+  }
+
   /** The shared oracle CTE chain ending in `sc(doc_id, n_hit, score)` —
     * the DuckDB replay of [[bm25Scores]], used verbatim by both the
     * q126 and q128 oracles so the two gates replay ONE scorer. */
@@ -859,6 +895,42 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // HARD-NEGATIVE mining — the contrastive-training data op (pick,
+    // per query, the nearest vectors of a DIFFERENT class): q106 is the
+    // STATIC pre-filter face (predicate known before the search); this
+    // is the DYNAMIC per-query face — the predicate (neighbor label ≠
+    // THIS query's label) depends on the probing row, so it cannot
+    // prune the inverted file up front and instead lands on the
+    // candidate join, still BEFORE ranking (a post-rank filter would
+    // return < k negatives whenever same-class vectors crowd the top).
+    // Same shared codebook/assignments as q33; labels join on keyed
+    // equi-joins; per-query work stays nprobe·cell-bounded.
+    "q135_hard_negatives" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 32).select("vec_id", "embedding")
+      val qLabels = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+      val probes = Ann.probeCells(queries,
+          graft.similarity.IvfIndex.codebook(s, d), nprobe = 4)
+        .join(broadcast(qLabels), "query_id")
+      val asg = graft.similarity.IvfIndex.assignments(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("nv"), col("nn"), col("cell"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      asg.join(probes, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .filter(col("n_label") =!= col("q_label")) // the per-query dynamic predicate
+        .select(col("query_id"), col("q_label"), col("neighbor_id"), col("n_label"),
+          round(VectorOps.dot(col("qv"), col("nv"))
+            / (col("qn") * col("nn")), 4).as("cos"))
+        .withColumn("rank", row_number().over(rankW).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+
     // FILTERED vector search — q33 with a metadata predicate on the
     // neighbor side (the "filtered ANN" every retrieval stack needs:
     // search only docs matching a lang/date/source restriction). The
@@ -1305,34 +1377,27 @@ object PipelineQueries {
     // components are tiny cliques, so convergence is 2-3 rounds.
     // Oracle: DuckDB recursive CTE computing min reachable id.
     "q60_dedup_clusters" -> { (s, d) =>
-      val pairs = verifiedPairs(s, d).select("doc_a", "doc_b")
-      val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
-        .unionAll(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = Tables.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) { // cap >> any near-dup chain length
-        val prop = edges.join(labels, edges("t") === labels("doc_id"))
-          .groupBy(col("s").as("doc_id")).agg(min("lbl").as("nlbl"))
-        val next = labels.join(prop, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-          .filter(col("lbl") =!= col("old")).isEmpty
-        labels = next
-        rounds += 1
-      }
-      edges.unpersist() // labels are checkpointed; the graph isn't needed again
-      // fail loudly, not wrongly: a non-converged exit would silently
-      // disagree with the oracle's true component minimum
-      require(converged,
-        s"q60 label propagation did not converge in $rounds rounds — component diameter > cap")
-      labels
+      clusterLabels(s, d)
         .select(col("doc_id"), col("lbl").as("cluster"),
           (col("doc_id") === col("lbl")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // LEAKAGE-SAFE train/val/test split — q120's md5-fraction split
+    // keyed by the NEAR-DUP COMPONENT instead of the doc (Lee et al.'s
+    // dedup-aware-split rule): a doc and all its near-copies hash the
+    // SAME cluster label, so no near-dup pair can ever straddle
+    // train/test — the contamination q74 measures after the fact is
+    // prevented by construction here. Cluster labels come from the
+    // q60 propagation (shared code); the split is the same disjoint
+    // 80/10/10 range cut as q120, map-only once labels exist.
+    "q136_leakage_safe_split" -> { (s, d) =>
+      val frac = TextOps.hash56(concat(lit("split:"), col("lbl").cast("string")))
+        .cast("double") / lit(72057594037927936.0d)
+      clusterLabels(s, d)
+        .select(col("doc_id"), col("lbl").as("cluster"),
+          when(frac < 0.8, "train").when(frac < 0.9, "val")
+            .otherwise("test").as("split"))
         .orderBy("doc_id")
     },
 
@@ -1822,6 +1887,32 @@ object PipelineQueries {
          |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.t = r.doc_id)
          |SELECT doc_id, min(lbl) AS cluster, doc_id = min(lbl) AS keep
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q136: the same recursive component replay, then q120's disjoint
+    // md5-fraction cut keyed by the CLUSTER label
+    "q136_leakage_safe_split" ->
+      s"""${MinhashCandidatesSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.t = r.doc_id),
+         |cl AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id),
+         |fr AS (SELECT doc_id, cluster,
+         |    CAST(CAST(('0x' || substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS DOUBLE) / 72057594037927936.0 AS frac
+         |  FROM cl)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM fr ORDER BY doc_id""".stripMargin,
     "q57_embedding_neardup_srp" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
         |tw AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
@@ -1897,6 +1988,30 @@ object PipelineQueries {
          |SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
          |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+    },
+    // q135: the q33 replay with labels joined and the DYNAMIC
+    // (neighbor-label ≠ query-label) predicate on the candidate set
+    // before ranking
+    "q135_hard_negatives" -> {
+      s"""$IvfCte,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |q AS (SELECT n.vec_id AS query_id, n.nv AS qv, n.nn AS qn, lb.label AS q_label
+         |      FROM n JOIN lb ON n.vec_id = lb.vec_id WHERE n.vec_id < 32),
+         |pr AS (SELECT query_id, qv, qn, q_label, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, q.q_label, c2.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
+         |    FROM q, c2) WHERE r <= 4),
+         |cand AS (SELECT pr.query_id, pr.q_label, a.vec_id AS neighbor_id,
+         |           lb.label AS n_label,
+         |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
+         |         FROM pr JOIN asg a USING (cell) JOIN lb ON a.vec_id = lb.vec_id
+         |         WHERE a.vec_id <> pr.query_id AND lb.label <> pr.q_label),
+         |ranked AS (SELECT query_id, q_label, neighbor_id, n_label, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |           FROM cand)
+         |SELECT query_id, q_label, neighbor_id, n_label, cos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
     // q106: the q33 replay with the label predicate applied to the
     // inverted file before the probe join

@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * Per micro-batch: the batch's ops reduce to per-key LATEST ops (one
   * partial-agg'd groupBy — max over (commit_id, ...) structs, commit_id
   * unique), then ONE keyed full-outer join merges them into the
-  * standing snapshot with delta-wins semantics. Tombstones ('error' =
-  * DELETE) are KEPT in the snapshot — a delete must out-version an
-  * earlier upsert arriving late in a later batch read — and drop only
-  * at [[publish]]. This is associative ((apply(a)∘apply(b)) ≡
-  * apply(a∪b) when batches respect commit order per key), which is what
-  * the spec's batched-vs-one-shot check pins.
+  * standing snapshot by COMMIT ID (greatest struct — the higher
+  * event_id wins, NOT the later-arriving batch). Ordering by the
+  * change's own id instead of arrival order is what real CDC appliers
+  * do (the LSN rule), and it makes apply fully COMMUTATIVE and
+  * associative over any partitioning of the log into batches — a file
+  * source is free to deliver one commit's part-files across two
+  * micro-batches in either order (the spec's stream case observably
+  * does) and the snapshot still converges to the replay. Tombstones
+  * ('error' = DELETE) are KEPT in the snapshot — a delete must
+  * out-version an earlier upsert — and drop only at [[publish]].
   *
   * State at `stateDir` uses the [[StreamingHeavyHitters]] durability
   * scheme: versioned dirs `v{batchId}/` committed by an atomic
@@ -62,7 +66,9 @@ object CdcApply {
       case Some(v) =>
         val standing = spark.read.parquet(s"$stateDir/v$v/snap")
         standing.as("a").join(batchLast.as("b"), Seq("user_id"), "full_outer")
-          .select(col("user_id"), coalesce(col("b.o"), col("a.o")).as("o"))
+          // greatest skips nulls, so a key present on one side passes
+          // through; present on both, the higher commit id wins
+          .select(col("user_id"), greatest(col("b.o"), col("a.o")).as("o"))
       case None => batchLast
     }
     val vdir = s"$stateDir/v$batchId"

@@ -44,6 +44,19 @@ class CdcApplySpec extends SparkSpec {
       "user 2 deleted cross-batch, user 3 re-inserted, users 1/4 at latest op")
   }
 
+  test("commit order beats arrival order: an old op delivered late cannot out-version") {
+    val dir = Files.createTempDirectory("graft-cdc-ooo")
+    graft.TempDirs.cleanupOnExit(dir)
+    CdcApply.processBatch(df(b1), dir.toString, 0L)
+    // the file-source reality this spec once hit live: one commit's
+    // rows split across two micro-batches in the WRONG order — the
+    // re-insert (22) arrives a batch before the delete (21)
+    CdcApply.processBatch(df(Seq((3L, 22L, "signup", 3.5))), dir.toString, 1L)
+    CdcApply.processBatch(df(Seq((3L, 21L, "error", 0.0))), dir.toString, 2L)
+    assert(published(dir.toString).find(_._1 == 3L) === Some((3L, 22L, 3.5)),
+      "the higher commit id must win regardless of which batch delivered it")
+  }
+
   test("a retried batch no-ops; an uncommitted version is invisible") {
     val dir = Files.createTempDirectory("graft-cdc-r")
     graft.TempDirs.cleanupOnExit(dir)
