@@ -30,6 +30,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q136: no verified near-dup pair straddles the split — leakage-safe by construction") {
+    val split = SparkEntry.queries("q136_leakage_safe_split")(spark, sf0001)
+      .select(col("doc_id"), col("split"))
+    try {
+      val pairs = SparkEntry.queries("q31_ngram_jaccard")(spark, sf0001)
+        .select("doc_a", "doc_b")
+      assert(pairs.count() > 0, "fixture sanity: verified near-dup pairs exist at sf0.001")
+      val a = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "s_a")
+      val b = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "s_b")
+      val straddling = pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(col("s_a") =!= col("s_b"))
+      assert(straddling.isEmpty,
+        "a near-dup pair split across train/test is exactly the leakage q136 exists to prevent")
+      // contrast: the doc-keyed q120 cut has no such guarantee — the
+      // cluster keying is load-bearing, not incidental
+    } finally Caches.releaseScoped()
+  }
+
   test("keyframe sampling: count = ceil(n/30) and frame 0 selected") {
     val total = Tables.events(spark, sf0001).count()
     val sampled = SparkEntry.queries("q02_keyframe_sample")(spark, sf0001)
