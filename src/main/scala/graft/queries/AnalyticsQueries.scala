@@ -39,6 +39,20 @@ object AnalyticsQueries {
       |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
       |ORDER BY event_type NULLS LAST, cohort NULLS LAST""".stripMargin
 
+  /** q138's Cramer solve — ONE formula text spliced into BOTH engines
+    * (`selectExpr` here, the oracle string below), so every double
+    * multiply/subtract/divide parses to the same IEEE expression tree
+    * and the betas are bit-equal by construction (the q129 closed-form
+    * precedent). Inputs are the normal-equation co-moments, already
+    * exact (BIGINT / decimal sums) and cast to double once. */
+  private[queries] val LinRegBetaExprs: Seq[String] = {
+    val det = "(nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+    Seq(
+      s"(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / $det AS beta0",
+      s"(nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / $det AS beta1",
+      s"(nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / $det AS beta2")
+  }
+
   val queries: Map[String, Q] = Map(
     // SQL entry path: the oracle string itself, parsed by Spark. The
     // temp view exists only for the eager analysis inside sql() — it is
@@ -195,6 +209,39 @@ object AnalyticsQueries {
     // the wide 1-row result melts to the long report with a stack()
     // projection. At 100 TB exact distinct counts become the
     // approx_count_distinct tier (q38's documented trade).
+    // CLOSED-FORM LINEAR REGRESSION (q138) — fit value ~ β0 + β1·hour
+    // + β2·cohort by normal equations: ONE partial-aggregated scan
+    // computes the nine XᵀX / Xᵀy co-moments EXACTLY (integer features
+    // → BIGINT sums; y 6dp-rounded → decimal sums, the q47
+    // order-independence rule), then the 3×3 solve is a driver-sized
+    // Cramer formula over the 1-row moment frame — the q123 Gram
+    // pattern applied to model fitting. At 100 TB this is the only
+    // shape that works: the data pass is map-side-combined moments
+    // (d² terms, corpus-size-independent), the solve never touches an
+    // executor. Betas are bit-equal across engines because both parse
+    // the SAME formula text over the same exact moments.
+    "q138_linreg_normal" -> { (s, d) =>
+      val feats = Tables.events(s, d).select(
+        expr("(unix_micros(ts) div 3600000000) % 24").as("x1"),
+        (col("user_id") % 10).as("x2"),
+        round(col("value"), 6).cast("decimal(18,6)").as("y"))
+      val m = feats.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("rs1"), sum(col("x2")).as("rs2"),
+        sum(col("x1") * col("x1")).as("rs11"),
+        sum(col("x1") * col("x2")).as("rs12"),
+        sum(col("x2") * col("x2")).as("rs22"),
+        sum(col("y")).as("rsy"),
+        sum(col("x1") * col("y")).as("rs1y"),
+        sum(col("x2") * col("y")).as("rs2y"))
+        .select(col("n").cast("double").as("nn"),
+          col("rs1").cast("double").as("s1"), col("rs2").cast("double").as("s2"),
+          col("rs11").cast("double").as("s11"), col("rs12").cast("double").as("s12"),
+          col("rs22").cast("double").as("s22"), col("rsy").cast("double").as("sy"),
+          col("rs1y").cast("double").as("s1y"), col("rs2y").cast("double").as("s2y"))
+      m.selectExpr("CAST(nn AS BIGINT) AS n_rows" +: LinRegBetaExprs: _*)
+    },
+
     "q114_profile" -> { (s, d) =>
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val aggs = count(lit(1)).as("n_rows") +:
@@ -276,6 +323,58 @@ object AnalyticsQueries {
     // user (min), then distinct actives per (cohort, offset); the
     // cohort table joins back keyed by user. Day arithmetic in epoch
     // days (µs div 86400e6) so both engines bucket identically.
+    // TRIANGLE COUNTING (q139) — the graph-clustering staple, over
+    // q115's interaction edges made undirected. The naive wedge join
+    // explodes on hubs (a degree-D node contributes D² wedges); the
+    // production algorithm (Cohen 2009 / Suri & Vassilvitskii "MapReduce
+    // triangles") ORIENTS every edge from its (degree, id)-smaller
+    // endpoint first, which caps out-degree at O(√m) for any graph, so
+    // wedges are generated only at the LOW-degree apex and the total
+    // wedge count is bounded by m^(3/2) regardless of skew. Three keyed
+    // equi-joins, no node×node anywhere; per-node counts from the three
+    // corner projections. The oracle replays the full chain, so the
+    // hash match proves the oriented enumeration finds each triangle
+    // exactly once.
+    "q139_triangle_count" -> { (s, d) =>
+      val w = Window.partitionBy("bucket").orderBy("event_id")
+      val und = graft.Caches.scopedPersist(
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("event_id div 1000").as("bucket"))
+          .withColumn("nbr", lead(col("user_id"), 1).over(w))
+          .filter(col("nbr").isNotNull && col("nbr") =!= col("user_id"))
+          .select(least(col("user_id"), col("nbr")).as("a"),
+            greatest(col("user_id"), col("nbr")).as("b"))
+          .distinct())
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      // a < b always, so the (deg, id) tie-break is a plain a→b
+      val fwd = col("da") < col("db") || (col("da") === col("db"))
+      val oriented = graft.Caches.scopedPersist(withDeg.select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("ddeg")))
+      val e1 = oriented.select(col("src"), col("dst").as("v1"), col("ddeg").as("d1"))
+      val e2 = oriented.select(col("src"), col("dst").as("v2"), col("ddeg").as("d2"))
+      val wedges = e1.join(e2, "src")
+        .filter(col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2")))
+      val closing = oriented.select(col("src").as("v1"), col("dst").as("v2"))
+      val tri = wedges.join(closing, Seq("v1", "v2"))
+        .select(col("src").as("s"), col("v1"), col("v2"))
+      val corners = tri.select(col("s").as("node"))
+        .union(tri.select(col("v1").as("node")))
+        .union(tri.select(col("v2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      deg.select(col("node")).join(corners, Seq("node"), "left")
+        .select(col("node").as("user_id"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .orderBy("user_id")
+    },
+
     "q122_retention_cohorts" -> { (s, d) =>
       val day = expr("unix_micros(ts) div 86400000000")
       val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
@@ -447,6 +546,22 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // q138: identical exact moments (// vs div, epoch_us vs
+    // unix_micros), then the SAME Cramer formula text
+    "q138_linreg_normal" ->
+      s"""WITH f AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS x1,
+         |    user_id % 10 AS x2,
+         |    CAST(round(value, 6) AS DECIMAL(18,6)) AS y FROM events),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+         |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         |    CAST(sum(x1*x1) AS DOUBLE) AS s11, CAST(sum(x1*x2) AS DOUBLE) AS s12,
+         |    CAST(sum(x2*x2) AS DOUBLE) AS s22, CAST(sum(y) AS DOUBLE) AS sy,
+         |    CAST(sum(x1*y) AS DOUBLE) AS s1y, CAST(sum(x2*y) AS DOUBLE) AS s2y
+         |  FROM f)
+         |SELECT CAST(nn AS BIGINT) AS n_rows,
+         |  ${LinRegBetaExprs.mkString(",\n  ")}
+         |FROM m""".stripMargin,
+
     "q114_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       cols.sorted.map { c =>
@@ -485,6 +600,34 @@ object AnalyticsQueries {
          |${iter(1, 2)}
          |SELECT node AS user_id, round(r, 8) AS rank FROM r2 ORDER BY user_id""".stripMargin
     },
+    // q139: the same orientation and oriented wedge enumeration — the
+    // hash match proves each triangle is found exactly once
+    "q139_triangle_count" ->
+      """WITH ev AS (SELECT event_id, user_id, event_id // 1000 AS bucket FROM events),
+        |ed AS (SELECT user_id AS src,
+        |         lead(user_id) OVER (PARTITION BY bucket ORDER BY event_id) AS dst
+        |       FROM ev),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM ed WHERE dst IS NOT NULL AND dst <> src),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) u
+        |        GROUP BY node),
+        |o AS (SELECT CASE WHEN da.deg <= db.deg THEN und.a ELSE und.b END AS src,
+        |        CASE WHEN da.deg <= db.deg THEN und.b ELSE und.a END AS dst,
+        |        CASE WHEN da.deg <= db.deg THEN db.deg ELSE da.deg END AS ddeg
+        |      FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node),
+        |tri AS (SELECT e1.src AS s, e1.dst AS v1, e2.dst AS v2
+        |        FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |          AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        |        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |          SELECT s AS node FROM tri UNION ALL SELECT v1 AS node FROM tri
+        |          UNION ALL SELECT v2 AS node FROM tri) c
+        |        GROUP BY node)
+        |SELECT deg.node AS user_id,
+        |  CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM deg LEFT JOIN cnt ON deg.node = cnt.node ORDER BY user_id""".stripMargin,
+
     // q129: identical moment sums and closed forms — the z doubles are
     // bit-equal, so the |z| > 3 cut can never straddle engines
     "q129_anomaly" ->

@@ -479,6 +479,54 @@ object CurationQueries {
       graft.streaming.DqMonitor.boundedHistory(s, d, 4)
     },
 
+    // DSIR importance RESAMPLING (Xie et al. 2023) — select data that
+    // looks like a TARGET domain: per doc, the importance of its
+    // tokens under two unigram models (target = the 'en' slice, source
+    // = the whole corpus, add-1 smoothed over the shared vocabulary so
+    // unseen-in-target tokens stay defined), then keep the top-20%
+    // most target-like. Determinism form: the paper scores with
+    // Σ log(pt/ps); this implementation scores with the mean RATIO
+    // Σ pt/ps / n — each per-token ratio is ONE IEEE division of two
+    // exact BIGINT products ((ct+1)(Ts+V)) / ((cs+1)(Tt+V)), bit-equal
+    // across engines (the no-libm-log rule: ln r ≈ r−1 near r = 1, so
+    // the ranking the 20% cut consumes is locally order-equivalent),
+    // rounded to 6dp and DECIMAL-summed (order-independent Σ, the q47
+    // rule). The keep threshold is one exact-percentile agg broadcast
+    // back (map-side flag, the q127 shape). Scale: two partial-agg'd
+    // count passes + one token-keyed model join — the q127 shuffle
+    // plan; V, Ts, Tt ride a 1-row broadcast.
+    "q137_dsir_resample" -> { (s, d) =>
+      val toks = graft.Caches.scopedPersist(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("tok")))
+      val src = toks.groupBy("tok").agg(count(lit(1)).as("cs"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy("tok").agg(count(lit(1)).as("ct"))
+      val model = src.join(tgt, Seq("tok"), "left")
+        .select(col("tok"), col("cs"), coalesce(col("ct"), lit(0L)).as("ct"))
+      val stats = toks.agg(
+        count(lit(1)).as("ts"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+        countDistinct(col("tok")).as("v"))
+      val ratio = ((col("ct") + 1L) * (col("ts") + col("v"))).cast("double") /
+        ((col("cs") + 1L) * (col("tt") + col("v"))).cast("double")
+      val perDoc = graft.Caches.scopedPersist(
+        toks.join(model, "tok").crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("lang"),
+            round(ratio, 6).cast("decimal(28,10)").as("r"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tok"), sum("r").as("sum_r"))
+          .withColumn("avg_r",
+            col("sum_r").cast("double") / col("n_tok").cast("double")))
+      val cut = perDoc.agg(expr("percentile(avg_r, 0.8)").as("t"))
+      perDoc.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("sum_r").cast("double").as("sum_r"), col("avg_r"),
+          when(col("avg_r") > col("t"), 1L).otherwise(0L).as("sampled"))
+        .orderBy("doc_id")
+    },
+
     // Unigram-LM quality TIERS — the CCNet bucket operator: each doc
     // scored by its average token surprisal under the corpus's OWN
     // unigram model, then cut at the exact tertiles into head (most
@@ -870,6 +918,30 @@ object CurationQueries {
         |  CAST(n_violations AS BIGINT) AS n_violations,
         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM l ORDER BY batch_id, check_name""".stripMargin,
+    // q137: the same two unigram models; each ratio is one division of
+    // exact BIGINT products (bit-equal doubles), 6dp-round + decimal
+    // sum, quantile_cont the cut
+    "q137_dsir_resample" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |src AS (SELECT tok, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY tok),
+        |tgt AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tok WHERE lang = 'en' GROUP BY tok),
+        |model AS (SELECT s.tok, s.cs, coalesce(t.ct, 0) AS ct
+        |  FROM src s LEFT JOIN tgt t USING (tok)),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS ts,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM tok),
+        |pd AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tok,
+        |    sum(CAST(round(
+        |      CAST((ct + 1) * (ts + v) AS DOUBLE) / CAST((cs + 1) * (tt + v) AS DOUBLE), 6)
+        |      AS DECIMAL(28,10))) AS sum_r
+        |  FROM tok JOIN model USING (tok), st GROUP BY doc_id, lang),
+        |pda AS (SELECT doc_id, lang, n_tok, CAST(sum_r AS DOUBLE) AS sum_r,
+        |    CAST(sum_r AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_r FROM pd),
+        |cut AS (SELECT quantile_cont(avg_r, 0.8) AS t FROM pda)
+        |SELECT doc_id, lang, n_tok, sum_r, avg_r,
+        |  CAST(CASE WHEN avg_r > t THEN 1 ELSE 0 END AS BIGINT) AS sampled
+        |FROM pda, cut ORDER BY doc_id""".stripMargin,
     // q127: the same quantized-surprisal model replayed — T // c is
     // integer division (Spark's `div`), bin() the binary string on
     // both engines, quantile_cont the q46 percentile twin

@@ -62,6 +62,11 @@ object PipelineQueries {
     * vocabulary so the postings lookup is exercised at every SF. */
   private val Bm25Terms = Seq("join", "vector", "spark", "window")
 
+  /** q140's minimum pair frequency: collocation mining's standard rare-
+    * pair cut — PMI of a once-seen pair is pure noise, and the filter
+    * also bounds the scored relation to the frequent-bigram table. */
+  private val PmiMinPair = 3L
+
   /** q133's merge budget: rounds of greedy BPE training. Small enough
     * that the 8-round unrolled oracle stays readable; the loop shape is
     * budget-bounded at any value. */
@@ -1510,6 +1515,43 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // PMI COLLOCATIONS (q140) — the corpus-linguistics operator behind
+    // tokenizer-vocabulary curation and phrase mining: score each
+    // frequent bigram by pointwise mutual information, joint P from the
+    // bigram table, marginals from the token table. Determinism form:
+    // the RATIO P(ab)/(P(a)P(b)) = n_ab·Nt·Nt / (Nb·n_a·n_b) instead of
+    // its log (the q42/q126 no-libm-log rule — log is monotone, the
+    // ranking is identical), computed as ONE IEEE division of two exact
+    // BIGINT products, bit-equal across engines. Scale: two partial-
+    // agg'd count passes over the corpus, then scoring touches only the
+    // frequent-bigram table (n_ab ≥ 3) joined twice to the vocabulary —
+    // keyed equi-joins, totals on a 1-row broadcast; top-20 is a
+    // TakeOrdered, never a global sort. (At true 100 TB token counts the
+    // BIGINT products upgrade to DECIMAL(38,0) — same plan.)
+    "q140_pmi_collocations" -> { (s, d) =>
+      val toks = graft.Caches.scopedPersist(
+        Tables.documents(s, d).select(tokensCol.as("tk")))
+      val uni = toks.select(explode(col("tk")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      val tot = toks.agg(
+        sum(size(col("tk"))).cast("long").as("nt"),
+        sum(when(size(col("tk")) >= 2, size(col("tk")) - 1).otherwise(0))
+          .cast("long").as("nb"))
+      val big = toks.select(explode(TextOps.shingles(col("tk"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= PmiMinPair)
+      big.crossJoin(broadcast(tot))
+        .join(uni.select(col("tok").as("ta"), col("n_tok").as("n_a")),
+          element_at(split(col("bigram"), " "), 1) === col("ta"))
+        .join(uni.select(col("tok").as("tb"), col("n_tok").as("n_b")),
+          element_at(split(col("bigram"), " "), 2) === col("tb"))
+        .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("nt") * col("nt")).cast("double") /
+            (col("nb") * col("n_a") * col("n_b")).cast("double")).as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+        .limit(20)
+    },
+
     // HYBRID two-stage retrieval — the RAG-standard recall→rerank
     // pipeline: BM25 nominates the top-50 LEXICAL candidates (stage 1,
     // the q126 scorer — an inverted-index lookup, corpus-cheap), then
@@ -2263,6 +2305,26 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q140: identical counts, the same exact-BIGINT-product ratio (one
+    // IEEE division), the same (ratio DESC, bigram) top-20
+    "q140_pmi_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM (
+        |          SELECT unnest(tk) AS tok FROM toks) u GROUP BY tok),
+        |tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS nt,
+        |          CAST(sum(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END) AS BIGINT) AS nb
+        |        FROM toks),
+        |big AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM (
+        |          SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |            i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |          FROM toks WHERE len(tk) >= 2) b
+        |        GROUP BY bigram HAVING count(*) >= 3)
+        |SELECT bigram, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+        |  CAST(n_ab * nt * nt AS DOUBLE) / CAST(nb * ua.n_tok * ub.n_tok AS DOUBLE) AS pmi_ratio
+        |FROM big CROSS JOIN tot
+        |JOIN uni ua ON string_split(bigram, ' ')[1] = ua.tok
+        |JOIN uni ub ON string_split(bigram, ' ')[2] = ub.tok
+        |ORDER BY pmi_ratio DESC, bigram LIMIT 20""".stripMargin,
     // q126: identical expression tree (association, casts, literal
     // strings) so the pre-round doubles are bit-equal; the 6dp round +
     // decimal sum then makes Σ order-independent on both engines

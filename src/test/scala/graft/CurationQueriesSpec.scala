@@ -155,6 +155,55 @@ class CurationQueriesSpec extends SparkSpec {
     assert(keptPerLang(biggest) < cnt(biggest))
   }
 
+  test("q137 DSIR resampling equals a plain-Scala importance replay and prefers the target domain") {
+    val got = run("q137_dsir_resample")
+      .as[(Long, String, Long, Double, Double, Long)].collect().toSeq
+    Caches.releaseScoped()
+
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect().toSeq
+    val toks = docs.map { case (id, lang, t) => (id, lang, t.split(" ", -1).toSeq) }
+    val all = toks.flatMap { case (_, _, tk) => tk }
+    val cs = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = toks.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ts = all.size.toLong
+    val tt = toks.filter(_._2 == "en").map(_._3.size.toLong).sum
+    val v = cs.size.toLong
+    // one IEEE division of two exact BIGINT products, 6dp HALF_UP round,
+    // decimal(…,10) sum — the exact arithmetic q137 declares
+    def ratio(tok: String): Double =
+      ((ct.getOrElse(tok, 0L) + 1L) * (ts + v)).toDouble /
+        ((cs(tok) + 1L) * (tt + v)).toDouble
+    val perDoc = toks.map { case (id, lang, tk) =>
+      val sumR = tk.map { tok =>
+        BigDecimal.decimal(
+          BigDecimal(ratio(tok)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble).setScale(10)
+      }.sum
+      val n = tk.size.toLong
+      (id, lang, n, sumR.toDouble, sumR.toDouble / n.toDouble)
+    }.sortBy(_._1)
+    // Spark's exact percentile: (n-1)*p position, linear interpolation
+    val sortedR = perDoc.map(_._5).sorted
+    val pos = 0.8 * (sortedR.size - 1)
+    val lo = math.floor(pos).toInt
+    val t = if (lo == pos) sortedR(lo)
+            else (lo + 1 - pos) * sortedR(lo) + (pos - lo) * sortedR(lo + 1)
+    val want = perDoc.map { case (id, lang, n, s, a) =>
+      (id, lang, n, s, a, if (a > t) 1L else 0L) }
+    assert(got === want)
+    // the cut keeps something and drops something
+    assert(got.exists(_._6 == 1L) && got.exists(_._6 == 0L))
+    // DSIR's point: target-domain (en) docs are over-represented among
+    // the sampled slice relative to the corpus
+    val enCorpus = got.count(_._2 == "en").toDouble / got.size
+    val sampled = got.filter(_._6 == 1L)
+    val enSampled = sampled.count(_._2 == "en").toDouble / sampled.size
+    assert(enSampled > enCorpus)
+  }
+
   test("q121's checks fire on planted violations (every branch, exact counts)") {
     // the fixture corpus passes all five checks, so the gate alone
     // cannot prove the violation branches count; this corpus violates

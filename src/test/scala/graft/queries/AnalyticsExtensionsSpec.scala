@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{Caches, SparkEntry, SparkSpec, Tables}
+
+/** Oracle-independent brute forces for the round-11 analytics additions
+  * (q138 normal-equations regression, q139 oriented triangle counting,
+  * q140 PMI collocations) — plain Scala over collected rows, so the
+  * DuckDB gate and these specs fail independently. */
+class AnalyticsExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  /** The q115/q139 interaction edges, rebuilt in plain Scala: consecutive
+    * events inside each 1000-event bucket, self-loops dropped. */
+  private def edges(): Seq[(Long, Long)] = {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "user_id").as[(Long, Long)].collect()
+      .sortBy(_._1)
+    ev.groupBy(_._1 / 1000).values.flatMap { b =>
+      b.sortBy(_._1).toSeq.sliding(2).collect {
+        case Seq((_, u), (_, v)) if u != v => (u, v)
+      }
+    }.toSeq
+  }
+
+  test("q138 betas actually solve the exact normal equations") {
+    val got = run("q138_linreg_normal")
+      .as[(Long, Double, Double, Double)].collect().head
+    val (nRows, b0, b1, b2) = got
+
+    val rows = Tables.events(spark, sf0001)
+      .selectExpr("(unix_micros(ts) div 3600000000) % 24 AS x1",
+        "user_id % 10 AS x2", "value")
+      .as[(Long, Long, Double)].collect()
+    assert(nRows === rows.length.toLong)
+
+    // exact co-moments, the same arithmetic the query declares
+    def y6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val n = BigDecimal(rows.length)
+    val s1 = BigDecimal(rows.map(_._1).sum)
+    val s2 = BigDecimal(rows.map(_._2).sum)
+    val s11 = BigDecimal(rows.map(r => r._1 * r._1).sum)
+    val s12 = BigDecimal(rows.map(r => r._1 * r._2).sum)
+    val s22 = BigDecimal(rows.map(r => r._2 * r._2).sum)
+    val sy = rows.map(r => y6(r._3)).sum
+    val s1y = rows.map(r => BigDecimal(r._1) * y6(r._3)).sum
+    val s2y = rows.map(r => BigDecimal(r._2) * y6(r._3)).sum
+
+    // the solved betas satisfy A·β = b to numerical precision — an
+    // independent check that the Cramer formulas are the right ones
+    val r0 = n * b0 + s1 * b1 + s2 * b2 - sy
+    val r1 = s1 * b0 + s11 * b1 + s12 * b2 - s1y
+    val r2 = s2 * b0 + s12 * b1 + s22 * b2 - s2y
+    val scale = sy.abs.max(1)
+    assert(r0.abs / scale < 1e-9, s"residual0 $r0")
+    assert(r1.abs / scale < 1e-9, s"residual1 $r1")
+    assert(r2.abs / scale < 1e-9, s"residual2 $r2")
+    // the hour-of-day and cohort signals exist in the fixture
+    assert(b0 != 0.0 && (b1 != 0.0 || b2 != 0.0))
+  }
+
+  test("q139 equals an all-triples brute force (each triangle counted once per corner)") {
+    val got = run("q139_triangle_count").as[(Long, Long)].collect().toSeq
+    Caches.releaseScoped()
+
+    val und = edges().map { case (u, v) => (u.min(v), u.max(v)) }.distinct.toSet
+    val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      (x, y, z) = (nodes(i), nodes(j), nodes(k))
+      if und((x, y)) && und((x, z)) && und((y, z))
+    } { tri(x) += 1; tri(y) += 1; tri(z) += 1 }
+    val want = nodes.map(n => (n, tri(n)))
+    assert(got === want)
+    assert(got.map(_._2).sum > 0, "fixture graph must contain triangles")
+  }
+
+  test("q140 equals a plain-Scala exact-ratio PMI top-20") {
+    val got = run("q140_pmi_collocations")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    Caches.releaseScoped()
+
+    val texts = Tables.documents(spark, sf0001)
+      .select("text").as[String].collect().toSeq
+    val tks = texts.map(_.split(" ", -1).toSeq)
+    val uni = tks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = tks.map(_.size.toLong).sum
+    val nb = tks.map(t => if (t.size >= 2) t.size.toLong - 1 else 0L).sum
+    val big = tks.flatMap(t => t.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 3L)
+    val want = big.toSeq.map { case (bg, nab) =>
+      val Array(a, b) = bg.split(" ", -1)
+      (bg, nab, uni(a), uni(b),
+        (nab * nt * nt).toDouble / (nb * uni(a) * uni(b)).toDouble)
+    }.sortBy { case (bg, _, _, _, r) => (-r, bg) }.take(20)
+    assert(got === want)
+    // PMI separates: the top pair is rarer-but-tighter than chance
+    assert(got.head._5 > 1.0)
+  }
+}
