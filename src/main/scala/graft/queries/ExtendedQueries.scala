@@ -282,6 +282,37 @@ object ExtendedQueries {
         .orderBy("event_id")
     },
 
+    // BLOOM-PRUNED join (q141) — the explicit form of Spark's runtime
+    // bloom filter (`InjectRuntimeFilter`): the filtered orders build
+    // side condenses to ONE summary-sized bloom over its join keys
+    // (a 1-row action, exactly what the injected rule's reused scalar
+    // subquery materializes), and the lineitem probe side filters with
+    // `might_contain` BEFORE anything else touches it. On the fixture
+    // the dim broadcasts anyway; the 100 TB case is the point — when
+    // the build side outgrows the broadcast threshold and the join
+    // becomes a shuffle, the bloom cuts the probe-side shuffle by the
+    // build's selectivity (~5× here) for the cost of shipping a few MB
+    // of filter. No false negatives, and the exact join behind the
+    // screen removes the false positives — so the oracle is the PLAIN
+    // join, proving the optimization invisible (the q134 rule).
+    "q141_bloom_pruned_join" -> { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bf: Array[Byte] = dim.agg(
+          graft.expressions.BloomFilterOps
+            .bloomAgg(col("o_orderkey"), 1000000L, 8000000L).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .filter(graft.expressions.BloomFilterOps.mightContain(bf, col("l_orderkey")))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
     // Error-tolerant execution (main.py:156-159; frame_processing.py:53-57,
     // 113-115): a failing operator yields null instead of killing the
     // stream; downstream coalesces a fallback and counts errors — the
@@ -402,6 +433,14 @@ object ExtendedQueries {
     "q134_salted_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    // q141: the PLAIN join — the bloom screen must be invisible (no
+    // false negatives; the exact join strips the false positives)
+    "q141_bloom_pruned_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
