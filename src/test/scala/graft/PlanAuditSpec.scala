@@ -543,4 +543,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "candidate counts must combine map-side")
   }
+
+  test("q137: the importance model joins token-keyed; totals and the cut ride 1-row broadcasts") {
+    val p = formatted("q137_dsir_resample")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "V/Ts/Tt and the percentile cut must broadcast onto map-side passes")
+    assert(!p.contains("CartesianProduct"),
+      "no unbroadcast cross product anywhere in the model chain")
+  }
+
+  test("q138: the co-moment pass is ONE partial-agg'd scan — no join, no window") {
+    val p = formatted("q138_linreg_normal")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "moments must combine map-side")
+    assert(!p.contains("Join"), "the normal-equation solve never joins")
+    assert(!p.contains("Window"), "no window function in the moment pass")
+  }
+
+  test("q139: triangle wedges close through keyed equi-joins — never node×node") {
+    val p = formatted("q139_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge generation and closing must stay keyed — a cross product is the naive plan")
+  }
+
+  test("q140: PMI totals broadcast; the top-20 is a bounded take, not a global sort") {
+    val p = formatted("q140_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must run as a bounded heap per partition")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast onto the scored bigrams")
+  }
+
+  test("q141: the bloom probe screens the fact side inside the plan") {
+    val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
+      .queryExecution
+    try {
+      assert(countBloomProbes(qe.executedPlan) >= 1,
+        "might_contain must survive into the executed plan (the pre-shuffle screen)")
+      val p = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("CartesianProduct"))
+    } finally Caches.releaseScoped()
+  }
 }
