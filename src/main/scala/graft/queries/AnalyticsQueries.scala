@@ -375,6 +375,57 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // EQUI-DEPTH HISTOGRAM (q142) — the optimizer-statistics / data-
+    // profiling operator (what ANALYZE ... FOR COLUMNS materializes):
+    // exact quartile boundaries from ONE percentile aggregation,
+    // broadcast back onto a map-only bucket assignment, then one
+    // partial-agg'd count per bucket — two scans, no global sort, no
+    // window. Boundaries round to 6dp on BOTH engines before the
+    // comparison: the two engines' interpolation arithmetic can differ
+    // in the last ulp exactly when tied values straddle the quantile
+    // position, and the round collapses that. Exact percentile →
+    // approx_percentile at 100 TB (the q114 trade, same plan shape).
+    "q142_equidepth_histogram" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("value"))
+      val cuts = e.agg(
+        round(expr("percentile(value, 0.25)"), 6).as("q1"),
+        round(expr("percentile(value, 0.5)"), 6).as("q2"),
+        round(expr("percentile(value, 0.75)"), 6).as("q3"))
+      e.crossJoin(broadcast(cuts))
+        .select(col("value"),
+          (when(col("value") > col("q1"), 1L).otherwise(0L) +
+            when(col("value") > col("q2"), 1L).otherwise(0L) +
+            when(col("value") > col("q3"), 1L).otherwise(0L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+        .orderBy("bucket")
+    },
+
+    // EVENT-TRANSITION MATRIX (q143) — the first-order Markov model of
+    // the event stream (the sequence-mining staple behind next-action
+    // prediction and anomalous-flow detection): consecutive events per
+    // user pair up through ONE keyed lag window (bounded by per-user
+    // event count, the q113 gaps-and-islands scale argument — never a
+    // global sort), transition counts partial-aggregate, and each row's
+    // probability is ONE IEEE division of two exact BIGINTs (n_ab /
+    // n_a·), bit-equal across engines. Output is |types|² rows —
+    // driver-sized by construction at any corpus scale.
+    "q143_event_transitions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val n = pairs
+        .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = n.groupBy("src_type").agg(sum(col("n")).as("n_src"))
+      n.join(tot, "src_type")
+        .select(col("src_type"), col("dst_type"), col("n"),
+          (col("n").cast("double") / col("n_src").cast("double")).as("p"))
+        .orderBy("src_type", "dst_type")
+    },
+
     "q122_retention_cohorts" -> { (s, d) =>
       val day = expr("unix_micros(ts) div 86400000000")
       val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
@@ -600,6 +651,30 @@ object AnalyticsQueries {
          |${iter(1, 2)}
          |SELECT node AS user_id, round(r, 8) AS rank FROM r2 ORDER BY user_id""".stripMargin
     },
+    // q142: quantile_cont ≡ percentile (the q127 precedent), the same
+    // 6dp boundary round, the same strict-> bucket assignment
+    "q142_equidepth_histogram" ->
+      """WITH c AS (SELECT round(quantile_cont(value, 0.25), 6) AS q1,
+        |    round(quantile_cont(value, 0.5), 6) AS q2,
+        |    round(quantile_cont(value, 0.75), 6) AS q3 FROM events)
+        |SELECT CAST(CASE WHEN value > q1 THEN 1 ELSE 0 END +
+        |       CASE WHEN value > q2 THEN 1 ELSE 0 END +
+        |       CASE WHEN value > q3 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events, c GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // q143: the same keyed lead window and exact-count division
+    "q143_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events),
+        |n AS (SELECT event_type AS src_type, next_type AS dst_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS n_src FROM n GROUP BY src_type)
+        |SELECT n.src_type, n.dst_type, n.n,
+        |  CAST(n.n AS DOUBLE) / CAST(t.n_src AS DOUBLE) AS p
+        |FROM n JOIN t USING (src_type)
+        |ORDER BY src_type, dst_type""".stripMargin,
     // q139: the same orientation and oriented wedge enumeration — the
     // hash match proves each triangle is found exactly once
     "q139_triangle_count" ->

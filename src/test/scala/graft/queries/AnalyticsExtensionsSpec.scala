@@ -79,6 +79,41 @@ class AnalyticsExtensionsSpec extends SparkSpec {
     assert(got.map(_._2).sum > 0, "fixture graph must contain triangles")
   }
 
+  test("q142 buckets are equi-depth, ordered, and cover every row") {
+    val got = run("q142_equidepth_histogram")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val total = Tables.events(spark, sf0001).count()
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).sum === total)
+    // equi-depth: each quartile holds ~25% (ties can nudge the split)
+    got.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 4.0) <= total * 0.02, s"bucket $b holds $n of $total") }
+    // buckets partition the value range in order
+    got.sliding(2).foreach {
+      case Seq((_, _, _, hi), (_, _, lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
+  test("q143 equals a plain-Scala transition recount; rows per source sum to probability 1") {
+    val got = run("q143_event_transitions")
+      .as[(String, String, Long, Double)].collect().toSeq
+
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "event_type").as[(Long, Long, String)]
+      .collect()
+    val pairs = ev.groupBy(_._1).values.flatMap { u =>
+      u.sortBy(_._2).toSeq.sliding(2).collect { case Seq((_, _, a), (_, _, b)) => (a, b) }
+    }.toSeq
+    val n = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nSrc = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = n.toSeq.map { case ((a, b), c) =>
+      (a, b, c, c.toDouble / nSrc(a).toDouble) }.sortBy(t => (t._1, t._2))
+    assert(got === want)
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12) }
+  }
+
   test("q140 equals a plain-Scala exact-ratio PMI top-20") {
     val got = run("q140_pmi_collocations")
       .as[(String, Long, Long, Long, Double)].collect().toSeq
