@@ -1515,6 +1515,55 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // GRAPH-OF-WORDS K-CORE (q144) — keyword extraction by core
+    // decomposition (Rousseau & Vazirgiannis 2015): nodes are words,
+    // edges the frequent bigrams (q140's graph, canonicalized
+    // undirected), and THREE unrolled peel rounds remove nodes whose
+    // degree fell below k=10 — the words that survive sit in the densely
+    // interconnected core of the collocation graph, the paper's keyword
+    // set. The fixture's planted phrase vocabulary forms a ~30-word
+    // near-clique plus one weakly attached word: k=10 peels the weak
+    // word at sf0.001/sf0.01 (the gate SFs — its neighbors' shrunken
+    // core degrees prove the cascade) and correctly peels nothing from
+    // the perfect clique at sf0.1 (vacuously converged, the q93
+    // unexercised-branch precedent, inverted). Pure integer arithmetic end to end. Each round is one
+    // partial-agg'd degree count + two keyed semi joins (the peel);
+    // work is EDGE-sized and shrinks monotonically per round — the
+    // standard distributed peeling shape, never node×node. The unrolled
+    // fixed-round form is the q115/q133 iterative-operator rule: the
+    // oracle replays every round, so the gate proves round n+1 consumes
+    // round n's survivors.
+    "q144_kcore_keywords" -> { (s, d) =>
+      val toks = graft.Caches.scopedPersist(
+        Tables.documents(s, d).select(tokensCol.as("tk")))
+      val pairs = toks.select(explode(TextOps.shingles(col("tk"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= PmiMinPair)
+        .select(element_at(split(col("bigram"), " "), 1).as("wa"),
+          element_at(split(col("bigram"), " "), 2).as("wb"))
+        .filter(col("wa") =!= col("wb"))
+      val e0 = graft.Caches.scopedPersist(
+        pairs.select(least(col("wa"), col("wb")).as("a"),
+          greatest(col("wa"), col("wb")).as("b")).distinct())
+
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+      def peel(e: DataFrame): DataFrame = {
+        val keep = degrees(e).filter(col("deg") >= 10).select("node")
+        e.join(keep.select(col("node").as("a")), "a")
+          .join(keep.select(col("node").as("b")), "b")
+          .select("a", "b")
+      }
+
+      val d0 = degrees(e0)
+      val core = degrees(peel(peel(peel(e0))))
+      core.select(col("node"), col("deg").as("deg_core"))
+        .join(d0.select(col("node"), col("deg").as("deg0")), "node")
+        .select(col("node").as("token"), col("deg0"), col("deg_core"))
+        .orderBy("token")
+    },
+
     // PMI COLLOCATIONS (q140) — the corpus-linguistics operator behind
     // tokenizer-vocabulary curation and phrase mining: score each
     // frequent bigram by pointwise mutual information, joint P from the
@@ -2305,6 +2354,34 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q144: the same graph and THREE unrolled peel rounds — the match
+    // proves each round consumes the previous round's survivors
+    "q144_kcore_keywords" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |pr AS (SELECT string_split(bigram, ' ')[1] AS wa, string_split(bigram, ' ')[2] AS wb
+        |       FROM (SELECT bigram, count(*) AS n_ab FROM (
+        |               SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |                 i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |               FROM toks WHERE len(tk) >= 2) b
+        |             GROUP BY bigram HAVING count(*) >= 3) f
+        |       WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]),
+        |e0 AS (SELECT DISTINCT least(wa, wb) AS a, greatest(wa, wb) AS b FROM pr),
+        |d0 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |         SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0) u GROUP BY node),
+        |k1 AS (SELECT node FROM d0 WHERE deg >= 10),
+        |e1 AS (SELECT e0.a, e0.b FROM e0 JOIN k1 ka ON e0.a = ka.node JOIN k1 kb ON e0.b = kb.node),
+        |d1 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |         SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1) u GROUP BY node),
+        |k2 AS (SELECT node FROM d1 WHERE deg >= 10),
+        |e2 AS (SELECT e1.a, e1.b FROM e1 JOIN k2 ka ON e1.a = ka.node JOIN k2 kb ON e1.b = kb.node),
+        |d2 AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |         SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2) u GROUP BY node),
+        |k3 AS (SELECT node FROM d2 WHERE deg >= 10),
+        |e3 AS (SELECT e2.a, e2.b FROM e2 JOIN k3 ka ON e2.a = ka.node JOIN k3 kb ON e2.b = kb.node),
+        |dc AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |         SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3) u GROUP BY node)
+        |SELECT dc.node AS token, d0.deg AS deg0, dc.deg AS deg_core
+        |FROM dc JOIN d0 ON dc.node = d0.node ORDER BY token""".stripMargin,
     // q140: identical counts, the same exact-BIGINT-product ratio (one
     // IEEE division), the same (ratio DESC, bigram) top-20
     "q140_pmi_collocations" ->

@@ -114,6 +114,38 @@ class AnalyticsExtensionsSpec extends SparkSpec {
       assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12) }
   }
 
+  test("q144 equals a plain-Scala 3-round peel and the peel is non-vacuous") {
+    val got = run("q144_kcore_keywords")
+      .as[(String, Long, Long)].collect().toSeq
+    Caches.releaseScoped()
+
+    val texts = Tables.documents(spark, sf0001)
+      .select("text").as[String].collect().toSeq
+    val big = texts.map(_.split(" ", -1).toSeq)
+      .flatMap(t => t.sliding(2).filter(_.size == 2).map(w => (w(0), w(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+      .filter { case ((a, b), n) => n >= 3 && a != b }
+    var e = big.keys.map { case (a, b) =>
+      if (a <= b) (a, b) else (b, a) }.toSet
+    def degs(es: Set[(String, String)]): Map[String, Long] =
+      es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = degs(e)
+    for (_ <- 1 to 3) {
+      val keep = degs(e).filter(_._2 >= 10).keySet
+      e = e.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val dc = degs(e)
+    val want = dc.toSeq.map { case (n, dg) => (n, d0(n), dg) }.sortBy(_._1)
+    assert(got === want)
+    // the peel must remove something and keep something, and the
+    // removal must cascade into survivors' degrees
+    assert(dc.nonEmpty && dc.size < d0.size,
+      s"core ${dc.size} of ${d0.size} — peeling must be non-vacuous")
+    assert(got.exists { case (_, dg0, dgc) => dgc < dg0 },
+      "a peeled node's neighbors must lose degree")
+  }
+
   test("q140 equals a plain-Scala exact-ratio PMI top-20") {
     val got = run("q140_pmi_collocations")
       .as[(String, Long, Long, Long, Double)].collect().toSeq
