@@ -92,4 +92,34 @@ object TextCuration {
     * engines, retries, and cluster sizes). */
   def shuffleKey(id: Column): Column =
     TextOps.hash56(concat(lit("shard_"), id.cast("string")))
+
+  /** q146's held-out perplexity report over a (doc_id, lang, text)
+    * relation: train an add-1-smoothed unigram model on the EVEN
+    * doc_ids, score the odd half with integer-bit quantized surprisal
+    * (the q127 no-libm rule), report per-lang token count, OOV count
+    * (the left-join-null path — a token the train slice never saw),
+    * and the two one-division means. Shared here so the planted-OOV
+    * spec drives the same operator the fixture query runs (the q121
+    * rule: the fixture vocabulary is fully shared between halves, so
+    * the gate alone can never exercise the OOV branch). */
+  def heldoutPerplexity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val held = toks.filter(col("doc_id") % 2 === 1)
+    val cnt = train.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = train.agg(count(lit(1)).as("t"), countDistinct(col("tok")).as("v"))
+    held.join(cnt, Seq("tok"), "left").crossJoin(broadcast(tot))
+      .select(col("lang"),
+        when(col("c").isNull, 1L).otherwise(0L).as("oov"),
+        (length(bin(expr("(t + v) div (coalesce(c, 0) + 1)"))) - 1)
+          .cast("long").as("bits"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov"),
+        sum("bits").as("sum_bits"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy("lang")
+  }
 }

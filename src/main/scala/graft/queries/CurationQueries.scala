@@ -543,6 +543,26 @@ object CurationQueries {
     // broadcast — vocabulary is unbounded at web scale, the q42 rule);
     // at 100 TB the exact percentile swaps for approx_percentile (the
     // q114 exact→approx tier trade).
+    // HELD-OUT PERPLEXITY EVAL (q146) — the eval-harness twin of q127:
+    // train the unigram model on HALF the corpus (even doc_ids), score
+    // the held-out half with it — the generalization measurement every
+    // LM data pipeline runs (and the add-1-smoothed OOV path q127's
+    // self-scoring can never exercise). Per held-out token the smoothed
+    // surprisal quantizes to integer bits, floor(log₂((T+V)/(c+1))) =
+    // length(bin((T+V) div (c+1)))−1 — pure integer arithmetic on both
+    // engines (the q127 no-libm rule); an unseen token scores the
+    // ceiling bits of c=0 and counts into oov. Per-lang report: mean
+    // bits as ONE IEEE division of exact BIGINTs, OOV rate likewise.
+    // Scale: one count pass over train, one token-keyed LEFT model
+    // join over held-out, T/V on a 1-row broadcast. Shared operator
+    // ([[graft.operators.TextCuration.heldoutPerplexity]]) so the
+    // planted-OOV spec exercises the unseen-token branch the fixture's
+    // fully-shared vocabulary never can (the q121 rule).
+    "q146_heldout_perplexity" -> { (s, d) =>
+      graft.operators.TextCuration.heldoutPerplexity(
+        Tables.documents(s, d).select("doc_id", "lang", "text"))
+    },
+
     "q127_lm_quality" -> { (s, d) =>
       val toks = graft.Caches.scopedPersist(
         Tables.documents(s, d)
@@ -942,6 +962,26 @@ object CurationQueries {
         |SELECT doc_id, lang, n_tok, sum_r, avg_r,
         |  CAST(CASE WHEN avg_r > t THEN 1 ELSE 0 END AS BIGINT) AS sampled
         |FROM pda, cut ORDER BY doc_id""".stripMargin,
+    // q146: the same half-split, the same smoothed integer-bit
+    // surprisal, the same one-division means
+    "q146_heldout_perplexity" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |hd AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+        |sc AS (SELECT hd.lang,
+        |    CASE WHEN cnt.c IS NULL THEN 1 ELSE 0 END AS oov,
+        |    CAST(length(bin((t + v) // (coalesce(cnt.c, 0) + 1))) - 1 AS BIGINT) AS bits
+        |  FROM hd LEFT JOIN cnt ON hd.tok = cnt.tok, tot),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(oov) AS BIGINT) AS n_oov, CAST(sum(bits) AS BIGINT) AS sum_bits
+        |  FROM sc GROUP BY lang)
+        |SELECT lang, n_tokens, n_oov, sum_bits,
+        |  CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_bits,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM g ORDER BY lang""".stripMargin,
     // q127: the same quantized-surprisal model replayed — T // c is
     // integer division (Spark's `div`), bin() the binary string on
     // both engines, quantile_cont the q46 percentile twin

@@ -1515,6 +1515,52 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // PREFIX-FILTERED SIMILARITY SELF-JOIN (q145) — the PPJoin / All-
+    // Pairs prefix principle (Xiao et al. 2008; Bayardo et al. 2007)
+    // as an exact Jaccard-threshold join over 3-shingle sets: order
+    // every doc's shingles RAREST-FIRST (global (df, shingle) order)
+    // and keep only the first m − ⌈t·m⌉ + 1 as its prefix; any pair
+    // with J ≥ t provably shares a prefix shingle (if the smallest
+    // common shingle were outside either prefix, all ⌈t·m⌉-or-more
+    // common shingles would have to fit in a ⌈t·m⌉−1 suffix), so the
+    // candidate set is the PREFIX equi-join — cost Σ df² over only the
+    // rarest shingles, never doc×doc. The threshold decision is pure
+    // integers (t = 3/5: keep ⇔ 8·|∩| ≥ 3·(ma+mb) — cross-multiplied,
+    // no float ever compared), and the ORACLE is the exhaustive
+    // all-shared-pairs truth, so the hash match proves the prefix
+    // screen complete, not merely self-consistent (the q116 rule).
+    "q145_prefix_filter_join" -> { (s, d) =>
+      val sh = graft.Caches.scopedPersist(
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokensCol.as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("tok"))
+          .distinct())
+      val m = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+      val prefix = sh.join(dfreq, "tok").join(m, "doc_id")
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("m") - expr("(3 * m + 4) div 5") + 1)
+        .select("doc_id", "tok")
+      val cand = prefix.select(col("doc_id").as("da"), col("tok"))
+        .join(prefix.select(col("doc_id").as("db"), col("tok")), "tok")
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("da"), col("tok")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      inter
+        .join(m.select(col("doc_id").as("da"), col("m").as("ma")), "da")
+        .join(m.select(col("doc_id").as("db"), col("m").as("mb")), "db")
+        .filter(col("inter") * 8 >= (col("ma") + col("mb")) * 3)
+        .select(col("da"), col("db"), col("inter"), col("ma"), col("mb"),
+          (col("inter").cast("double") /
+            (col("ma") + col("mb") - col("inter")).cast("double")).as("jaccard"))
+        .orderBy("da", "db")
+    },
+
     // GRAPH-OF-WORDS K-CORE (q144) — keyword extraction by core
     // decomposition (Rousseau & Vazirgiannis 2015): nodes are words,
     // edges the frequent bigrams (q140's graph, canonicalized
@@ -2354,6 +2400,23 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q145: the EXHAUSTIVE truth — every pair sharing any shingle,
+    // exact intersection counts, the same integer threshold. No prefix
+    // logic anywhere: the match proves the screen complete.
+    "q145_prefix_filter_join" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+        |       FROM toks WHERE len(tk) >= 3),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+        |      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT da, db, inter, ma.m AS ma, mb.m AS mb,
+        |  CAST(inter AS DOUBLE) / CAST(ma.m + mb.m - inter AS DOUBLE) AS jaccard
+        |FROM p JOIN m ma ON p.da = ma.doc_id JOIN m mb ON p.db = mb.doc_id
+        |WHERE inter * 8 >= (ma.m + mb.m) * 3
+        |ORDER BY da, db""".stripMargin,
     // q144: the same graph and THREE unrolled peel rounds — the match
     // proves each round consumes the previous round's survivors
     "q144_kcore_keywords" ->

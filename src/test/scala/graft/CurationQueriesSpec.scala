@@ -204,6 +204,25 @@ class CurationQueriesSpec extends SparkSpec {
     assert(enSampled > enCorpus)
   }
 
+  test("q146's OOV branch fires on a planted unseen token (exact counts through the shared operator)") {
+    // the fixture vocabulary is fully shared between the halves, so the
+    // oracle gate can never exercise the left-join-null OOV path; this
+    // corpus plants a token only the held-out half contains
+    val rows = Seq(
+      (0L, "en", "a b a b"),    // train: c(a)=2, c(b)=2, T=4, V=2
+      (2L, "en", "a a b b"),    // train: c(a)=4, c(b)=4, T=8
+      (1L, "en", "a b zz"),     // held out: zz is OOV
+      (3L, "de", "zz zz"))      // held out: all OOV
+    val df = rows.toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextCuration.heldoutPerplexity(df)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // T=8, V=2 → smoothed divisors: seen c=4 → (8+2) div 5 = 2 → 1 bit;
+    // OOV c=0 → (8+2) div 1 = 10 → bin(10)=1010 → 3 bits
+    assert(got === Seq(
+      ("de", 2L, 2L, 6L, 3.0, 1.0),
+      ("en", 3L, 1L, 5L, 5.0 / 3.0, 1.0 / 3.0)))
+  }
+
   test("q121's checks fire on planted violations (every branch, exact counts)") {
     // the fixture corpus passes all five checks, so the gate alone
     // cannot prove the violation branches count; this corpus violates
