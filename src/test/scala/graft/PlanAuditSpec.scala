@@ -574,6 +574,24 @@ class PlanAuditSpec extends SparkSpec {
       "the 1-row totals must broadcast onto the scored bigrams")
   }
 
+  test("q144: every peel round is keyed joins — no cross product") {
+    val p = formatted("q144_kcore_keywords")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q145: candidates come from the prefix equi-join — never doc×doc") {
+    val p = formatted("q145_prefix_filter_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a cross product means the prefix screen degenerated to all-pairs")
+  }
+
+  test("q146: the model join is a keyed LEFT join; totals ride a 1-row broadcast") {
+    val p = formatted("q146_heldout_perplexity")
+    assert(p.contains("LeftOuter"), "OOV needs the left join to survive")
+    assert(p.contains("BroadcastNestedLoopJoin"), "T/V must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
