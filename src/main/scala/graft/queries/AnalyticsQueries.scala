@@ -53,6 +53,21 @@ object AnalyticsQueries {
       s"(nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / $det AS beta2")
   }
 
+  /** q143's oracle — and verbatim q147's: the 4-micro-batch seam-
+    * stitched replay must hash-match the same one-shot truth. */
+  private[queries] val TransitionsSql =
+    """WITH p AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+      |  FROM events),
+      |n AS (SELECT event_type AS src_type, next_type AS dst_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS n_src FROM n GROUP BY src_type)
+      |SELECT n.src_type, n.dst_type, n.n,
+      |  CAST(n.n AS DOUBLE) / CAST(t.n_src AS DOUBLE) AS p
+      |FROM n JOIN t USING (src_type)
+      |ORDER BY src_type, dst_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // SQL entry path: the oracle string itself, parsed by Spark. The
     // temp view exists only for the eager analysis inside sql() — it is
@@ -426,6 +441,17 @@ object AnalyticsQueries {
         .orderBy("src_type", "dst_type")
     },
 
+    // STREAMED TRANSITIONS ≡ BATCH TRUTH (q147) — q143's operator run
+    // the way a deployment runs it: the log as four deterministic
+    // micro-batches through `StreamingTransitions.pairsForBatch`, the
+    // cross-batch SEAM pair stitched from one-row-per-user state. The
+    // oracle is q143's one-shot text — the hash match proves no pair is
+    // lost or duplicated at any batch boundary (the q63/q125 streaming
+    // promotion precedent).
+    "q147_transitions_replay" -> { (s, d) =>
+      graft.streaming.StreamingTransitions.transitionsReplay(s, d, 4)
+    },
+
     "q122_retention_cohorts" -> { (s, d) =>
       val day = expr("unix_micros(ts) div 86400000000")
       val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
@@ -662,19 +688,11 @@ object AnalyticsQueries {
         |       CASE WHEN value > q3 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
         |FROM events, c GROUP BY 1 ORDER BY bucket""".stripMargin,
-    // q143: the same keyed lead window and exact-count division
-    "q143_event_transitions" ->
-      """WITH p AS (SELECT user_id, event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
-        |  FROM events),
-        |n AS (SELECT event_type AS src_type, next_type AS dst_type,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS n_src FROM n GROUP BY src_type)
-        |SELECT n.src_type, n.dst_type, n.n,
-        |  CAST(n.n AS DOUBLE) / CAST(t.n_src AS DOUBLE) AS p
-        |FROM n JOIN t USING (src_type)
-        |ORDER BY src_type, dst_type""".stripMargin,
+    // q143: the same keyed lead window and exact-count division; q147
+    // shares the TEXT — the 4-micro-batch replay must equal the
+    // one-shot truth
+    "q143_event_transitions" -> TransitionsSql,
+    "q147_transitions_replay" -> TransitionsSql,
     // q139: the same orientation and oriented wedge enumeration — the
     // hash match proves each triangle is found exactly once
     "q139_triangle_count" ->
