@@ -543,6 +543,29 @@ object CurationQueries {
     // broadcast — vocabulary is unbounded at web scale, the q42 rule);
     // at 100 TB the exact percentile swaps for approx_percentile (the
     // q114 exact→approx tier trade).
+    // PER-LABEL EMBEDDING CENTROIDS (q148) — the class-prototype /
+    // drift-monitoring statistic (nearest-centroid classifiers, cluster
+    // drift dashboards): the element-wise mean vector per label. The
+    // embedding column posexplodes to (label, dim, x) — a d× expansion
+    // bounded by embedding width, the q123 Gram rule — and each
+    // (label, dim) cell partial-aggregates a decimal sum (float→double
+    // widening is IEEE-exact, 7dp round then DECIMAL so Σ is
+    // shuffle-order-independent, the q47 rule); the mean is ONE IEEE
+    // division. Output is |labels|·d rows — driver-sized at any corpus
+    // scale; the corpus pass is map-side-combined.
+    "q148_label_centroids" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("dim"),
+          round(col("col").cast("double"), 7).cast("decimal(20,10)").as("x"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .select(col("label"), col("dim"), col("n"),
+          (col("sx").cast("double") / col("n").cast("double")).as("mean_x"))
+        .orderBy("label", "dim")
+    },
+
     // HELD-OUT PERPLEXITY EVAL (q146) — the eval-harness twin of q127:
     // train the unigram model on HALF the corpus (even doc_ids), score
     // the held-out half with it — the generalization measurement every
@@ -962,6 +985,17 @@ object CurationQueries {
         |SELECT doc_id, lang, n_tok, sum_r, avg_r,
         |  CAST(CASE WHEN avg_r > t THEN 1 ELSE 0 END AS BIGINT) AS sampled
         |FROM pda, cut ORDER BY doc_id""".stripMargin,
+    // q148: the same widening, 7dp round, decimal sum, one division
+    "q148_label_centroids" ->
+      """WITH e AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+        |           FROM embeddings),
+        |v AS (SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(20,10)) AS x
+        |      FROM e),
+        |g AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx
+        |      FROM v GROUP BY 1, 2)
+        |SELECT label, dim, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+        |FROM g ORDER BY label, dim""".stripMargin,
     // q146: the same half-split, the same smoothed integer-bit
     // surprisal, the same one-division means
     "q146_heldout_perplexity" ->
