@@ -1539,10 +1539,13 @@ object PipelineQueries {
       val m = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
       val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
-      val prefix = sh.join(dfreq, "tok").join(m, "doc_id")
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= col("m") - expr("(3 * m + 4) div 5") + 1)
-        .select("doc_id", "tok")
+      // persisted: both sides of the candidate self-join read it, and
+      // the window sort underneath must not run twice
+      val prefix = graft.Caches.scopedPersist(
+        sh.join(dfreq, "tok").join(m, "doc_id")
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= col("m") - expr("(3 * m + 4) div 5") + 1)
+          .select("doc_id", "tok"))
       val cand = prefix.select(col("doc_id").as("da"), col("tok"))
         .join(prefix.select(col("doc_id").as("db"), col("tok")), "tok")
         .filter(col("da") < col("db"))
@@ -1588,14 +1591,27 @@ object PipelineQueries {
         .select(element_at(split(col("bigram"), " "), 1).as("wa"),
           element_at(split(col("bigram"), " "), 2).as("wb"))
         .filter(col("wa") =!= col("wb"))
+      // the edge relation is VOCABULARY-bounded (frequent bigrams after
+      // the ≥3 cut — thousands of rows at any corpus scale, never
+      // corpus-sized), so the iterative rounds run at width 1: twelve
+      // 32-partition shuffle stages over dozens of rows would be pure
+      // scheduling overhead. At a vocabulary large enough to need
+      // parallel rounds the width follows the edge count — the
+      // corpus-sized work (the bigram count feeding `pairs`) already
+      // runs at full session width above this line.
       val e0 = graft.Caches.scopedPersist(
         pairs.select(least(col("wa"), col("wb")).as("a"),
-          greatest(col("wa"), col("wb")).as("b")).distinct())
+          greatest(col("wa"), col("wb")).as("b")).distinct().coalesce(1))
 
       def degrees(e: DataFrame): DataFrame =
         e.select(col("a").as("node")).union(e.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
-      def peel(e: DataFrame): DataFrame = {
+      // each round MATERIALIZES (the q115/q133 iterative rule): degrees
+      // reads its input twice and three unpersisted rounds would
+      // re-evaluate the whole chain 2³ times — at cluster scale every
+      // peeling implementation checkpoints the shrinking edge set per
+      // round for exactly this reason
+      def peel(e: DataFrame): DataFrame = graft.Caches.scopedPersist {
         val keep = degrees(e).filter(col("deg") >= 10).select("node")
         e.join(keep.select(col("node").as("a")), "a")
           .join(keep.select(col("node").as("b")), "b")
