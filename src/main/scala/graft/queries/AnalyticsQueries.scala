@@ -68,6 +68,24 @@ object AnalyticsQueries {
       |FROM n JOIN t USING (src_type)
       |ORDER BY src_type, dst_type""".stripMargin
 
+  /** q149's shared expression texts (the q138 rule: one text, two
+    * engines, bit-equal doubles). The residual consumes the bit-equal
+    * betas and the raw features; its square QUANTIZES to integer
+    * micro-units via floor — NOT round(,6): rounding a computed double
+    * is decimal re-interpretation and the two engines disagree by an
+    * ulp exactly at half-way boundaries (observed live at sf0.1),
+    * while floor(x·10⁶) is two IEEE ops on a bit-equal input, always
+    * identical. The BIGINT micro-units then sum exactly (order-free);
+    * headroom: (y−ŷ)²·10⁶ ≲ 10¹¹/row — 10⁷ rows of margin under
+    * Long.Max even at 100× this SF. */
+  private[queries] val CvResidual2Expr =
+    "CAST(floor((CAST(y AS DOUBLE) - (beta0 + beta1 * x1 + beta2 * x2)) * " +
+      "(CAST(y AS DOUBLE) - (beta0 + beta1 * x1 + beta2 * x2)) * 1000000.0) AS BIGINT) AS r2"
+  private[queries] val CvSseExpr =
+    "CAST(sse0 AS DOUBLE) / 1000000.0 AS sse"
+  private[queries] val CvRmseExpr =
+    "sqrt(sse / CAST(n_test AS DOUBLE)) AS rmse"
+
   val queries: Map[String, Q] = Map(
     // SQL entry path: the oracle string itself, parsed by Spark. The
     // temp view exists only for the eager analysis inside sql() — it is
@@ -255,6 +273,63 @@ object AnalyticsQueries {
           col("rs22").cast("double").as("s22"), col("rsy").cast("double").as("sy"),
           col("rs1y").cast("double").as("s1y"), col("rs2y").cast("double").as("s2y"))
       m.selectExpr("CAST(nn AS BIGINT) AS n_rows" +: LinRegBetaExprs: _*)
+    },
+
+    // K-FOLD CROSS-VALIDATED REGRESSION (q149) — q138's model fit run
+    // as an eval harness, the way distributed CV should be done: the
+    // normal-equation co-moments are DECOMPOSABLE sufficient
+    // statistics, so ONE grouped scan yields per-fold moments, each
+    // fold's TRAINING moments are total − fold (exact integer/decimal
+    // subtraction — no second scan, the q124 incremental-view rule),
+    // the five Cramer solves run on a 5-row frame with q138's shared
+    // formula text (betas bit-equal by construction), and scoring is
+    // one broadcast join + a map-only residual whose square
+    // floor-quantizes to integer micro-units and sums exactly per
+    // fold. Two scans total for a full 5-fold
+    // CV — at 100 TB the alternative (5 train passes + 5 score passes)
+    // is 5× the IO for the identical numbers.
+    "q149_crossval_regression" -> { (s, d) =>
+      val feats = graft.Caches.scopedPersist(
+        Tables.events(s, d).select(
+          (col("event_id") % 5).as("fold"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("x1"),
+          (col("user_id") % 10).as("x2"),
+          round(col("value"), 6).cast("decimal(18,6)").as("y")))
+      val fm = feats.groupBy("fold").agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("rs1"), sum(col("x2")).as("rs2"),
+        sum(col("x1") * col("x1")).as("rs11"),
+        sum(col("x1") * col("x2")).as("rs12"),
+        sum(col("x2") * col("x2")).as("rs22"),
+        sum(col("y")).as("rsy"),
+        sum(col("x1") * col("y")).as("rs1y"),
+        sum(col("x2") * col("y")).as("rs2y"))
+      val tot = fm.agg(
+        sum(col("n")).as("tn"),
+        sum(col("rs1")).as("ts1"), sum(col("rs2")).as("ts2"),
+        sum(col("rs11")).as("ts11"), sum(col("rs12")).as("ts12"),
+        sum(col("rs22")).as("ts22"), sum(col("rsy")).as("tsy"),
+        sum(col("rs1y")).as("ts1y"), sum(col("rs2y")).as("ts2y"))
+      val train = fm.crossJoin(broadcast(tot)).select(
+        col("fold"),
+        (col("tn") - col("n")).cast("double").as("nn"),
+        (col("ts1") - col("rs1")).cast("double").as("s1"),
+        (col("ts2") - col("rs2")).cast("double").as("s2"),
+        (col("ts11") - col("rs11")).cast("double").as("s11"),
+        (col("ts12") - col("rs12")).cast("double").as("s12"),
+        (col("ts22") - col("rs22")).cast("double").as("s22"),
+        (col("tsy") - col("rsy")).cast("double").as("sy"),
+        (col("ts1y") - col("rs1y")).cast("double").as("s1y"),
+        (col("ts2y") - col("rs2y")).cast("double").as("s2y"))
+      val betas = train.selectExpr("fold" +: LinRegBetaExprs: _*)
+      feats.join(broadcast(betas), "fold")
+        .selectExpr("fold", CvResidual2Expr)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_test"), sum(col("r2")).as("sse0"))
+        .join(broadcast(betas), "fold")
+        .selectExpr("fold", "n_test", "beta0", "beta1", "beta2", CvSseExpr)
+        .selectExpr("fold", "n_test", "beta0", "beta1", "beta2", "sse", CvRmseExpr)
+        .orderBy("fold")
     },
 
     "q114_profile" -> { (s, d) =>
@@ -623,6 +698,40 @@ object AnalyticsQueries {
         |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
         |FROM ev JOIN c ON ev.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // q149: identical per-fold moments, identical exact complements
+    // (total − fold), then the SAME Cramer text on the 5-row frame and
+    // the SAME residual/rmse texts — every double bit-equal
+    "q149_crossval_regression" ->
+      s"""WITH f AS (SELECT event_id % 5 AS fold,
+         |    (epoch_us(ts) // 3600000000) % 24 AS x1, user_id % 10 AS x2,
+         |    CAST(round(value, 6) AS DECIMAL(18,6)) AS y FROM events),
+         |fm AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS rs1, CAST(sum(x2) AS BIGINT) AS rs2,
+         |    CAST(sum(x1*x1) AS BIGINT) AS rs11, CAST(sum(x1*x2) AS BIGINT) AS rs12,
+         |    CAST(sum(x2*x2) AS BIGINT) AS rs22,
+         |    sum(y) AS rsy, sum(x1*y) AS rs1y, sum(x2*y) AS rs2y
+         |  FROM f GROUP BY fold),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+         |    CAST(sum(rs1) AS BIGINT) AS ts1, CAST(sum(rs2) AS BIGINT) AS ts2,
+         |    CAST(sum(rs11) AS BIGINT) AS ts11, CAST(sum(rs12) AS BIGINT) AS ts12,
+         |    CAST(sum(rs22) AS BIGINT) AS ts22,
+         |    sum(rsy) AS tsy, sum(rs1y) AS ts1y, sum(rs2y) AS ts2y FROM fm),
+         |tr AS (SELECT fold,
+         |    CAST(tn - n AS DOUBLE) AS nn,
+         |    CAST(ts1 - rs1 AS DOUBLE) AS s1, CAST(ts2 - rs2 AS DOUBLE) AS s2,
+         |    CAST(ts11 - rs11 AS DOUBLE) AS s11, CAST(ts12 - rs12 AS DOUBLE) AS s12,
+         |    CAST(ts22 - rs22 AS DOUBLE) AS s22, CAST(tsy - rsy AS DOUBLE) AS sy,
+         |    CAST(ts1y - rs1y AS DOUBLE) AS s1y, CAST(ts2y - rs2y AS DOUBLE) AS s2y
+         |  FROM fm, tot),
+         |b AS (SELECT fold, ${LinRegBetaExprs.mkString(",\n  ")} FROM tr),
+         |sc AS (SELECT f.fold, $CvResidual2Expr FROM f JOIN b USING (fold)),
+         |g AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(r2) AS BIGINT) AS sse0
+         |  FROM sc GROUP BY fold),
+         |o AS (SELECT g.fold, n_test, beta0, beta1, beta2, $CvSseExpr
+         |  FROM g JOIN b ON g.fold = b.fold)
+         |SELECT fold, n_test, beta0, beta1, beta2, sse, $CvRmseExpr
+         |FROM o ORDER BY fold""".stripMargin,
     // q138: identical exact moments (// vs div, epoch_us vs
     // unix_micros), then the SAME Cramer formula text
     "q138_linreg_normal" ->

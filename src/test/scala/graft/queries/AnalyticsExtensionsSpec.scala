@@ -61,6 +61,47 @@ class AnalyticsExtensionsSpec extends SparkSpec {
     assert(b0 != 0.0 && (b1 != 0.0 || b2 != 0.0))
   }
 
+  test("q149 fold betas solve their complement normal equations; sse matches a plain-Scala rescore") {
+    val got = run("q149_crossval_regression")
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect().toSeq
+    Caches.releaseScoped()
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L))
+
+    val rows = Tables.events(spark, sf0001)
+      .selectExpr("event_id % 5 AS fold",
+        "(unix_micros(ts) div 3600000000) % 24 AS x1",
+        "user_id % 10 AS x2", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    def y6(v: Double): BigDecimal =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+    got.foreach { case (fold, nTest, b0, b1, b2, sse, rmse) =>
+      val test = rows.filter(_._1 == fold)
+      val train = rows.filter(_._1 != fold)
+      assert(nTest === test.length.toLong)
+      // betas solve the TRAIN (complement) normal equations
+      val n = BigDecimal(train.length)
+      val s1 = BigDecimal(train.map(_._2).sum); val s2 = BigDecimal(train.map(_._3).sum)
+      val s11 = BigDecimal(train.map(r => r._2 * r._2).sum)
+      val s12 = BigDecimal(train.map(r => r._2 * r._3).sum)
+      val s22 = BigDecimal(train.map(r => r._3 * r._3).sum)
+      val sy = train.map(r => y6(r._4)).sum
+      val s1y = train.map(r => BigDecimal(r._2) * y6(r._4)).sum
+      val s2y = train.map(r => BigDecimal(r._3) * y6(r._4)).sum
+      val scale = sy.abs.max(1)
+      assert(((n * b0 + s1 * b1 + s2 * b2 - sy).abs / scale) < 1e-9)
+      assert(((s1 * b0 + s11 * b1 + s12 * b2 - s1y).abs / scale) < 1e-9)
+      assert(((s2 * b0 + s12 * b1 + s22 * b2 - s2y).abs / scale) < 1e-9)
+      // sse matches the micro-unit quantized rescore of the TEST fold
+      val sseQ = test.map { r =>
+        val res = r._4 - (b0 + b1 * r._2 + b2 * r._3)
+        math.floor(res * res * 1000000.0).toLong
+      }.sum
+      assert(sse === sseQ.toDouble / 1000000.0)
+      assert(rmse === math.sqrt(sse / nTest.toDouble))
+    }
+  }
+
   test("q139 equals an all-triples brute force (each triangle counted once per corner)") {
     val got = run("q139_triangle_count").as[(Long, Long)].collect().toSeq
     Caches.releaseScoped()
