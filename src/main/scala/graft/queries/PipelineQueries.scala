@@ -1515,6 +1515,36 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // IVF INDEX-QUALITY REPORT (q150) — the vector-index observability
+    // metric every deployed ANN system monitors: per-cell population
+    // (balance — a skewed inverted file makes probe latency skewed) and
+    // mean member→centroid cosine (cell coherence / quantization
+    // quality — the signal that says "retrain the codebook"). Reads
+    // the SAME shared trained index q33/q77/q106/q132 search (one
+    // build per session), joins the 16-row codebook broadcast, and
+    // floor-quantizes each cosine to integer micro-units (the q149
+    // rule: the dot products are bit-equal sequential folds in both
+    // engines, so floor(x·10⁶) is deterministic; round(,N) on a
+    // computed double is not). One pass over the assignments, k rows
+    // out.
+    "q150_ivf_quality" -> { (s, d) =>
+      val asg = graft.similarity.IvfIndex.assignments(s, d)
+      val cb = graft.similarity.IvfIndex.codebook(s, d)
+        .select(col("centroid_id").as("cell"),
+          VectorOps.toDoubleArray(col("embedding")).as("cv"))
+        .withColumn("cn", VectorOps.norm(col("cv")))
+      asg.join(broadcast(cb), "cell")
+        .select(col("cell"),
+          floor(VectorOps.dot(col("nv"), col("cv")) / (col("nn") * col("cn"))
+            * lit(1000000.0)).cast("long").as("q"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), sum(col("q")).as("sq"))
+        .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+          (col("sq").cast("double") / lit(1000000.0) /
+            col("n_vectors").cast("double")).as("mean_cos"))
+        .orderBy("cell")
+    },
+
     // PREFIX-FILTERED SIMILARITY SELF-JOIN (q145) — the PPJoin / All-
     // Pairs prefix principle (Xiao et al. 2008; Bayardo et al. 2007)
     // as an exact Jaccard-threshold join over 3-shingle sets: order
@@ -2416,6 +2446,19 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q150: the same trained chain (IvfCte), the same dot/norm
+    // expression text, the same floor micro-unit quantization
+    "q150_ivf_quality" ->
+      s"""$IvfCte,
+         |qq AS (SELECT a.cell,
+         |         CAST(floor(list_dot_product(a.nv, c2.cv) / (a.nn * c2.cn) * 1000000.0) AS BIGINT) AS q
+         |       FROM asg a JOIN c2 ON a.cell = c2.centroid_id),
+         |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+         |        CAST(sum(q) AS BIGINT) AS sq
+         |      FROM qq GROUP BY cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+         |  CAST(sq AS DOUBLE) / 1000000.0 / CAST(n_vectors AS DOUBLE) AS mean_cos
+         |FROM g ORDER BY cell""".stripMargin,
     // q145: the EXHAUSTIVE truth — every pair sharing any shingle,
     // exact intersection counts, the same integer threshold. No prefix
     // logic anywhere: the match proves the screen complete.
