@@ -527,6 +527,26 @@ object AnalyticsQueries {
       graft.streaming.StreamingTransitions.transitionsReplay(s, d, 4)
     },
 
+    // QUOTA / RATE-LIMIT audit (q152) — the API-gateway batch twin:
+    // each user's events past their first 50 are flagged throttled (the
+    // per-user quota replay an abuse audit runs over a day's log). One
+    // window keyed by the natural partition (user), bounded by per-user
+    // event count — never a global sort (the q113 gaps-and-islands
+    // scale shape). The fixture generator keeps events-per-user ≈ 67 at
+    // EVERY scale factor, so both branches fire at every SF (a
+    // time-bucketed window key was rejected: per-user-per-bucket
+    // density shrinks with SF and the throttle branch went vacuous at
+    // the gate SF).
+    "q152_rate_limit" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .select(col("event_id"), col("user_id"), col("k"),
+          when(col("k") > 50L, 1L).otherwise(0L).as("throttled"))
+        .orderBy("event_id")
+    },
+
     "q122_retention_cohorts" -> { (s, d) =>
       val day = expr("unix_micros(ts) div 86400000000")
       val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
@@ -802,6 +822,13 @@ object AnalyticsQueries {
     // one-shot truth
     "q143_event_transitions" -> TransitionsSql,
     "q147_transitions_replay" -> TransitionsSql,
+    // q152: the same keyed row_number and threshold
+    "q152_rate_limit" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS k,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) > 50
+        |    THEN 1 ELSE 0 END AS BIGINT) AS throttled
+        |FROM events ORDER BY event_id""".stripMargin,
     // q139: the same orientation and oriented wedge enumeration — the
     // hash match proves each triangle is found exactly once
     "q139_triangle_count" ->

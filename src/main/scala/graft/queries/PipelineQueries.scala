@@ -1515,6 +1515,80 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // GOLDEN-RECORD SURVIVORSHIP (q151) — the master-data-management
+    // step after dedup clustering: each near-dup component (q60's
+    // converged propagation, shared code) collapses to ONE golden
+    // record under explicit survivorship rules — first-record-wins
+    // canonical text (min_by over the unique doc_id), coverage stats
+    // (members, distinct sources/langs, max/total chars) aggregated
+    // exactly. One keyed join + one partial-agg'd groupBy past the
+    // shared cluster build; the oracle replays the components with the
+    // recursive CTE (the q136 truth) and the same survivorship rules.
+    "q151_golden_record" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .join(clusterLabels(s, d), "doc_id")
+        .groupBy(col("lbl").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          expr("min_by(text, doc_id)").as("canonical_text"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("cluster")
+    },
+
+    // MINHASH ESTIMATOR-ERROR EVAL (q153) — the sketch-quality twin of
+    // q132/q150: for every banded candidate pair, the 16-slot MinHash
+    // Jaccard ESTIMATE (matching-slot fraction — the quantity LSH
+    // banding actually thresholds) against the TRUE shingle Jaccard,
+    // with the absolute error floor-quantized to micro-units (the q149
+    // rule). This is how a production dedup pipeline validates its
+    // sketch width before trusting it at 100 TB: candidates only —
+    // the eval costs what the dedup costs, never all-pairs. And it
+    // EARNS its keep on this fixture: the cheap linear-permutation
+    // family overestimates J ≈ 1 for pairs sharing one tiny-hash
+    // shingle (observed err up to 0.99 — the global-minimum shingle
+    // wins most slots of every set containing it), which is exactly
+    // why q31 verifies candidates with EXACT Jaccard and the pipeline
+    // never thresholds on the estimate alone.
+    "q153_minhash_error" -> { (s, d) =>
+      val P = lit(1000000007L)
+      val shd = shingleDocs(s, d)
+      val base = shd.select(col("doc_id"), explode(col("sh")).as("x"))
+        .select(col("doc_id"), (col("x") % P).as("hb"))
+      val minCols = (0 until 16).map(i =>
+        min((lit(2L * i + 1) * col("hb") + lit(i.toLong)) % P).as(s"m$i"))
+      val sig = graft.Caches.scopedPersist(
+        base.groupBy("doc_id").agg(minCols.head, minCols.tail: _*))
+      val bands = sig.select(col("doc_id"), posexplode(array((0 until 8).map(b =>
+          md5(concat_ws("_", col(s"m${2 * b}").cast("string"),
+            col(s"m${2 * b + 1}").cast("string")))): _*)).as(Seq("band", "bucket")))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sigA = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sigB = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+      cand.join(sigA, "doc_a").join(sigB, "doc_b")
+        .join(shd.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(shd.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (0 until 16).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _).as("n_match"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+          (size(col("sha")) + size(col("shb"))
+            - size(array_intersect(col("sha"), col("shb")))).cast("long").as("n_union"))
+        .selectExpr("doc_a", "doc_b", "n_match", "n_inter", "n_union",
+          "CAST(n_match AS DOUBLE) / 16.0 AS est_j",
+          "CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS true_j",
+          "CAST(floor(abs(CAST(n_match AS DOUBLE) / 16.0 - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * 1000000.0) AS BIGINT) AS err_micro")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // IVF INDEX-QUALITY REPORT (q150) — the vector-index observability
     // metric every deployed ANN system monitors: per-cell population
     // (balance — a skewed inverted file makes probe latency skewed) and
@@ -2446,6 +2520,53 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q151: the recursive-CTE component truth (the q136 chain) + the
+    // same survivorship aggregates
+    "q151_golden_record" ->
+      s"""${MinhashCandidatesSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.t = r.doc_id),
+         |cl AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  min_by(text, d.doc_id) AS canonical_text,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // q153: the same signatures (mh), the same banded candidates, the
+    // same exact set arithmetic and floor micro-unit error
+    "q153_minhash_error" ->
+      s"""$MinhashCandidatesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |sg AS (SELECT c.doc_a, c.doc_b,
+         |         CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |       FROM cand c JOIN mh ma ON c.doc_a = ma.doc_id
+         |       JOIN mh mb ON c.doc_b = mb.doc_id AND ma.seed = mb.seed
+         |       GROUP BY 1, 2),
+         |jt AS (SELECT c.doc_a, c.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+         |         CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_union
+         |       FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id)
+         |SELECT sg.doc_a, sg.doc_b, n_match, n_inter, n_union,
+         |  CAST(n_match AS DOUBLE) / 16.0 AS est_j,
+         |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS true_j,
+         |  CAST(floor(abs(CAST(n_match AS DOUBLE) / 16.0 - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)) * 1000000.0) AS BIGINT) AS err_micro
+         |FROM sg JOIN jt ON sg.doc_a = jt.doc_a AND sg.doc_b = jt.doc_b
+         |ORDER BY sg.doc_a, sg.doc_b""".stripMargin,
     // q150: the same trained chain (IvfCte), the same dot/norm
     // expression text, the same floor micro-unit quantization
     "q150_ivf_quality" ->
