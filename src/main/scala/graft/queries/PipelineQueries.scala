@@ -58,6 +58,25 @@ object PipelineQueries {
 
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
+  /** q28's stopword lang-ID scores + argmax prediction, shared with the
+    * q154 confusion matrix so the classifier and its eval can never
+    * drift apart. */
+  private def langidPredictions(s: SparkSession, d: String): DataFrame = {
+    def score(words: Seq[String]): Column =
+      size(filter(tokensCol, t => t.isin(words: _*))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        score(Seq("the", "of", "and", "to", "in")).as("s_en"),
+        score(Seq("der", "die", "das", "und", "ist")).as("s_de"),
+        score(Seq("el", "la", "de", "que", "y")).as("s_es"),
+        score(Seq("le", "la", "de", "et", "les")).as("s_fr"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+  }
+
   /** q126's fixed retrieval query — terms chosen from the fixture
     * vocabulary so the postings lookup is exercised at every SF. */
   private val Bm25Terms = Seq("join", "vector", "spark", "window")
@@ -798,20 +817,31 @@ object PipelineQueries {
     // Language ID: stopword-marker scoring with a fixed-priority argmax —
     // the classic n-gram/marker heuristic, fully relational.
     "q28_langid" -> { (s, d) =>
-      def score(words: Seq[String]): Column =
-        size(filter(tokensCol, t => t.isin(words: _*))).cast("long")
-      val sEn = score(Seq("the", "of", "and", "to", "in"))
-      val sDe = score(Seq("der", "die", "das", "und", "ist"))
-      val sEs = score(Seq("el", "la", "de", "que", "y"))
-      val sFr = score(Seq("le", "la", "de", "et", "les"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"))
-        .withColumn("predicted",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+      langidPredictions(s, d)
+        .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "predicted")
         .orderBy("doc_id")
+    },
+
+    // LANG-ID CONFUSION MATRIX (q154) — the eval face of q28: the
+    // stopword classifier's predictions against the labeled lang as a
+    // (truth, predicted, n, recall) matrix — the standard classifier
+    // report, with recall as ONE IEEE division of exact counts. And the
+    // matrix does its job on this corpus: the synthetic word soup
+    // contains NO real stopwords, every score is 0, and the >=-argmax
+    // routes every doc to the 'en' fallback — one solid (lang → en)
+    // column, the eval surfacing that q28's heuristic never actually
+    // discriminates on this fixture (an hour of debugging a prod
+    // pipeline, read off one 5-row table). Two partial-agg'd passes +
+    // one keyed join; |langs|² rows out at any corpus scale.
+    "q154_langid_confusion" -> { (s, d) =>
+      val cells = langidPredictions(s, d)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      cells.join(tot, "lang")
+        .select(col("lang"), col("predicted"), col("n"),
+          (col("n").cast("double") / col("n_lang").cast("double")).as("recall"))
+        .orderBy("lang", "predicted")
     },
 
     // Document fingerprint: token-level rolling polynomial hash mod p —
@@ -1536,6 +1566,26 @@ object PipelineQueries {
           max(col("n_chars")).as("max_chars"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("cluster")
+    },
+
+    // PER-SOURCE DUPLICATION REPORT (q155) — dedup observability by
+    // provenance: for each source, how many docs sit in a multi-member
+    // near-dup component (q60's clusters, shared code) and the dup
+    // rate as one exact division — the dashboard that tells a crawl
+    // operator WHICH feed is flooding the corpus with near-copies.
+    // Cluster sizes partial-aggregate, docs join their component size
+    // keyed by cluster, one groupBy by source.
+    "q155_source_dup_rate" -> { (s, d) =>
+      val cl = clusterLabels(s, d)
+      val sizes = cl.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      Tables.documents(s, d).select("doc_id", "source")
+        .join(cl, "doc_id").join(sizes, "lbl")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          (col("n_dup_docs").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
+        .orderBy("source")
     },
 
     // MINHASH ESTIMATOR-ERROR EVAL (q153) — the sketch-quality twin of
@@ -2520,6 +2570,55 @@ object PipelineQueries {
         |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
         |  CAST(32 * 24 * 3 AS INTEGER) AS n_bytes
         |FROM range(48) ORDER BY frame_number""".stripMargin,
+    // q154: the same scores and argmax, then the matrix + one-division
+    // recall
+    "q154_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','of','and','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(tk, x -> x IN ('le','la','de','et','les'))) AS BIGINT) AS s_fr
+        |  FROM t),
+        |p AS (SELECT lang,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS predicted
+        |  FROM sc),
+        |cells AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cells GROUP BY lang)
+        |SELECT cells.lang, predicted, n,
+        |  CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS recall
+        |FROM cells JOIN tot ON cells.lang = tot.lang
+        |ORDER BY cells.lang, predicted""".stripMargin,
+    // q155: the component truth again, sizes + the same per-source
+    // division
+    "q155_source_dup_rate" ->
+      s"""${MinhashCandidatesSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.t = r.doc_id),
+         |cl AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
+         |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY lbl),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |  FROM documents d JOIN cl ON d.doc_id = cl.doc_id JOIN cs ON cl.lbl = cs.lbl
+         |  GROUP BY source)
+         |SELECT source, n_docs, n_dup_docs,
+         |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+         |FROM g ORDER BY source""".stripMargin,
     // q151: the recursive-CTE component truth (the q136 chain) + the
     // same survivorship aggregates
     "q151_golden_record" ->
