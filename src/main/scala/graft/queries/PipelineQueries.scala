@@ -1568,6 +1568,29 @@ object PipelineQueries {
         .orderBy("cluster")
     },
 
+    // DEDUP SAVINGS REPORT (q156) — the corpus-level answer to "what
+    // did deduplication buy us": under the q60 keep rule (each
+    // component keeps its min-doc_id representative), the doc and
+    // char counts kept vs dropped and the savings rate as one exact
+    // division — the number a storage/training-budget review asks for
+    // first. One keyed join + one global aggregation past the shared
+    // cluster build; 1 row out.
+    "q156_dedup_savings" -> { (s, d) =>
+      val cl = clusterLabels(s, d)
+      Tables.documents(s, d).select("doc_id", "n_chars")
+        .join(cl, "doc_id")
+        .select(col("n_chars"),
+          when(col("doc_id") === col("lbl"), 1L).otherwise(0L).as("kept"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          sum(lit(1L) - col("kept")).as("n_dropped"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(col("n_chars") * col("kept")).as("chars_kept"))
+        .selectExpr("n_docs", "n_kept", "n_dropped", "chars_total", "chars_kept",
+          "chars_total - chars_kept AS chars_dropped",
+          "CAST(chars_total - chars_kept AS DOUBLE) / CAST(chars_total AS DOUBLE) AS savings_rate")
+    },
+
     // PER-SOURCE DUPLICATION REPORT (q155) — dedup observability by
     // provenance: for each source, how many docs sit in a multi-member
     // near-dup component (q60's clusters, shared code) and the dup
@@ -2593,6 +2616,36 @@ object PipelineQueries {
         |  CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS recall
         |FROM cells JOIN tot ON cells.lang = tot.lang
         |ORDER BY cells.lang, predicted""".stripMargin,
+    // q156: the component truth again, the same keep rule and division
+    "q156_dedup_savings" ->
+      s"""${MinhashCandidatesSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.t = r.doc_id),
+         |cl AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
+         |k AS (SELECT d.n_chars,
+         |    CASE WHEN d.doc_id = cl.lbl THEN 1 ELSE 0 END AS kept
+         |  FROM documents d JOIN cl ON d.doc_id = cl.doc_id),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(kept) AS BIGINT) AS n_kept,
+         |    CAST(sum(1 - kept) AS BIGINT) AS n_dropped,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |    CAST(sum(n_chars * kept) AS BIGINT) AS chars_kept
+         |  FROM k)
+         |SELECT n_docs, n_kept, n_dropped, chars_total, chars_kept,
+         |  chars_total - chars_kept AS chars_dropped,
+         |  CAST(chars_total - chars_kept AS DOUBLE) / CAST(chars_total AS DOUBLE) AS savings_rate
+         |FROM g""".stripMargin,
     // q155: the component truth again, sizes + the same per-source
     // division
     "q155_source_dup_rate" ->
