@@ -547,6 +547,27 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    // USER-GROWTH CURVE (q157) — cumulative distinct users by day, the
+    // companion to q122's retention matrix. The naive form (a running
+    // COUNT(DISTINCT) window) holds unbounded state; the scale-correct
+    // form maps each user to their FIRST day (one partial-agg'd min),
+    // counts new users per day, and runs the cumulative sum over the
+    // DAY table — a relation bounded by calendar length, not corpus
+    // size, so the only ordered window is driver-sized by construction.
+    // Day bucketing in epoch days (the q122 rule).
+    "q157_user_growth" -> { (s, d) =>
+      val firstDay = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("first_day"))
+      val perDay = firstDay.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      perDay
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    },
+
     "q122_retention_cohorts" -> { (s, d) =>
       val day = expr("unix_micros(ts) div 86400000000")
       val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
@@ -822,6 +843,16 @@ object AnalyticsQueries {
     // one-shot truth
     "q143_event_transitions" -> TransitionsSql,
     "q147_transitions_replay" -> TransitionsSql,
+    // q157: the same first-day mapping and day-table running sum
+    "q157_user_growth" ->
+      """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM p ORDER BY day""".stripMargin,
     // q152: the same keyed row_number and threshold
     "q152_rate_limit" ->
       """SELECT event_id, user_id,

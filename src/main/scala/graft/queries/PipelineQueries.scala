@@ -58,6 +58,30 @@ object PipelineQueries {
 
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
+  /** q140's PMI-scored frequent bigrams, shared with q158's per-term
+    * top-3 so the collocation scorer and its faces can never drift. */
+  private def pmiScoredBigrams(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Caches.scopedPersist(
+      Tables.documents(s, d).select(tokensCol.as("tk")))
+    val uni = toks.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val tot = toks.agg(
+      sum(size(col("tk"))).cast("long").as("nt"),
+      sum(when(size(col("tk")) >= 2, size(col("tk")) - 1).otherwise(0))
+        .cast("long").as("nb"))
+    val big = toks.select(explode(TextOps.shingles(col("tk"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinPair)
+    big.crossJoin(broadcast(tot))
+      .join(uni.select(col("tok").as("ta"), col("n_tok").as("n_a")),
+        element_at(split(col("bigram"), " "), 1) === col("ta"))
+      .join(uni.select(col("tok").as("tb"), col("n_tok").as("n_b")),
+        element_at(split(col("bigram"), " "), 2) === col("tb"))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("nt") * col("nt")).cast("double") /
+          (col("nb") * col("n_a") * col("n_b")).cast("double")).as("pmi_ratio"))
+  }
+
   /** q28's stopword lang-ID scores + argmax prediction, shared with the
     * q154 confusion matrix so the classifier and its eval can never
     * drift apart. */
@@ -1817,27 +1841,28 @@ object PipelineQueries {
     // TakeOrdered, never a global sort. (At true 100 TB token counts the
     // BIGINT products upgrade to DECIMAL(38,0) — same plan.)
     "q140_pmi_collocations" -> { (s, d) =>
-      val toks = graft.Caches.scopedPersist(
-        Tables.documents(s, d).select(tokensCol.as("tk")))
-      val uni = toks.select(explode(col("tk")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("n_tok"))
-      val tot = toks.agg(
-        sum(size(col("tk"))).cast("long").as("nt"),
-        sum(when(size(col("tk")) >= 2, size(col("tk")) - 1).otherwise(0))
-          .cast("long").as("nb"))
-      val big = toks.select(explode(TextOps.shingles(col("tk"), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= PmiMinPair)
-      big.crossJoin(broadcast(tot))
-        .join(uni.select(col("tok").as("ta"), col("n_tok").as("n_a")),
-          element_at(split(col("bigram"), " "), 1) === col("ta"))
-        .join(uni.select(col("tok").as("tb"), col("n_tok").as("n_b")),
-          element_at(split(col("bigram"), " "), 2) === col("tb"))
-        .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
-          ((col("n_ab") * col("nt") * col("nt")).cast("double") /
-            (col("nb") * col("n_a") * col("n_b")).cast("double")).as("pmi_ratio"))
+      pmiScoredBigrams(s, d)
         .orderBy(col("pmi_ratio").desc, col("bigram").asc)
         .limit(20)
+    },
+
+    // RELATED TERMS (q158) — the "related searches" / thesaurus face of
+    // q140 through the SHARED scorer: for each left word, its top-3
+    // collocates by PMI ratio. The per-term cut is a window bounded by
+    // that word's bigram count (vocabulary-shaped, never corpus-
+    // shaped), unlike q140's single global TakeOrdered — the two
+    // bounded-top-k idioms side by side.
+    "q158_related_terms" -> { (s, d) =>
+      val w = Window.partitionBy("term")
+        .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+      pmiScoredBigrams(s, d)
+        .select(element_at(split(col("bigram"), " "), 1).as("term"),
+          element_at(split(col("bigram"), " "), 2).as("collocate"),
+          col("bigram"), col("n_ab"), col("pmi_ratio"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("term", "collocate", "n_ab", "pmi_ratio", "rank")
+        .orderBy("term", "rank")
     },
 
     // HYBRID two-stage retrieval — the RAG-standard recall→rerank
@@ -2777,6 +2802,31 @@ object PipelineQueries {
         |         SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3) u GROUP BY node)
         |SELECT dc.node AS token, d0.deg AS deg0, dc.deg AS deg_core
         |FROM dc JOIN d0 ON dc.node = d0.node ORDER BY token""".stripMargin,
+    // q158: the same scored bigrams, a per-term row_number rank ≤ 3
+    "q158_related_terms" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM (
+        |          SELECT unnest(tk) AS tok FROM toks) u GROUP BY tok),
+        |tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS nt,
+        |          CAST(sum(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END) AS BIGINT) AS nb
+        |        FROM toks),
+        |big AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM (
+        |          SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |            i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |          FROM toks WHERE len(tk) >= 2) b
+        |        GROUP BY bigram HAVING count(*) >= 3),
+        |sc AS (SELECT bigram, string_split(bigram, ' ')[1] AS term,
+        |         string_split(bigram, ' ')[2] AS collocate, n_ab,
+        |         CAST(n_ab * nt * nt AS DOUBLE) / CAST(nb * ua.n_tok * ub.n_tok AS DOUBLE) AS pmi_ratio
+        |       FROM big CROSS JOIN tot
+        |       JOIN uni ua ON string_split(bigram, ' ')[1] = ua.tok
+        |       JOIN uni ub ON string_split(bigram, ' ')[2] = ub.tok),
+        |r AS (SELECT term, collocate, n_ab, pmi_ratio,
+        |        CAST(row_number() OVER (PARTITION BY term
+        |          ORDER BY pmi_ratio DESC, bigram) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT term, collocate, n_ab, pmi_ratio, rank
+        |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin,
     // q140: identical counts, the same exact-BIGINT-product ratio (one
     // IEEE division), the same (ratio DESC, bigram) top-20
     "q140_pmi_collocations" ->
