@@ -332,6 +332,37 @@ object AnalyticsQueries {
         .orderBy("fold")
     },
 
+    // REFERENTIAL-INTEGRITY AUDIT (q159) — the warehouse DQ face q121
+    // doesn't cover: cross-TABLE consistency. Four keyed anti-join
+    // checks over the TPC-H relations (orphan lineitems, childless
+    // orders, orders with unknown customers, customers with no
+    // orders), reported long-form like q121 (check, n_left, n_orphans,
+    // pass — "customers without orders" is informational, pass by
+    // definition). Each check is one anti join keyed on the foreign
+    // key — broadcast or SMJ as sizes dictate, never a scan product.
+    "q159_referential_integrity" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"))
+      def check(name: String, informational: Boolean,
+                left: org.apache.spark.sql.DataFrame, orphans: Long): (String, Long, Long, Long) =
+        (name, left.count(), orphans,
+          if (informational || orphans == 0L) 1L else 0L)
+      val rows = Seq(
+        check("lineitem_has_order", informational = false, li,
+          li.join(ord.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti").count()),
+        check("order_has_lineitem", informational = true, ord,
+          ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti").count()),
+        check("order_has_customer", informational = false, ord,
+          ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti").count()),
+        check("customer_has_order", informational = true, cust,
+          cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti").count()))
+      rows.toDF("check_name", "n_left", "n_orphans", "pass")
+        .orderBy("check_name")
+    },
+
     "q114_profile" -> { (s, d) =>
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val aggs = count(lit(1)).as("n_rows") +:
@@ -843,6 +874,33 @@ object AnalyticsQueries {
     // one-shot truth
     "q143_event_transitions" -> TransitionsSql,
     "q147_transitions_replay" -> TransitionsSql,
+    // q159: the same four anti-join counts, long-form
+    "q159_referential_integrity" ->
+      """WITH c1 AS (SELECT 'lineitem_has_order' AS check_name,
+        |    CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_left,
+        |    CAST((SELECT count(*) FROM lineitem
+        |          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_orphans,
+        |    CAST(0 AS BIGINT) AS informational),
+        |c2 AS (SELECT 'order_has_lineitem',
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |    CAST((SELECT count(*) FROM orders
+        |          WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)) AS BIGINT),
+        |    CAST(1 AS BIGINT)),
+        |c3 AS (SELECT 'order_has_customer',
+        |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |    CAST((SELECT count(*) FROM orders
+        |          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+        |    CAST(0 AS BIGINT)),
+        |c4 AS (SELECT 'customer_has_order',
+        |    CAST((SELECT count(*) FROM customer) AS BIGINT),
+        |    CAST((SELECT count(*) FROM customer
+        |          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT),
+        |    CAST(1 AS BIGINT)),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+        |SELECT check_name, n_left, n_orphans,
+        |  CAST(CASE WHEN informational = 1 OR n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
     // q157: the same first-day mapping and day-table running sum
     "q157_user_growth" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
