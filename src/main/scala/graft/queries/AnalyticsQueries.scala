@@ -363,6 +363,45 @@ object AnalyticsQueries {
         .orderBy("check_name")
     },
 
+    // JOIN-KEY SKEW DIAGNOSTIC (q161) — the pre-flight report behind
+    // every salting / AQE-skew-join / broadcast decision in this repo
+    // (q134's salt width, q64's two-level distinct, the q116 hot-bucket
+    // guard were each justified by exactly these numbers, measured ad
+    // hoc): per join key, the frequency profile that says WHICH keys
+    // would flood a shuffle partition. Per relation: one partial-agg'd
+    // per-key count, then two driver-sized aggregations over the key
+    // table — n_rows/n_keys/max, exact interpolated p50/p99 (the q46
+    // rule), top-key share in ppm as exact integer division, and the
+    // hot-key count under the cross-multiplied integer rule
+    // c·n_keys > 2·n_rows (no float threshold). The totals ride a
+    // 1-row broadcast crossJoin (the q115 dangling-mass idiom) — never
+    // a window over the key table. All three profiled keys show real
+    // skew shape at every SF (lineitem ~1-7 rows/order, events ~uniform
+    // users, orders ~10 per customer), and the hot branch fires on
+    // events/orders at the gate SFs.
+    "q161_skew_report" -> { (s, d) =>
+      def report(rel: DataFrame, key: String, name: String): DataFrame = {
+        val cnts = graft.Caches.scopedPersist(
+          rel.groupBy(col(key).as("k")).agg(count(lit(1)).as("c")))
+        val tot = cnts.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_cnt"),
+          expr("percentile(c, 0.5)").as("p50_cnt"),
+          expr("percentile(c, 0.99)").as("p99_cnt"))
+        val hot = cnts.crossJoin(broadcast(tot.select("n_keys", "n_rows")))
+          .agg(sum(when(col("c") * col("n_keys") > col("n_rows") * 2, 1L)
+            .otherwise(0L)).as("n_hot"))
+        tot.crossJoin(broadcast(hot))
+          .select(lit(name).as("relation"), col("n_rows"), col("n_keys"),
+            col("max_cnt"),
+            expr("max_cnt * 1000000 div n_rows").as("top_share_ppm"),
+            col("p50_cnt"), col("p99_cnt"), col("n_hot"))
+      }
+      report(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(report(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+        .unionByName(report(Tables.events(s, d), "user_id", "events.user_id"))
+        .orderBy("relation")
+    },
+
     "q114_profile" -> { (s, d) =>
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val aggs = count(lit(1)).as("n_rows") +:

@@ -954,6 +954,42 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // kNN LABEL-AGREEMENT AUDIT (q164) — the Confident-Learning-style
+    // label-noise screen (Northcutt et al.): a training example whose
+    // k nearest neighbors in embedding space vote for a DIFFERENT label
+    // is a mislabeling candidate. Same fixed 32-query audit slice and
+    // brute-force-exact neighbor rule as q132 (cost: slice × corpus,
+    // linear in the corpus — the production shape is "audit a pinned
+    // sample per ingest batch", never all×all); neighbor labels arrive
+    // on one keyed equi-join, the 5-vote majority is a per-query
+    // ≤ |labels| aggregation with a deterministic (count DESC, label
+    // ASC) tie-break. Both branches fire at every gate SF: the
+    // synthetic labels are near-independent of the embedding geometry,
+    // so the audit flags most of the slice (28/32 at sf0.01) and
+    // clears the rest — exactly the report shape that, on real data,
+    // surfaces systematic mislabeling. Oracle replays neighbor rule,
+    // votes, and tie-break verbatim.
+    "q164_label_agreement" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 32).select("vec_id", "embedding")
+      val nbrs = Ann.bruteForceKnn(emb.select("vec_id", "embedding"), queries, 5)
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+      val votes = nbrs.groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("n_votes").desc, col("n_label").asc)
+      val maj = votes.withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("n_label").as("maj_label"), col("n_votes"))
+      emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("label"))
+        .join(maj, "query_id")
+        .select(col("query_id"), col("label"), col("maj_label"), col("n_votes"),
+          when(col("label") =!= col("maj_label"), 1L).otherwise(0L).as("flagged"))
+        .orderBy("query_id")
+    },
+
     // HARD-NEGATIVE mining — the contrastive-training data op (pick,
     // per query, the nearest vectors of a DIFFERENT class): q106 is the
     // STATIC pre-filter face (predicate known before the search); this
@@ -1765,6 +1801,68 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    // ASYMMETRIC CONTAINMENT JOIN (q160) — quote/subset detection, the
+    // dedup face resemblance provably cannot see: when a small doc is
+    // swallowed whole by a much larger one, J = |∩|/|∪| ≤ m_min/m_max
+    // collapses while containment C = |∩|/min(ma,mb) stays 1, so every
+    // Jaccard-keyed pass (q31/q145) walks past wholesale quotation.
+    // This join keys on C ≥ 0.8. Screen: the q145 prefix principle
+    // ADAPTED to the asymmetric threshold — each doc keeps its rarest
+    // m − ⌈0.8m⌉ + 1 shingles as a prefix, but the prefix joins the
+    // other side's FULL postings (not prefix×prefix): C ≥ 0.8 bounds
+    // the overlap only against the SMALLER doc, and since the smaller
+    // side is unknown at screen time both orientations fall out of the
+    // one prefix⨝postings join under da<db canonicalization. Complete:
+    // for a qualifying pair let A be the smaller — if B missed all of
+    // A's prefix, shared ⊆ the remaining ⌈0.8·ma⌉ − 1 < 0.8·ma
+    // shingles, contradiction. Cost Σ_tok prefix_df(tok)·df(tok),
+    // never doc×doc. Thresholds are cross-multiplied integers
+    // (5·inter ≥ 4·min); `resemblance_blind` marks the pairs a J ≥ 0.5
+    // pass would drop (3·inter < ma+mb). The synthetic corpus's
+    // near-dups are all same-length (its 25 containment pairs are also
+    // resemblance pairs — the flag is honestly 0 at every gate SF), so
+    // the blind branch is proven on a planted embedded-quote corpus in
+    // ContainmentJoinSpec (the q146 planted-OOV precedent); the ORACLE
+    // is the exhaustive all-pairs truth, proving the asymmetric screen
+    // complete (the q145 rule).
+    "q160_containment_join" -> { (s, d) =>
+      val sh = graft.Caches.scopedPersist(
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokensCol.as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("tok"))
+          .distinct())
+      val m = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
+      val prefix = sh.join(dfreq, "tok").join(m, "doc_id")
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("m") - expr("(4 * m + 4) div 5") + 1)
+        .select("doc_id", "tok")
+      val cand = prefix.select(col("doc_id").as("pa"), col("tok"))
+        .join(sh.select(col("doc_id").as("pb"), col("tok")), "tok")
+        .filter(col("pa") =!= col("pb"))
+        .select(least(col("pa"), col("pb")).as("da"),
+          greatest(col("pa"), col("pb")).as("db"))
+        .distinct()
+      val inter = cand
+        .join(sh.select(col("doc_id").as("da"), col("tok")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      inter
+        .join(m.select(col("doc_id").as("da"), col("m").as("ma")), "da")
+        .join(m.select(col("doc_id").as("db"), col("m").as("mb")), "db")
+        .filter(col("inter") * 5 >= least(col("ma"), col("mb")) * 4)
+        .select(col("da"), col("db"), col("inter"), col("ma"), col("mb"),
+          (col("inter").cast("double") /
+            least(col("ma"), col("mb")).cast("double")).as("containment"),
+          (col("inter").cast("double") /
+            (col("ma") + col("mb") - col("inter")).cast("double")).as("jaccard"),
+          when(col("inter") * 3 < col("ma") + col("mb"), 1L).otherwise(0L)
+            .as("resemblance_blind"))
+        .orderBy("da", "db")
+    },
+
     // GRAPH-OF-WORDS K-CORE (q144) — keyword extraction by core
     // decomposition (Rousseau & Vazirgiannis 2015): nodes are words,
     // edges the frequent bigrams (q140's graph, canonicalized
@@ -2344,6 +2442,28 @@ object PipelineQueries {
          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
          |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
     },
+    // q164: exact-kNN votes, majority with the (count DESC, label ASC)
+    // tie-break, flag = own label ≠ majority
+    "q164_label_agreement" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id, v, label, nrm FROM n WHERE vec_id < 32),
+        |r AS (SELECT q.vec_id AS query_id, b.label AS n_label,
+        |        row_number() OVER (PARTITION BY q.vec_id
+        |          ORDER BY round(list_dot_product(q.v, b.v) / (q.nrm * b.nrm), 4) DESC,
+        |                   b.vec_id) AS rk
+        |      FROM q JOIN n b ON b.vec_id <> q.vec_id),
+        |votes AS (SELECT query_id, n_label, CAST(count(*) AS BIGINT) AS n_votes
+        |          FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |maj AS (SELECT query_id, n_label AS maj_label, n_votes FROM (
+        |    SELECT query_id, n_label, n_votes,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY n_votes DESC, n_label ASC) AS m
+        |    FROM votes) WHERE m = 1)
+        |SELECT q.vec_id AS query_id, q.label, maj.maj_label, maj.n_votes,
+        |  CASE WHEN q.label <> maj.maj_label THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS flagged
+        |FROM q JOIN maj ON q.vec_id = maj.query_id ORDER BY query_id""".stripMargin,
     // q135: the q33 replay with labels joined and the DYNAMIC
     // (neighbor-label ≠ query-label) predicate on the candidate set
     // before ranking
@@ -2773,6 +2893,25 @@ object PipelineQueries {
         |  CAST(inter AS DOUBLE) / CAST(ma.m + mb.m - inter AS DOUBLE) AS jaccard
         |FROM p JOIN m ma ON p.da = ma.doc_id JOIN m mb ON p.db = mb.doc_id
         |WHERE inter * 8 >= (ma.m + mb.m) * 3
+        |ORDER BY da, db""".stripMargin,
+    // q160: the exhaustive all-pairs containment truth — the hash match
+    // proves the asymmetric prefix⨝postings screen complete
+    "q160_containment_join" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+        |       FROM toks WHERE len(tk) >= 3),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
+        |      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT da, db, inter, ma.m AS ma, mb.m AS mb,
+        |  CAST(inter AS DOUBLE) / CAST(least(ma.m, mb.m) AS DOUBLE) AS containment,
+        |  CAST(inter AS DOUBLE) / CAST(ma.m + mb.m - inter AS DOUBLE) AS jaccard,
+        |  CASE WHEN inter * 3 < ma.m + mb.m THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS resemblance_blind
+        |FROM p JOIN m ma ON p.da = ma.doc_id JOIN m mb ON p.db = mb.doc_id
+        |WHERE inter * 5 >= least(ma.m, mb.m) * 4
         |ORDER BY da, db""".stripMargin,
     // q144: the same graph and THREE unrolled peel rounds — the match
     // proves each round consumes the previous round's survivors
