@@ -940,6 +940,31 @@ object AnalyticsQueries {
         |SELECT check_name, n_left, n_orphans,
         |  CAST(CASE WHEN informational = 1 OR n_orphans = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+    // q161: the same per-key counts, driver-sized stats, and the
+    // cross-multiplied hot rule, replayed per relation
+    "q161_skew_report" -> {
+      def one(table: String, key: String): String =
+        s"""(WITH c AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS c
+           |           FROM $table GROUP BY 1),
+           |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |        CAST(sum(c) AS BIGINT) AS n_rows,
+           |        CAST(max(c) AS BIGINT) AS max_cnt,
+           |        quantile_cont(c, 0.5) AS p50_cnt,
+           |        quantile_cont(c, 0.99) AS p99_cnt FROM c),
+           |h AS (SELECT CAST(count(*) FILTER (WHERE
+           |        c * (SELECT n_keys FROM s) > (SELECT n_rows FROM s) * 2)
+           |        AS BIGINT) AS n_hot FROM c)
+           |SELECT '$table.$key' AS relation, n_rows, n_keys, max_cnt,
+           |  max_cnt * 1000000 // n_rows AS top_share_ppm,
+           |  p50_cnt, p99_cnt, n_hot FROM s, h)""".stripMargin
+      s"""SELECT * FROM (
+         |${one("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${one("orders", "o_custkey")}
+         |UNION ALL
+         |${one("events", "user_id")}
+         |) ORDER BY relation""".stripMargin
+    },
     // q157: the same first-day mapping and day-table running sum
     "q157_user_growth" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day

@@ -650,6 +650,52 @@ object CurationQueries {
     // a bounded per-partition heap — k+1 rows per task reach the driver,
     // never a global sort. The rank window after the limit orders k+1
     // rows, bounded by k, not the corpus.
+    // TOKEN-BUDGET MIXTURE ALLOCATION (q162) — the planning face of
+    // corpus mixing (q79 is the per-doc sampling face that EXECUTES
+    // such rates): given a token budget B = N div 2 and per-(source,
+    // lang) availability n, allocate B by sqrt-weight (the standard
+    // α=0.5 rebalancing toward small strata), cap at availability, and
+    // redistribute the remainder among uncapped strata in ONE
+    // waterfilling round. Arithmetic discipline: weights are
+    // floor(√n·1e6) BIGINTs so every Σ is exact integer (a double Σ
+    // would be shuffle-order-dependent); each share is ONE IEEE
+    // multiply+divide on exact operands floored back to BIGINT tokens
+    // (√ is correctly rounded, the q47 rule). Work shape: one
+    // partial-agg'd scan to the strata table (driver-sized), two 1-row
+    // broadcast crossJoins — nothing keyed by corpus size. The cap
+    // branch fires at the gate SFs (7 strata at sf0.001, 6 at sf0.01)
+    // and is honestly idle on sf0.1's near-uniform strata (the q144
+    // inverted-vacuity precedent); Σalloc1 ≤ Σideal ≤ B keeps the
+    // leftover non-negative by construction.
+    "q162_mixture_allocation" -> { (s, d) =>
+      val per = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source", "lang").agg(sum(col("nt")).as("n_tokens"))
+      val wq = per.withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0d)).cast("long"))
+      val tot = wq.agg(sum(col("w")).as("sw"), sum(col("n_tokens")).as("n_total"))
+      val a1 = wq.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("n_total div 2"))
+        .withColumn("ideal",
+          floor(col("budget").cast("double") * col("w").cast("double")
+            / col("sw").cast("double")).cast("long"))
+        .withColumn("alloc1", least(col("n_tokens"), col("ideal")))
+      val t2 = a1.agg(sum(col("alloc1")).as("sa"),
+        sum(when(col("ideal") < col("n_tokens"), col("w")).otherwise(0L)).as("sw2"))
+      a1.crossJoin(broadcast(t2))
+        .withColumn("alloc_final",
+          when(col("ideal") < col("n_tokens") && col("sw2") > 0L,
+            least(col("n_tokens"), col("alloc1") +
+              floor((col("budget") - col("sa")).cast("double")
+                * col("w").cast("double") / col("sw2").cast("double")).cast("long")))
+            .otherwise(col("alloc1")))
+        .select(col("source"), col("lang"), col("n_tokens"),
+          col("w").as("weight_q"), col("alloc1"), col("alloc_final"),
+          when(col("alloc_final") === col("n_tokens"), 1L).otherwise(0L).as("capped"))
+        .orderBy("source", "lang")
+    },
+
     "q104_priority_sample" -> { (s, d) =>
       val k = PrioritySampleK
       val u = (TextOps.hash56(concat(lit("ps:"), col("doc_id").cast("string")))
@@ -1050,6 +1096,32 @@ object CurationQueries {
     // priority = w / ((CAST(h AS DOUBLE) + 1) / 2^56) mirrors the Spark
     // expression op-for-op: int64→double conversion, exact power-of-two
     // division, one w/u division — every step IEEE-identical
+    // q162: the same quantized weights, exact-integer sums, floored
+    // IEEE shares, cap, and one waterfilling round
+    "q162_mixture_allocation" ->
+      """WITH per AS (SELECT source, lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |wq AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        |       FROM per),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+        |          CAST(sum(n_tokens) AS BIGINT) AS n_total FROM wq),
+        |a1 AS (SELECT wq.*, n_total // 2 AS budget,
+        |         CAST(floor((n_total // 2) * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) AS ideal
+        |       FROM wq, tot),
+        |a2 AS (SELECT *, least(n_tokens, ideal) AS alloc1 FROM a1),
+        |t2 AS (SELECT CAST(sum(alloc1) AS BIGINT) AS sa,
+        |         CAST(sum(CASE WHEN ideal < n_tokens THEN w ELSE 0 END) AS BIGINT) AS sw2
+        |       FROM a2),
+        |a3 AS (SELECT source, lang, n_tokens, w, alloc1,
+        |         CASE WHEN ideal < n_tokens AND sw2 > 0
+        |              THEN least(n_tokens, alloc1 + CAST(floor(CAST(budget - sa AS DOUBLE)
+        |                     * CAST(w AS DOUBLE) / CAST(sw2 AS DOUBLE)) AS BIGINT))
+        |              ELSE alloc1 END AS alloc_final
+        |       FROM a2, t2)
+        |SELECT source, lang, n_tokens, w AS weight_q, alloc1, alloc_final,
+        |  CAST(CASE WHEN alloc_final = n_tokens THEN 1 ELSE 0 END AS BIGINT) AS capped
+        |FROM a3 ORDER BY source, lang""".stripMargin,
     "q104_priority_sample" ->
       s"""WITH p AS (SELECT doc_id, n_chars,
          |    CAST(n_chars AS DOUBLE) /

@@ -1863,6 +1863,37 @@ object PipelineQueries {
         .orderBy("da", "db")
     },
 
+    // VOCABULARY-GROWTH CURVE (q163) — Heaps'-law corpus observability,
+    // the tokenizer-planning statistic (how fast does the type
+    // inventory still grow → is more data still buying vocabulary?):
+    // q157's scale-correct shape on a harder stream. A running
+    // COUNT(DISTINCT token) window would hold vocabulary-sized state;
+    // instead each type maps to the doc where it FIRST appears (one
+    // partial-agg'd min over the exploded token stream), new types
+    // count per 100-doc bucket, and the running sums ride the BUCKET
+    // table — corpus/100 rows, so the only ordered window is
+    // driver-sized by construction. cum_types beside cum_tokens IS the
+    // Heaps V-vs-T curve, exported as exact integers without a single
+    // transcendental (plot log-log downstream).
+    "q163_vocab_growth" -> { (s, d) =>
+      val tok = graft.Caches.scopedPersist(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokensCol).as("tok")))
+      val newTypes = tok.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(expr("first_doc div 100").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val perBucket = tok.groupBy(expr("doc_id div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBucket.join(newTypes, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .orderBy("bucket")
+    },
+
     // GRAPH-OF-WORDS K-CORE (q144) — keyword extraction by core
     // decomposition (Rousseau & Vazirgiannis 2015): nodes are words,
     // edges the frequent bigrams (q140's graph, canonicalized
@@ -2913,6 +2944,19 @@ object PipelineQueries {
         |FROM p JOIN m ma ON p.da = ma.doc_id JOIN m mb ON p.db = mb.doc_id
         |WHERE inter * 5 >= least(ma.m, mb.m) * 4
         |ORDER BY da, db""".stripMargin,
+    // q163: the same first-doc mapping and bucket-table running sums
+    "q163_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |nt AS (SELECT first_doc // 100 AS bucket, CAST(count(*) AS BIGINT) AS new_types
+        |       FROM f GROUP BY 1),
+        |pb AS (SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |       FROM tok GROUP BY 1)
+        |SELECT pb.bucket, pb.n_tokens,
+        |  CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_types,
+        |  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens
+        |FROM pb LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin,
     // q144: the same graph and THREE unrolled peel rounds — the match
     // proves each round consumes the previous round's survivors
     "q144_kcore_keywords" ->

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{Caches, SparkEntry, SparkSpec, Tables}
+
+/** Oracle-independent brute forces for the corpus-planning additions
+  * (q161 join-key skew diagnostic, q162 token-budget mixture
+  * allocation, q163 vocabulary-growth curve) — plain Scala over
+  * collected rows, so the DuckDB gate and these specs fail
+  * independently (the AnalyticsExtensionsSpec pattern). */
+class CorpusPlanningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("q161 events.user_id row recomputes from a plain-Scala key profile") {
+    val got = run("q161_skew_report")
+      .as[(String, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().find(_._1 == "events.user_id").get
+    Caches.releaseScoped()
+    val counts = Tables.events(spark, sf0001).select("user_id").as[Long]
+      .collect().groupBy(identity).values.map(_.length.toLong).toSeq.sorted
+    val (nKeys, nRows, maxCnt) = (counts.size.toLong, counts.sum, counts.max)
+    assert(got._2 === nRows && got._3 === nKeys && got._4 === maxCnt)
+    assert(got._5 === maxCnt * 1000000L / nRows)
+    assert(got._8 === counts.count(c => c * nKeys > 2 * nRows).toLong)
+    // exact interpolated percentiles ordered sanely
+    assert(got._6 <= got._7 && got._7 <= maxCnt.toDouble)
+  }
+
+  test("q162 allocation recomputes exactly and never exceeds budget or availability") {
+    val got = run("q162_mixture_allocation")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    Caches.releaseScoped()
+    val n = got.map(r => (r._1, r._2) -> r._3).toMap
+    val nTotal = n.values.sum
+    val budget = nTotal / 2
+    val w = n.view.mapValues(v => math.floor(math.sqrt(v.toDouble) * 1e6).toLong).toMap
+    val sw = w.values.sum
+    val ideal = w.view.mapValues(wi =>
+      math.floor(budget.toDouble * wi.toDouble / sw.toDouble).toLong).toMap
+    val a1 = n.keys.map(k => k -> math.min(n(k), ideal(k))).toMap
+    val sa = a1.values.sum
+    // keys is a Set — force a Seq before mapping to weights, or strata
+    // with EQUAL weights collapse and the sum undercounts
+    val sw2 = n.keys.toSeq.filter(k => ideal(k) < n(k)).map(w).sum
+    val fin = n.keys.map { k =>
+      k -> (if (ideal(k) < n(k) && sw2 > 0)
+        math.min(n(k), a1(k) + math.floor(
+          (budget - sa).toDouble * w(k).toDouble / sw2.toDouble).toLong)
+      else a1(k))
+    }.toMap
+    got.foreach { r =>
+      val k = (r._1, r._2)
+      assert(r._4 === w(k) && r._5 === a1(k) && r._6 === fin(k))
+      assert(r._6 <= r._3, "allocation may never exceed availability")
+      assert(r._7 === (if (fin(k) == n(k)) 1L else 0L))
+    }
+    assert(got.map(_._6).sum <= budget, "waterfilling may never overspend")
+    assert(got.exists(_._7 == 1L), "the cap branch must fire on this fixture")
+    assert(got.exists(_._7 == 0L))
+  }
+
+  test("q163 curve recomputes from a plain-Scala first-occurrence fold") {
+    val got = run("q163_vocab_growth")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    Caches.releaseScoped()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+    val firstDoc = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val newTypes = firstDoc.values.groupBy(_ / 100).view.mapValues(_.size.toLong).toMap
+    val perBucket = toks.groupBy(_._1 / 100).view.mapValues(_.length.toLong).toMap
+    val want = perBucket.keys.toSeq.sorted.scanLeft((0L, 0L, 0L, 0L, 0L)) {
+      case ((_, _, _, ct, ck), b) =>
+        val nt = newTypes.getOrElse(b, 0L)
+        (b, perBucket(b), nt, ct + nt, ck + perBucket(b))
+    }.drop(1)
+    assert(got === want)
+    assert(got.last._4 === firstDoc.size.toLong, "cum_types ends at |vocabulary|")
+    assert(got.last._5 === toks.length.toLong, "cum_tokens ends at the corpus size")
+  }
+}
