@@ -592,6 +592,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q160: containment candidates come from the prefix⨝postings equi-join — never doc×doc") {
+    val p = formatted("q160_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a cross product means the asymmetric screen degenerated to all-pairs")
+  }
+
+  test("q161: per-key counts partial-aggregate; totals ride 1-row broadcasts, no key-table window") {
+    val p = formatted("q161_skew_report")
+    assert(p.contains("partial_count"),
+      "the per-key count must map-side combine before the key shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row totals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q162: one corpus scan to a driver-sized strata table; shares ride 1-row broadcasts") {
+    val p = formatted("q162_mixture_allocation")
+    assert(p.contains("BroadcastNestedLoopJoin"), "totals and round-2 sums must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "allocation must not sort the strata table globally")
+  }
+
+  test("q163: the only window runs over the bucket table, after both aggregations") {
+    val p = formatted("q163_vocab_growth")
+    // the token stream aggregates twice (first-doc, per-bucket counts)
+    // before any window touches a row
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "both passes must map-side combine over the exploded stream")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q164: the audit slice broadcasts against the corpus; votes aggregate keyed") {
+    val p = formatted("q164_label_agreement")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 32-query slice must broadcast for the scored cross join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
