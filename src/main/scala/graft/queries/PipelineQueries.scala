@@ -723,6 +723,69 @@ object PipelineQueries {
         .orderBy("i", "j")
     },
 
+    // TOP PRINCIPAL COMPONENT (q165) — the embedding-spectrum
+    // diagnostic (is the space collapsing to one direction? what share
+    // of variance does PC1 hold?) via TWO unrolled power iterations on
+    // the q123 Gram — the q115/q133 fixed-iteration rule applied to
+    // linear algebra. All the corpus-sized work is the one Gram pass
+    // (d²-bounded expansion, exact DECIMAL sums); every iteration after
+    // it runs on the 64×64 matrix — driver-sized at ANY corpus scale,
+    // which is exactly why power iteration beats shipping vectors to a
+    // solver at 100 TB. Arithmetic discipline: v₀ = all-ones (exact);
+    // each iterate is floor-quantized to 1e6 micro-units (the q149
+    // rule) so the next mat-vec is DECIMAL×DECIMAL(7,0) — EXACT, no
+    // order-dependent double Σ; the Rayleigh quotient λ = q₁ᵀw₂/q₁ᵀq₁
+    // is exact sums and ONE IEEE division. The normalization divisions
+    // (w/max·1e6) are two IEEE ops on exact operands — bit-equal across
+    // engines. The oracle replays Gram, both iterations, both
+    // quantizations, and the quotient.
+    "q165_top_principal_component" -> { (s, d) =>
+      val pairs = expr(
+        "flatten(transform(sequence(0, 63), i -> " +
+          "transform(sequence(0, 63), j -> " +
+          "struct(i AS i, j AS j, " +
+          "CAST(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE) AS DECIMAL(38,10)) AS p))))")
+      val gram = graft.Caches.scopedPersist(
+        Tables.embeddings(s, d)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .select(col("embedding").as("v"))
+          .select(explode(pairs).as("e"))
+          .groupBy(col("e.i").cast("long").as("i"), col("e.j").cast("long").as("j"))
+          // |g| ≤ n·max², 4 integer digits at the gate SFs — (18,10)
+          // keeps every product/sum below exact-DECIMAL overflow
+          .agg(sum(col("e.p")).cast("decimal(18,10)").as("g")))
+      // every ratio operand is truncated to a BIGINT first: a WIDE
+      // decimal → double cast double-rounds in DuckDB (value · 10⁻ˢᶜᵃˡᵉ,
+      // two roundings) and diverged from Java's correctly-rounded cast
+      // by an ulp at sf0.1 — int64 → double is ONE correctly-rounded
+      // conversion in both engines, so floor-truncate (exact, identical
+      // both sides) then divide. The iterates are defined over the
+      // 1e-4-truncated sums — a deterministic contract, not an
+      // approximation of some untestable ideal.
+      val w1 = gram.groupBy("i")
+        .agg(floor(sum(col("g")) * lit(10000)).cast("long").as("w1u"))
+      val m1 = w1.agg(max(abs(col("w1u"))).as("m1u"))
+      val q1 = w1.crossJoin(broadcast(m1))
+        .select(col("i").as("j"),
+          floor(col("w1u").cast("double") / col("m1u").cast("double")
+            * lit(1000000.0d)).cast("decimal(7,0)").as("q1"))
+      val w2 = gram.join(broadcast(q1), "j")
+        .groupBy("i")
+        .agg(sum(col("g") * col("q1")).cast("decimal(22,10)").as("w2"))
+      val w2u = w2.select(col("i"), col("w2"),
+        floor(col("w2") * lit(10000)).cast("long").as("w2u"))
+      val m2 = w2u.agg(max(abs(col("w2u"))).as("m2u"))
+      val ray = w2.join(broadcast(q1.select(col("j").as("i"), col("q1"))), "i")
+        .agg(floor(sum(col("w2") * col("q1"))).cast("long").as("num"),
+          sum(col("q1").cast("long") * col("q1").cast("long")).as("den"))
+      w2u.crossJoin(broadcast(m2)).crossJoin(broadcast(ray))
+        .select(col("i").as("dim"),
+          floor(col("w2u").cast("double") / col("m2u").cast("double")
+            * lit(1000000.0d)).cast("long").as("pc_q"),
+          (col("num").cast("double") / col("den").cast("double")).as("lambda"))
+        .orderBy("dim")
+    },
+
     // INCREMENTAL Gram maintenance — q83's materialized-view pattern
     // lifted to linear algebra: co-moment sums are decomposable, so the
     // standing 64×64 Gram of the corpus MERGES with a new batch's
@@ -2215,6 +2278,31 @@ object PipelineQueries {
         |      WHERE g2.j >= g.i)
         |SELECT i, j, CAST(sum(p) AS DOUBLE) AS g
         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // q165: the full Gram, both power iterations, both micro-unit
+    // quantizations, and the Rayleigh quotient, replayed
+    "q165_top_principal_component" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT g.i, g2.j, CAST(v[g.i + 1] * v[g2.j + 1] AS DECIMAL(38,10)) AS p
+        |      FROM v, (SELECT unnest(range(64)) AS i) g,
+        |           (SELECT unnest(range(64)) AS j) g2),
+        |gm AS (SELECT i, j, CAST(sum(p) AS DECIMAL(18,10)) AS g FROM p GROUP BY i, j),
+        |w1 AS (SELECT i, CAST(floor(sum(g) * 10000) AS BIGINT) AS w1u FROM gm GROUP BY i),
+        |m1 AS (SELECT max(abs(w1u)) AS m1u FROM w1),
+        |q1 AS (SELECT i AS j,
+        |         CAST(floor(CAST(w1u AS DOUBLE) / CAST(m1u AS DOUBLE) * 1000000.0)
+        |           AS DECIMAL(7,0)) AS q1
+        |       FROM w1, m1),
+        |w2 AS (SELECT gm.i, CAST(sum(gm.g * q1.q1) AS DECIMAL(22,10)) AS w2
+        |       FROM gm JOIN q1 USING (j) GROUP BY gm.i),
+        |w2u AS (SELECT i, w2, CAST(floor(w2 * 10000) AS BIGINT) AS w2u FROM w2),
+        |m2 AS (SELECT max(abs(w2u)) AS m2u FROM w2u),
+        |ray AS (SELECT CAST(floor(sum(w2.w2 * q1.q1)) AS BIGINT) AS num,
+        |          CAST(sum(CAST(q1.q1 AS BIGINT) * CAST(q1.q1 AS BIGINT)) AS BIGINT) AS den
+        |        FROM w2 JOIN q1 ON w2.i = q1.j)
+        |SELECT w2u.i AS dim,
+        |  CAST(floor(CAST(w2u AS DOUBLE) / CAST(m2u AS DOUBLE) * 1000000.0) AS BIGINT) AS pc_q,
+        |  CAST(num AS DOUBLE) / den AS lambda
+        |FROM w2u, m2, ray ORDER BY dim""".stripMargin,
     // q116: the EXHAUSTIVE all-pairs truth (vocab-sized, fine for the
     // oracle) — matching it proves the deletion-neighborhood blocking
     // missed nothing

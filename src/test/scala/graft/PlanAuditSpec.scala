@@ -629,6 +629,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q165: corpus work ends at the Gram; iterations join the 64-row iterate broadcast") {
+    val p = formatted("q165_top_principal_component")
+    assert(p.contains("partial_sum"),
+      "the Gram pass must map-side combine the d² expansion")
+    assert(p.contains("BroadcastExchange"), "the quantized iterate must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

@@ -60,6 +60,27 @@ class CorpusPlanningSpec extends SparkSpec {
     assert(got.exists(_._7 == 0L))
   }
 
+  test("q165 recovers an axis-aligned spectrum exactly (planted geometry)") {
+    // vectors (k, 0, …, 0), k = 1..5: Gram is all-zero except
+    // G₀₀ = Σk² = 55 (exact in float), so the iterate must lock to
+    // dim 0 with pc_q = 1e6, every other dim 0, and the Rayleigh
+    // quotient must equal the eigenvalue EXACTLY: num = floor(55·1e6
+    // ·1e6) = 5.5e13, den = 1e12 → λ = 55.0 with no rounding anywhere.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q165-").toString
+    (1 to 5).map { k =>
+      val v = Array.fill(64)(0f); v(0) = k.toFloat
+      (k.toLong, v, k % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val got = SparkEntry.queries("q165_top_principal_component")(spark, dir)
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(got.head === ((0L, 1000000L, 55.0)))
+      assert(got.tail.forall(r => r._2 === 0L && r._3 === 55.0),
+        "off-axis dims must quantize to exactly 0")
+    } finally Caches.releaseScoped()
+  }
+
   test("q163 curve recomputes from a plain-Scala first-occurrence fold") {
     val got = run("q163_vocab_growth")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
