@@ -1017,6 +1017,53 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // SPARSE LEXICAL COSINE kNN (q166) — the token-space twin of q32's
+    // embedding kNN (retrieval without a model: near-verbatim reuse,
+    // boilerplate families, citation-style overlap): weighted cosine
+    // over tf·idf postings via the inverted index, for the pinned
+    // 32-doc audit slice against the WHOLE corpus — slice × corpus
+    // work through a token-keyed postings join, never doc×doc (the
+    // q32/q164 audit-slice rule). Arithmetic is integer end-to-end:
+    // idf = 100000 div df (the rational no-libm rule — a true log-idf
+    // is monotone in this for ranking, and log is not correctly
+    // rounded across engines), weights tf·idf ≤ ~6e6 so every dot
+    // product and squared norm sums exactly in BIGINT; the one
+    // division per pair runs on int64→double single-rounded operands
+    // with correctly-rounded sqrt, and the score is floor-quantized to
+    // 1e6 micro-units BEFORE ranking so the rank key is an integer
+    // (the q149 rule — no double ever compared). Oracle replays the
+    // whole chain.
+    "q166_sparse_cosine_knn" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokensCol).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val wtf = graft.Caches.scopedPersist(
+        tf.join(dfreq, "tok")
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * expr("100000 div df")).as("wt")))
+      val norms = wtf.groupBy("doc_id").agg(sum(col("wt") * col("wt")).as("n2"))
+      val q = wtf.filter(col("doc_id") < 32)
+        .select(col("doc_id").as("query_id"), col("tok"), col("wt").as("qwt"))
+      val dots = wtf.join(broadcast(q), "tok")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("wt") * col("qwt")).as("num"))
+      val scored = dots
+        .join(norms.select(col("doc_id"), col("n2").as("nb")), "doc_id")
+        .join(broadcast(norms.select(col("doc_id").as("query_id"),
+          col("n2").as("na"))), "query_id")
+        .select(col("query_id"), col("doc_id"),
+          floor(col("num").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+            * lit(1000000.0d)).cast("long").as("cos_q"))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("cos_q").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+
     // kNN LABEL-AGREEMENT AUDIT (q164) — the Confident-Learning-style
     // label-noise screen (Northcutt et al.): a training example whose
     // k nearest neighbors in embedding space vote for a DIFFERENT label
@@ -2561,6 +2608,29 @@ object PipelineQueries {
          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
          |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
     },
+    // q166: the same integer tf-idf postings, exact dots/norms, one
+    // single-rounded division, micro-unit rank key
+    "q166_sparse_cosine_knn" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |wtf AS (SELECT doc_id, tf.tok, tf.tf * (100000 // df) AS wt
+        |        FROM tf JOIN dfq USING (tok)),
+        |norms AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2 FROM wtf GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id, tok, wt AS qwt FROM wtf WHERE doc_id < 32),
+        |dots AS (SELECT q.query_id, w.doc_id, CAST(sum(w.wt * q.qwt) AS BIGINT) AS num
+        |         FROM wtf w JOIN q USING (tok) WHERE w.doc_id <> q.query_id
+        |         GROUP BY 1, 2),
+        |sc AS (SELECT d.query_id, d.doc_id,
+        |         CAST(floor(CAST(d.num AS DOUBLE)
+        |           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |           * 1000000.0) AS BIGINT) AS cos_q
+        |       FROM dots d JOIN norms nb ON d.doc_id = nb.doc_id
+        |                   JOIN norms na ON d.query_id = na.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_q DESC, doc_id) AS rank FROM sc)
+        |SELECT query_id, doc_id, cos_q, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // q164: exact-kNN votes, majority with the (count DESC, label ASC)
     // tie-break, flag = own label ≠ majority
     "q164_label_agreement" ->

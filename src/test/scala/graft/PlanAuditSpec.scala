@@ -637,6 +637,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q166: the audit-slice postings broadcast into the token-keyed join — never doc×doc") {
+    val p = formatted("q166_sparse_cosine_knn")
+    assert(p.contains("BroadcastExchange"), "the 32-doc slice postings must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

@@ -81,6 +81,33 @@ class CorpusPlanningSpec extends SparkSpec {
     } finally Caches.releaseScoped()
   }
 
+  test("q166 top-3 recomputes from a plain-Scala tf-idf fold") {
+    val got = run("q166_sparse_cosine_knn")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    Caches.releaseScoped()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = tf.values.toSeq.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val wt = tf.view.mapValues(_.map { case (t, c) => t -> c * (100000L / df(t)) }).toMap
+    val n2 = wt.view.mapValues(_.values.map(v => v * v).sum).toMap
+    def cosQ(a: Long, b: Long): Long = {
+      val num = wt(a).iterator.map { case (t, w) => w * wt(b).getOrElse(t, 0L) }.sum
+      math.floor(num.toDouble /
+        (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble)) * 1e6).toLong
+    }
+    val want = docs.map(_._1).filter(_ < 32).flatMap { q =>
+      docs.map(_._1)
+        .filter(o => o != q && wt(q).keys.exists(wt(o).contains))
+        .map(o => (o, cosQ(q, o))).sortBy { case (o, c) => (-c, o) }.take(3)
+        .zipWithIndex.map { case ((o, c), i) => (q, o, c, (i + 1).toLong) }
+    }
+    assert(got.toSet === want.toSet)
+  }
+
   test("q163 curve recomputes from a plain-Scala first-occurrence fold") {
     val got = run("q163_vocab_growth")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
