@@ -1017,6 +1017,68 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // TOKEN-DISTRIBUTION DRIFT REPORT (q167) — dataset-shift
+    // observability (did the feed change under us? which vocabulary is
+    // rising/falling?): the two corpus halves under the q146 doc_id % 2
+    // split act as reference vs comparison slice, each token scored by
+    // the add-one-smoothed rate ratio (cb+1)(Ta+V) / (ca+1)(Tb+V) — a
+    // monotone transform of the log-odds shift, computed as ONE IEEE
+    // division of exact BIGINT products (the q140 no-libm rule), under
+    // a min-support floor ca+cb ≥ 10. Top-10 each way by the ratio with
+    // token tie-break; both engines compute identical doubles from
+    // identical integers, so the take is deterministic (the q140
+    // precedent). One exploded-scan partial agg to the vocabulary
+    // table; totals on a 1-row broadcast; two bounded takes — nothing
+    // corpus-sized past the first groupBy. On the iid synthetic halves
+    // the report correctly shows ratios ≈ 1 — the no-drift reading is
+    // the report doing its job (the q154 honesty precedent).
+    "q167_token_drift" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokensCol).as("tok"))
+      val cnt = toks.groupBy("tok")
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = cnt.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+        count(lit(1)).as("v"))
+      val scored = cnt.filter(col("ca") + col("cb") >= 10)
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("ca"), col("cb"),
+          (((col("cb") + 1L) * (col("ta") + col("v"))).cast("double") /
+            ((col("ca") + 1L) * (col("tb") + col("v"))).cast("double")).as("ratio"))
+      val rising = scored.orderBy(col("ratio").desc, col("tok").asc).limit(10)
+        .withColumn("trend", lit("rising"))
+      val falling = scored.orderBy(col("ratio").asc, col("tok").asc).limit(10)
+        .withColumn("trend", lit("falling"))
+      rising.unionByName(falling).orderBy("trend", "tok")
+    },
+
+    // CONTENT-NOVELTY CURVE (q168) — the memorization/dedup-pressure
+    // lens beside q163's type curve: per 100-doc bucket, how many
+    // 3-gram shingle POSITIONS repeat content first seen in an EARLIER
+    // bucket (q163 counts new types once; this weights by occurrence,
+    // so a batch that is 90% re-crawl shows up even when it adds a few
+    // new types). Same first-occurrence shape: each hashed shingle maps
+    // to its first bucket (one partial-agg'd min over the shared
+    // positional relation — no second md5 pass, the q75 rule), every
+    // position joins its shingle's first bucket token-keyed, and the
+    // per-bucket report is one partial-agg'd groupBy with the novelty
+    // rate in exact ppm. Both branches live on the fixture: the
+    // near-dup twins repeat earlier buckets, the fresh docs don't.
+    "q168_novelty_curve" -> { (s, d) =>
+      val pos = positionalShingleDocs(s, d)
+        .select(col("doc_id"), explode(col("sp")).as("h"))
+      val first = pos.groupBy("h")
+        .agg(min(expr("doc_id div 100")).as("fb"))
+      pos.select(expr("doc_id div 100").as("bucket"), col("h"))
+        .join(first, "h")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pos"),
+          sum(when(col("fb") < col("bucket"), 1L).otherwise(0L)).as("n_repeat"))
+        .select(col("bucket"), col("n_pos"), col("n_repeat"),
+          expr("(n_pos - n_repeat) * 1000000 div n_pos").as("novelty_ppm"))
+        .orderBy("bucket")
+    },
+
     // SPARSE LEXICAL COSINE kNN (q166) — the token-space twin of q32's
     // embedding kNN (retrieval without a model: near-verbatim reuse,
     // boilerplate families, citation-style overlap): weighted cosine
@@ -2608,6 +2670,40 @@ object PipelineQueries {
          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
          |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
     },
+    // q167: the same smoothed rate ratio of exact products, floor,
+    // and two bounded takes
+    "q167_token_drift" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok,
+        |          CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |          CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |        FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+        |          CAST(count(*) AS BIGINT) AS v FROM cnt),
+        |sc AS (SELECT tok, ca, cb,
+        |         CAST((cb + 1) * (ta + v) AS DOUBLE)
+        |           / CAST((ca + 1) * (tb + v) AS DOUBLE) AS ratio
+        |       FROM cnt, tot WHERE ca + cb >= 10),
+        |r AS (SELECT tok, ca, cb, ratio, 'rising' AS trend FROM sc
+        |      ORDER BY ratio DESC, tok LIMIT 10),
+        |f AS (SELECT tok, ca, cb, ratio, 'falling' AS trend FROM sc
+        |      ORDER BY ratio ASC, tok LIMIT 10)
+        |SELECT * FROM (SELECT * FROM r UNION ALL SELECT * FROM f)
+        |ORDER BY trend, tok""".stripMargin,
+    // q168: the same positional md5 shingles, first-bucket mapping,
+    // and exact-ppm novelty
+    "q168_novelty_curve" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |         i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14)) AS BIGINT))) AS h
+        |       FROM toks WHERE len(tk) >= 3),
+        |fst AS (SELECT h, min(doc_id // 100) AS fb FROM sp GROUP BY 1),
+        |b AS (SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_pos,
+        |        CAST(sum(CASE WHEN fst.fb < doc_id // 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |      FROM sp JOIN fst USING (h) GROUP BY 1)
+        |SELECT bucket, n_pos, n_repeat,
+        |  (n_pos - n_repeat) * 1000000 // n_pos AS novelty_ppm
+        |FROM b ORDER BY bucket""".stripMargin,
     // q166: the same integer tf-idf postings, exact dots/norms, one
     // single-rounded division, micro-unit rank key
     "q166_sparse_cosine_knn" ->

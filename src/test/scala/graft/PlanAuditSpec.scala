@@ -643,6 +643,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q167: one exploded-scan partial agg; both takes are bounded TakeOrdered") {
+    val p = formatted("q167_token_drift")
+    assert(p.contains("partial_sum"), "half counts must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort the vocabulary")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q168: first-bucket joins token-keyed off the shared positional relation") {
+    val p = formatted("q168_novelty_curve")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "first-bucket and per-bucket counts must map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

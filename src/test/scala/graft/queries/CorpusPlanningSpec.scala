@@ -108,6 +108,49 @@ class CorpusPlanningSpec extends SparkSpec {
     assert(got.toSet === want.toSet)
   }
 
+  test("q167 drift takes recompute from a plain-Scala smoothed-ratio fold") {
+    val got = run("q167_token_drift")
+      .as[(String, Long, Long, Double, String)].collect().toSeq
+    Caches.releaseScoped()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val pairs = docs.flatMap { case (id, t) => t.split(" ", -1).map(id % 2 -> _) }
+    val ca = pairs.filter(_._1 == 0L).groupBy(_._2).view.mapValues(_.length.toLong)
+    val cb = pairs.filter(_._1 == 1L).groupBy(_._2).view.mapValues(_.length.toLong)
+    val vocab = (ca.keys ++ cb.keys).toSet
+    val (ta, tb, v) = (pairs.count(_._1 == 0L).toLong,
+      pairs.count(_._1 == 1L).toLong, vocab.size.toLong)
+    val scored = vocab.toSeq
+      .map { t =>
+        val (a, b) = (ca.getOrElse(t, 0L), cb.getOrElse(t, 0L))
+        (t, a, b, ((b + 1) * (ta + v)).toDouble / ((a + 1) * (tb + v)).toDouble)
+      }
+      .filter(r => r._2 + r._3 >= 10)
+    val rising = scored.sortBy(r => (-r._4, r._1)).take(10).map(r => (r._1, r._2, r._3, r._4, "rising"))
+    val falling = scored.sortBy(r => (r._4, r._1)).take(10).map(r => (r._1, r._2, r._3, r._4, "falling"))
+    assert(got.toSet === (rising ++ falling).toSet)
+  }
+
+  test("q168 novelty recomputes from a plain-Scala first-bucket fold; both branches live") {
+    val got = run("q168_novelty_curve")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    Caches.releaseScoped()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val pos = docs.flatMap { case (id, t) =>
+      val tk = t.split(" ", -1)
+      tk.sliding(3).filter(_.length == 3).map(w => id -> w.mkString(" ")).toSeq
+    }
+    val firstBucket = pos.groupBy(_._2).view.mapValues(_.map(_._1 / 100).min).toMap
+    val want = pos.groupBy(_._1 / 100).toSeq.sortBy(_._1).map { case (b, ps) =>
+      val rep = ps.count(p => firstBucket(p._2) < b).toLong
+      (b, ps.length.toLong, rep, (ps.length - rep) * 1000000L / ps.length)
+    }
+    assert(got === want)
+    assert(got.head._3 === 0L, "bucket 0 can repeat nothing")
+    assert(got.tail.exists(_._3 > 0L), "the repeat branch must fire past bucket 0")
+  }
+
   test("q163 curve recomputes from a plain-Scala first-occurrence fold") {
     val got = run("q163_vocab_growth")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
