@@ -402,6 +402,37 @@ object AnalyticsQueries {
         .orderBy("relation")
     },
 
+    // CONVERSION-LAG COHORTS (q169) — the duration face of the funnel
+    // (q81 counts stage reach; q122 counts day-offset activity; this
+    // measures HOW LONG signup → first purchase takes, per signup-day
+    // cohort): first signup and first purchase per user are two
+    // partial-agg'd mins, the lag exists only when the purchase does
+    // not predate the signup (a LEFT join keeps unconverted users in
+    // the denominator), and the cohort report is one groupBy with
+    // exact-ppm conversion and exact interpolated p50/p90 lags (the
+    // q46 percentile rule; both engines ignore NULL lags, so
+    // unconverted users never skew the quantiles). Epoch-µs BIGINTs
+    // end-to-end — the q81/q119 no-raw-TIMESTAMP rule.
+    "q169_conversion_lag" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("p_us"))
+      val j = su.join(pu, Seq("user_id"), "left")
+        .select(expr("s_us div 86400000000").as("cohort_day"),
+          when(col("p_us") >= col("s_us"), col("p_us") - col("s_us")).as("delay_us"))
+      j.groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("delay_us")).as("n_converted"),
+          expr("percentile(delay_us, 0.5)").as("p50_delay_us"),
+          expr("percentile(delay_us, 0.9)").as("p90_delay_us"))
+        .select(col("cohort_day"), col("n_signups"), col("n_converted"),
+          expr("n_converted * 1000000 div n_signups").as("conv_ppm"),
+          col("p50_delay_us"), col("p90_delay_us"))
+        .orderBy("cohort_day")
+    },
+
     "q114_profile" -> { (s, d) =>
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val aggs = count(lit(1)).as("n_rows") +:
@@ -965,6 +996,22 @@ object AnalyticsQueries {
          |${one("events", "user_id")}
          |) ORDER BY relation""".stripMargin
     },
+    // q169: the same two first-event mins, guarded lag, and cohort
+    // aggregation
+    "q169_conversion_lag" ->
+      """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, min(epoch_us(ts)) AS p_us FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT s_us // 86400000000 AS cohort_day,
+        |        CASE WHEN p_us >= s_us THEN p_us - s_us END AS delay_us
+        |      FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+        |SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_signups,
+        |  CAST(count(delay_us) AS BIGINT) AS n_converted,
+        |  CAST(count(delay_us) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+        |  quantile_cont(delay_us, 0.5) AS p50_delay_us,
+        |  quantile_cont(delay_us, 0.9) AS p90_delay_us
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q157: the same first-day mapping and day-table running sum
     "q157_user_growth" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day

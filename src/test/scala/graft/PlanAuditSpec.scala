@@ -657,6 +657,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q169: both first-event passes push their event_type filter into the scan") {
+    val p = formatted("q169_conversion_lag")
+    assert(p.contains("EqualTo(event_type,signup)") && p.contains("EqualTo(event_type,purchase)"),
+      "stage filters must reach PushedFilters")
+    assert(p.contains("partial_min"), "first-event mins must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

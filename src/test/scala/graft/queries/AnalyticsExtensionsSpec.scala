@@ -210,4 +210,28 @@ class AnalyticsExtensionsSpec extends SparkSpec {
     // PMI separates: the top pair is rarer-but-tighter than chance
     assert(got.head._5 > 1.0)
   }
+
+  test("q169 cohort counts recompute from a plain-Scala first-event fold") {
+    val got = run("q169_conversion_lag")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[(Long, String, Long)].collect()
+    val su = ev.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val pu = ev.filter(_._2 == "purchase").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val lags = su.toSeq.map { case (u, s) =>
+      (s / 86400000000L, pu.get(u).filter(_ >= s).map(_ - s))
+    }
+    val want = lags.groupBy(_._1).toSeq.sortBy(_._1).map { case (day, g) =>
+      val conv = g.flatMap(_._2)
+      (day, g.size.toLong, conv.size.toLong, conv.size.toLong * 1000000L / g.size)
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) === want)
+    // unconverted users stay in the denominator but never in the lag
+    assert(got.exists(r => r._3 < r._2))
+    assert(got.filter(_._3 > 0).forall(r => r._5.exists(_ >= 0.0)))
+    assert(got.filter(_._3 == 0).forall(r => r._5.isEmpty),
+      "an all-unconverted cohort must carry NULL percentiles")
+  }
 }
