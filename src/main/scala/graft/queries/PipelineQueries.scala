@@ -257,6 +257,12 @@ object PipelineQueries {
     * — same relation, package-external name. */
   def shingleDocsForProfile(s: SparkSession, d: String): DataFrame = shingleDocs(s, d)
 
+  /** The positional-shingle base for the streaming novelty replay
+    * ([[graft.streaming.StreamingNovelty]]) — the same shared relation,
+    * package-external name (the shingleDocsForProfile precedent). */
+  def positionalShingles(s: SparkSession, d: String): DataFrame =
+    positionalShingleDocs(s, d)
+
   /** Shared oracle CTE prefix producing the same hashed shingle sets. */
   private[queries] val ShingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -1077,6 +1083,18 @@ object PipelineQueries {
         .select(col("bucket"), col("n_pos"), col("n_repeat"),
           expr("(n_pos - n_repeat) * 1000000 div n_pos").as("novelty_ppm"))
         .orderBy("bucket")
+    },
+
+    // STREAMED NOVELTY ≡ BATCH TRUTH (q170) — the q147 seam-promotion
+    // precedent applied to q168's curve: the corpus replayed as FIVE
+    // deterministic doc_id-range micro-batches through
+    // [[graft.streaming.StreamingNovelty]], each batch marked against
+    // the standing seen-shingle index before its hashes fold in. The
+    // oracle is the one-shot batch truth at the same width — a repeat
+    // mis-counted at any batch boundary, or a hash folded twice, breaks
+    // the hash match.
+    "q170_novelty_replay" -> { (s, d) =>
+      graft.streaming.StreamingNovelty.noveltyReplay(s, d, 5)
     },
 
     // SPARSE LEXICAL COSINE kNN (q166) — the token-space twin of q32's
@@ -2704,6 +2722,21 @@ object PipelineQueries {
         |SELECT bucket, n_pos, n_repeat,
         |  (n_pos - n_repeat) * 1000000 // n_pos AS novelty_ppm
         |FROM b ORDER BY bucket""".stripMargin,
+    // q170: the one-shot batch truth at the replay's 5-batch width —
+    // first-batch mapping, repeat rule, exact ppm
+    "q170_novelty_replay" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |         i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14)) AS BIGINT))) AS h
+        |       FROM toks WHERE len(tk) >= 3),
+        |wd AS (SELECT max(doc_id) // 5 + 1 AS w FROM sp),
+        |fst AS (SELECT h, min(doc_id // w) AS fb FROM sp CROSS JOIN wd GROUP BY 1),
+        |b AS (SELECT sp.doc_id // w AS batch, CAST(count(*) AS BIGINT) AS n_pos,
+        |        CAST(sum(CASE WHEN fst.fb < sp.doc_id // w THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |      FROM sp JOIN fst USING (h) CROSS JOIN wd GROUP BY 1)
+        |SELECT batch, n_pos, n_repeat,
+        |  (n_pos - n_repeat) * 1000000 // n_pos AS novelty_ppm
+        |FROM b ORDER BY batch""".stripMargin,
     // q166: the same integer tf-idf postings, exact dots/norms, one
     // single-rounded division, micro-unit rank key
     "q166_sparse_cosine_knn" ->
