@@ -433,6 +433,36 @@ object AnalyticsQueries {
         .orderBy("cohort_day")
     },
 
+    // K-ANONYMITY RISK AUDIT (q171) — the data-governance gate a
+    // training-data release runs beside the PII scrub (q95 removes
+    // direct identifiers; this measures RE-IDENTIFICATION risk from
+    // quasi-identifiers): under the QI tuple (event_type, user_id %
+    // 100, event day), any group smaller than k = 5 re-identifies its
+    // members, so the release report counts, per event_type, the
+    // groups below k and the rows at risk (the rows a k-anonymizer
+    // would suppress or generalize). Work shape: ONE partial-agg'd
+    // group count over the QI tuple, then one partial-agg'd rollup of
+    // the group table per event_type — the group table is
+    // |types|·|cohorts|·|days|, bounded by the QI domain, not the
+    // corpus. Exact-ppm risk rate; both branches fire at every SF
+    // (sf0.1: 3035 of 14980 groups below k). Epoch-µs day bucketing,
+    // the q122 rule.
+    "q171_k_anonymity" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .groupBy(col("event_type"), (col("user_id") % 100).as("cohort"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      g.groupBy("event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("c")).as("n_rows"),
+          sum(when(col("c") < 5L, 1L).otherwise(0L)).as("n_below_k"),
+          sum(when(col("c") < 5L, col("c")).otherwise(0L)).as("n_rows_at_risk"))
+        .select(col("event_type"), col("n_groups"), col("n_rows"),
+          col("n_below_k"), col("n_rows_at_risk"),
+          expr("n_rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+        .orderBy("event_type")
+    },
+
     "q114_profile" -> { (s, d) =>
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       val aggs = count(lit(1)).as("n_rows") +:
@@ -1012,6 +1042,18 @@ object AnalyticsQueries {
         |  quantile_cont(delay_us, 0.5) AS p50_delay_us,
         |  quantile_cont(delay_us, 0.9) AS p90_delay_us
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q171: the same QI grouping, k = 5 rule, and exact-ppm risk
+    "q171_k_anonymity" ->
+      """WITH g AS (SELECT event_type, user_id % 100 AS cohort,
+        |    epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+        |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) * 1000000
+        |    // sum(c) AS BIGINT) AS risk_ppm
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q157: the same first-day mapping and day-table running sum
     "q157_user_growth" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day

@@ -665,6 +665,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q171: both aggregations map-side combine; nothing joins") {
+    val p = formatted("q171_k_anonymity")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "QI group count and the per-type rollup must both partial-aggregate")
+    assert(!p.contains("Join"), "the audit is two aggregations, no join anywhere")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

@@ -211,6 +211,27 @@ class AnalyticsExtensionsSpec extends SparkSpec {
     assert(got.head._5 > 1.0)
   }
 
+  test("q171 risk rows recompute from a plain-Scala QI fold; both branches fire") {
+    val got = run("q171_k_anonymity")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "user_id % 100 AS cohort",
+        "unix_micros(ts) div 86400000000 AS day")
+      .as[(String, Long, Long)].collect()
+    val want = ev.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .groupBy(_._1._1).toSeq.sortBy(_._1).map { case (t, gs) =>
+        val rows = gs.map(_._2).sum
+        val risk = gs.map(_._2).filter(_ < 5).sum
+        (t, gs.size.toLong, rows, gs.count(_._2 < 5).toLong, risk,
+          risk * 1000000L / rows)
+      }
+    assert(got === want)
+    assert(got.map(_._5).sum > 0L, "the below-k branch must fire")
+    // at sf0.001 EVERY group sits below k (792/792 — the audit's
+    // all-risk reading); the >= k branch fires at sf0.01 (11 safe
+    // groups) and sf0.1 (11945), covered by the oracle gate
+  }
+
   test("q169 cohort counts recompute from a plain-Scala first-event fold") {
     val got = run("q169_conversion_lag")
       .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
