@@ -566,6 +566,41 @@ object CurationQueries {
         .orderBy("label", "dim")
     },
 
+    // PER-LABEL CENTROID DRIFT (q172) — the EMBEDDING face of q167's
+    // token drift (semantic monitoring: did a class's representation
+    // move between two corpus slices?): per label, the squared L2
+    // distance between the half-A and half-B centroids under the
+    // vec_id % 2 split (the q146 split rule). Means follow q148's
+    // arithmetic exactly (7dp round → DECIMAL partial sums → ONE IEEE
+    // division) and then floor-quantize to 1e6 micro-units, so the
+    // 64-term distance sum runs on exact BIGINTs — a double Σ over
+    // dims would be shuffle-order-dependent (the q47 rule). One
+    // posexplode pass (d×-bounded, the q123 rule) → a |labels|·2·d
+    // cell table → one keyed join + one partial-agg'd rollup, all
+    // driver-sized past the first scan.
+    "q172_centroid_drift" -> { (s, d) =>
+      val half = graft.Caches.scopedPersist(
+        Tables.embeddings(s, d)
+          .select(col("label").cast("long").as("label"),
+            (col("vec_id") % 2).as("half"), posexplode(col("embedding")))
+          .select(col("label"), col("half"), col("pos").cast("long").as("dim"),
+            round(col("col").cast("double"), 7).cast("decimal(20,10)").as("x"))
+          .groupBy("label", "half", "dim")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+          .select(col("label"), col("half"), col("dim"), col("n"),
+            floor(col("sx").cast("double") / col("n").cast("double")
+              * lit(1000000.0d)).cast("long").as("mq")))
+      val a = half.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("n").as("n_a"), col("mq").as("ma"))
+      val b = half.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("n").as("n_b"), col("mq").as("mb"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("shift_sq_q"))
+        .orderBy("label")
+    },
+
     // HELD-OUT PERPLEXITY EVAL (q146) — the eval-harness twin of q127:
     // train the unigram model on HALF the corpus (even doc_ids), score
     // the held-out half with it — the generalization measurement every
@@ -1032,6 +1067,23 @@ object CurationQueries {
         |  CAST(CASE WHEN avg_r > t THEN 1 ELSE 0 END AS BIGINT) AS sampled
         |FROM pda, cut ORDER BY doc_id""".stripMargin,
     // q148: the same widening, 7dp round, decimal sum, one division
+    // q172: the same q148 mean arithmetic per half, micro-unit
+    // quantization, exact-integer distance sum
+    "q172_centroid_drift" ->
+      """WITH e AS (SELECT label, vec_id % 2 AS half,
+        |    unnest(generate_series(1, len(embedding))) AS i, embedding
+        |  FROM embeddings),
+        |v AS (SELECT CAST(label AS BIGINT) AS label, half, CAST(i - 1 AS BIGINT) AS dim,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE), 7) AS DECIMAL(20,10)) AS x
+        |      FROM e),
+        |g AS (SELECT label, half, dim, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT) AS mq
+        |      FROM v GROUP BY 1, 2, 3),
+        |a AS (SELECT label, dim, n AS n_a, mq AS ma FROM g WHERE half = 0),
+        |b AS (SELECT label, dim, n AS n_b, mq AS mb FROM g WHERE half = 1)
+        |SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+        |  CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS shift_sq_q
+        |FROM a JOIN b USING (label, dim) GROUP BY label ORDER BY label""".stripMargin,
     "q148_label_centroids" ->
       """WITH e AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
         |           FROM embeddings),

@@ -151,6 +151,31 @@ class CorpusPlanningSpec extends SparkSpec {
     assert(got.tail.exists(_._3 > 0L), "the repeat branch must fire past bucket 0")
   }
 
+  test("q172 drift recomputes from a plain-Scala per-half mean fold") {
+    val got = run("q172_centroid_drift")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    Caches.releaseScoped()
+    val rows = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Int)].collect()
+    def mq(vs: Seq[Array[Float]], dim: Int): Long = {
+      val sx = vs.map(v => BigDecimal(v(dim).toDouble)
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)).sum
+      math.floor(sx.toDouble / vs.size * 1e6).toLong
+    }
+    val want = rows.groupBy(_._3.toLong).toSeq.sortBy(_._1).map { case (lbl, g) =>
+      val (a, b) = (g.filter(_._1 % 2 == 0).map(_._2).toSeq,
+        g.filter(_._1 % 2 == 1).map(_._2).toSeq)
+      val shift = (0 until 64).map { d =>
+        val diff = mq(a, d) - mq(b, d); diff * diff
+      }.sum
+      (lbl, a.size.toLong, b.size.toLong, shift)
+    }
+    assert(got === want)
+    assert(got.forall(_._4 > 0L),
+      "iid halves still land micro-unit-distinct centroids — the distance is honest, not zero-by-construction")
+  }
+
   test("q163 curve recomputes from a plain-Scala first-occurrence fold") {
     val got = run("q163_vocab_growth")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
