@@ -402,6 +402,108 @@ object AnalyticsQueries {
         .orderBy("relation")
     },
 
+    // GINI CONCENTRATION AUDIT (q174) — the inequality face of the
+    // skew report (q161 finds the keys that flood a partition; this
+    // measures how concentrated the WHOLE distribution is — the number
+    // a mixture designer reads before capping domains, q103). Exact
+    // Gini without ever sorting the key table: group the per-key
+    // counts BY COUNT VALUE (the value table is bounded by max
+    // per-key activity, not key count), take one ordered window over
+    // that value table (the q157 calendar-sized-window discipline),
+    // and close the tie-block rank sum in closed form —
+    // Σ i·cᵢ over a block of m keys of value c after K predecessors is
+    // c·(m·K + m(m+1)/2), integer-exact because m(m+1) is even. Then
+    // G·1e6 = (2·Σi·cᵢ − (n+1)·S)·1e6 div (n·S), exact integer ppm
+    // (numerator ≤ n·S·1e6, so BIGINT holds to n·S ≈ 9.2e12;
+    // past that escalate the products to DECIMAL(38,0) — the q161
+    // ppm rule). The numerator is never negative: ascending order
+    // makes Σi·cᵢ ≥ (n+1)·S/2.
+    "q174_gini_concentration" -> { (s, d) =>
+      def gini(rel: DataFrame, key: String, name: String): DataFrame = {
+        val cnts = rel.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        val vals = cnts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+        val w = Window.orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        vals
+          .withColumn("k_before", coalesce(sum(col("m")).over(w), lit(0L)))
+          .select(
+            (col("c") * (col("m") * col("k_before") +
+              expr("m * (m + 1) div 2"))).as("sic_part"),
+            col("m"), (col("c") * col("m")).as("s_part"))
+          .agg(sum(col("sic_part")).as("sic"), sum(col("m")).as("n_keys"),
+            sum(col("s_part")).as("n_rows"))
+          .select(lit(name).as("relation"), col("n_keys"), col("n_rows"),
+            expr("(2 * sic - (n_keys + 1) * n_rows) * 1000000 div (n_keys * n_rows)")
+              .as("gini_ppm"))
+      }
+      gini(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(gini(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+        .unionByName(gini(Tables.events(s, d), "user_id", "events.user_id"))
+        .orderBy("relation")
+    },
+
+    // CUSUM CHANGE-POINT (q175) — the drift detector that catches what
+    // the z-score monitor (q129) cannot: a persistent LEVEL SHIFT too
+    // small to push any single day past 3σ. Per event_type the daily
+    // series is calendar-sized, so the ordered window is bounded (the
+    // q157 discipline); the classic CUSUM Dₜ = Σ_{s≤t}(c_s − S/n)
+    // stays integer-exact scaled by n: d_scaled = n·Cumₜ − t·S. The
+    // change-point is argmax |d| per series, found with one 5-row
+    // broadcast of per-type maxima — never a second sort. Headroom:
+    // n_days·S must fit BIGINT (days·corpus-rows ≤ 9.2e18 — at 100 TB
+    // escalate d_scaled to DECIMAL(38,0)).
+    "q175_cusum_changepoint" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s_total"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val d2 = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(tot), "event_type")
+        .withColumn("d_scaled",
+          col("n_days") * col("cum") - col("i") * col("s_total"))
+      val peak = d2.groupBy("event_type")
+        .agg(max(abs(col("d_scaled"))).as("max_abs_d"))
+      d2.join(broadcast(peak), "event_type")
+        .select(col("event_type"), col("day"), col("c"), col("d_scaled"),
+          when(abs(col("d_scaled")) === col("max_abs_d"), 1L).otherwise(0L)
+            .as("is_changepoint"))
+        .orderBy("event_type", "day")
+    },
+
+    // TRIMMED MEAN (q176) — the robust-statistics face of the monitor
+    // pair (q129 flags outliers; this reports the center WITHOUT
+    // them): exact interpolated p01/p99 per group (the q46 rule — the
+    // interpolation arithmetic is bit-equal across engines, so the
+    // trim bounds are identical doubles and the kept row set can never
+    // straddle), then one map-side flagged second scan against the
+    // 5-row broadcast bounds. Means follow q129's discipline: DECIMAL-
+    // exact sums cast to double, ONE closed-form division — shuffle
+    // order cannot wiggle them. Two scans, no window, no per-group
+    // sort.
+    "q176_trimmed_mean" -> { (s, d) =>
+      val y = col("value").cast("decimal(18,2)")
+      val stats = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(y).cast("double").as("sy"),
+          expr("percentile(value, 0.01)").as("p01"),
+          expr("percentile(value, 0.99)").as("p99"))
+      Tables.events(s, d)
+        .join(broadcast(stats), "event_type")
+        .filter(col("value") >= col("p01") && col("value") <= col("p99"))
+        .groupBy(col("event_type"), col("n_total"), col("sy"))
+        .agg(count(lit(1)).as("n_kept"), sum(y).cast("double").as("syk"))
+        .select(col("event_type"), col("n_total"), col("n_kept"),
+          (col("sy") / col("n_total")).as("mean_all"),
+          (col("syk") / col("n_kept")).as("mean_trimmed"))
+        .orderBy("event_type")
+    },
+
     // CONVERSION-LAG COHORTS (q169) — the duration face of the funnel
     // (q81 counts stage reach; q122 counts day-offset activity; this
     // measures HOW LONG signup → first purchase takes, per signup-day
@@ -1026,6 +1128,72 @@ object AnalyticsQueries {
          |${one("events", "user_id")}
          |) ORDER BY relation""".stripMargin
     },
+    // q174: the same value-table window, closed-form tie-block rank
+    // sum, and exact-ppm Gini, replayed per relation. DuckDB sums of
+    // BIGINT widen to HUGEINT, so every derived column is cast back.
+    "q174_gini_concentration" -> {
+      def one(table: String, key: String): String =
+        s"""(WITH c AS (SELECT $key AS k, CAST(count(*) AS BIGINT) AS c
+           |            FROM $table GROUP BY 1),
+           |v AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1),
+           |b AS (SELECT c, m, CAST(COALESCE(sum(m) OVER (ORDER BY c
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |        AS BIGINT) AS k_before FROM v),
+           |t AS (SELECT CAST(sum(c * (m * k_before + (m * (m + 1)) // 2))
+           |        AS BIGINT) AS sic,
+           |        CAST(sum(m) AS BIGINT) AS n_keys,
+           |        CAST(sum(c * m) AS BIGINT) AS n_rows FROM b)
+           |SELECT '$table.$key' AS relation, n_keys, n_rows,
+           |  CAST((2 * sic - (n_keys + 1) * n_rows) * 1000000
+           |    // (n_keys * n_rows) AS BIGINT) AS gini_ppm FROM t)""".stripMargin
+      s"""SELECT * FROM (
+         |${one("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${one("orders", "o_custkey")}
+         |UNION ALL
+         |${one("events", "user_id")}
+         |) ORDER BY relation""".stripMargin
+    },
+    // q175: the same daily series, integer-scaled CUSUM, and per-type
+    // argmax flag
+    "q175_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(c) AS BIGINT) AS s_total FROM daily GROUP BY 1),
+        |w AS (SELECT event_type, day, c,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |          AS BIGINT) AS i,
+        |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |      FROM daily),
+        |d2 AS (SELECT w.event_type, day, c,
+        |         n_days * cum - i * s_total AS d_scaled
+        |       FROM w JOIN t ON w.event_type = t.event_type),
+        |p AS (SELECT event_type, max(abs(d_scaled)) AS mad
+        |      FROM d2 GROUP BY 1)
+        |SELECT d2.event_type, day, c, CAST(d_scaled AS BIGINT) AS d_scaled,
+        |  CAST(CASE WHEN abs(d_scaled) = mad THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_changepoint
+        |FROM d2 JOIN p ON d2.event_type = p.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    // q176: the same exact percentile bounds, identical-double filter,
+    // and decimal-sum/closed-form means
+    "q176_trimmed_mean" ->
+      """WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |        quantile_cont(value, 0.01) AS p01,
+        |        quantile_cont(value, 0.99) AS p99
+        |      FROM events GROUP BY 1)
+        |SELECT e.event_type, n_total, CAST(count(*) AS BIGINT) AS n_kept,
+        |  sy / n_total AS mean_all,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS mean_trimmed
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE value >= p01 AND value <= p99
+        |GROUP BY e.event_type, n_total, sy
+        |ORDER BY e.event_type""".stripMargin,
     // q169: the same two first-event mins, guarded lag, and cohort
     // aggregation
     "q169_conversion_lag" ->

@@ -73,6 +73,52 @@ object JoinQueries {
           countDistinct("s_suppkey").as("n_suppliers"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
+    },
+
+    // ASSOCIATION RULES / market-basket lift (q173) — the affinity
+    // report behind "frequently bought together" and corpus-mixture
+    // co-occurrence audits. Baskets are orders; items are the DISTINCT
+    // part BRANDS in each order (the bounded-domain projection — 25
+    // brands — so every pair exists at every SF and the pair table is
+    // ≤ C(25,2) = 300 rows no matter the corpus). Work shape: one
+    // broadcast dim join (part is the smallest scaling dim; the brand
+    // domain it projects to is fixed) + a partial-agg'd DISTINCT to
+    // build baskets, then a SELF-JOIN KEYED ON THE BASKET ID with
+    // br < br to emit each unordered pair once — per-basket expansion
+    // is bounded by the item-domain (≤ C(25,2)), never corpus². Brand
+    // marginals are a 25-row broadcast joined twice; the basket total
+    // rides a 1-row broadcast crossJoin (the q115/q161 idiom — never a
+    // window). All metrics are exact integer ppm (the q161 rule):
+    // support = P(ab), confidence = P(b|a) each direction, and
+    // lift·1e6 = n·c_ab·1e6 div (c_a·c_b) — numerator headroom
+    // n·c_ab·1e6 needs n·c_ab ≤ 9.2e12 (fine to ~3e6 baskets/brand
+    // pair; past that, escalate the products to DECIMAL(38,0) — same
+    // note as q161's ppm shares).
+    "q173_brand_affinity" -> { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("br"))
+        .distinct()
+      val bb = graft.Caches.scopedPersist(b)
+      val n = bb.agg(countDistinct(col("ok")).as("n_baskets"))
+      val marg = bb.groupBy(col("br")).agg(count(lit(1)).as("c"))
+      val pairs = bb.as("x")
+        .join(bb.as("y"),
+          col("x.ok") === col("y.ok") && col("x.br") < col("y.br"))
+        .groupBy(col("x.br").as("brand_a"), col("y.br").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(marg.select(col("br").as("brand_a"), col("c").as("n_a"))), "brand_a")
+        .join(broadcast(marg.select(col("br").as("brand_b"), col("c").as("n_b"))), "brand_b")
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
+          col("n_ab"),
+          expr("n_ab * 1000000 div n_baskets").as("support_ppm"),
+          expr("n_ab * 1000000 div n_a").as("conf_ab_ppm"),
+          expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"),
+          expr("n_baskets * n_ab * 1000000 div (n_a * n_b)").as("lift_ppm"))
+        .orderBy("brand_a", "brand_b")
     }
   )
 
@@ -106,6 +152,26 @@ object JoinQueries {
         |FROM lineitem
         |JOIN part     ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // q173: the oracle replays the whole basket→pair→lift chain; ppm
+    // metrics are exact integer division in both engines (// in DuckDB).
+    "q173_brand_affinity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS br
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+        |m AS (SELECT br, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY br),
+        |p AS (SELECT x.br AS brand_a, y.br AS brand_b,
+        |             CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM b x JOIN b y ON x.ok = y.ok AND x.br < y.br
+        |      GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, ma.c AS n_a, mb.c AS n_b, n_ab,
+        |  n_ab * 1000000 // n_baskets AS support_ppm,
+        |  n_ab * 1000000 // ma.c AS conf_ab_ppm,
+        |  n_ab * 1000000 // mb.c AS conf_ba_ppm,
+        |  n_baskets * n_ab * 1000000 // (ma.c * mb.c) AS lift_ppm
+        |FROM p JOIN m ma ON p.brand_a = ma.br
+        |       JOIN m mb ON p.brand_b = mb.br
+        |       CROSS JOIN n
+        |ORDER BY brand_a, brand_b""".stripMargin
   )
 }
