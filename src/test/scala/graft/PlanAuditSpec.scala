@@ -672,6 +672,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "the audit is two aggregations, no join anywhere")
   }
 
+  test("q173: brand dim broadcasts; the pair join keys on the basket id — never basket×basket") {
+    val p = formatted("q173_brand_affinity")
+    assert(p.contains("BroadcastExchange"),
+      "part dim and the 25-row marginals must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row basket total must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "a cross product means the self-join lost its basket-id key")
+  }
+
+  test("q174: per-key counts partial-aggregate; the only window runs over the value table") {
+    val p = formatted("q174_gini_concentration")
+    assert(p.contains("partial_count"),
+      "the per-key count must map-side combine before the key shuffle")
+    assert(p.contains("Window"), "the closed-form rank sum needs the value-table window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q175: daily counts partial-aggregate; totals and peaks ride broadcasts") {
+    val p = formatted("q175_cusum_changepoint")
+    assert(p.contains("partial_count"),
+      "the daily count must map-side combine before the (type,day) shuffle")
+    assert(p.contains("BroadcastExchange"),
+      "the 5-row per-type totals and maxima must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q176: the 5-row trim bounds broadcast into the flagging scan") {
+    val p = formatted("q176_trimmed_mean")
+    assert(p.contains("BroadcastExchange"), "the stats side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "trimming is two scans, never a per-group sort")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
