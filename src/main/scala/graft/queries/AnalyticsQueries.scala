@@ -86,6 +86,22 @@ object AnalyticsQueries {
   private[queries] val CvRmseExpr =
     "sqrt(sse / CAST(n_test AS DOUBLE)) AS rmse"
 
+  /** q177's shared expression texts (the q138 rule). Sample variance
+    * from exact sums: v = (n·Σy² − (Σy)²) / (n·(n−1)); Welch's t from
+    * the two variances. Every input is a bit-equal double (decimal-
+    * exact sums cast once) or a BIGINT count, so the fixed IEEE dag
+    * evaluates identically in both engines. */
+  private[queries] val AbMean0Expr = "sy0 / n0 AS mean_control"
+  private[queries] val AbMean1Expr = "sy1 / n1 AS mean_treat"
+  private[queries] val AbDiffExpr = "sy1 / n1 - sy0 / n0 AS diff"
+  private[queries] val AbWelchTExpr =
+    "(sy1 / n1 - sy0 / n0) / sqrt(" +
+      "(n1 * syy1 - sy1 * sy1) / (n1 * (n1 - 1)) / n1 + " +
+      "(n0 * syy0 - sy0 * sy0) / (n0 * (n0 - 1)) / n0) AS welch_t"
+
+  /** q178's shared outlier cut (one text, two engines). */
+  private[queries] val MadOutlierPred = "abs(value - med) > 3 * mad"
+
   val queries: Map[String, Q] = Map(
     // SQL entry path: the oracle string itself, parsed by Spark. The
     // temp view exists only for the eager analysis inside sql() — it is
@@ -501,6 +517,65 @@ object AnalyticsQueries {
         .select(col("event_type"), col("n_total"), col("n_kept"),
           (col("sy") / col("n_total")).as("mean_all"),
           (col("syk") / col("n_kept")).as("mean_trimmed"))
+        .orderBy("event_type")
+    },
+
+    // A/B EXPERIMENT REPORT (q177) — the two-sample significance read
+    // behind every launch decision: deterministic assignment (user_id
+    // parity — the hash-bucket split a real platform uses), per-
+    // (event_type, arm) exact moments folded by CONDITIONAL aggregation
+    // into one corpus pass (the q47/q129 rule: counts + DECIMAL-exact
+    // Σy and Σy² so shuffle order cannot wiggle them), then Welch's t
+    // assembled from SHARED closed-form expression texts (the q138
+    // rule: one text, two engines, bit-equal doubles — mean, sample
+    // variance, and t are each a fixed dag of IEEE ops on bit-equal
+    // inputs). No join anywhere; the report is one partial-agg'd
+    // 5-group aggregate.
+    "q177_ab_welch" -> { (s, d) =>
+      val y = col("value").cast("decimal(18,2)")
+      val yy = (y * y).cast("decimal(38,4)")
+      def arm(a: Int, e: org.apache.spark.sql.Column) =
+        sum(when(col("user_id") % 2 === a, e).otherwise(lit(null)))
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(when(col("user_id") % 2 === 0, lit(1))).as("n0"),
+          count(when(col("user_id") % 2 === 1, lit(1))).as("n1"),
+          arm(0, y).cast("double").as("sy0"),
+          arm(1, y).cast("double").as("sy1"),
+          arm(0, yy).cast("double").as("syy0"),
+          arm(1, yy).cast("double").as("syy1"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          expr(AbMean0Expr), expr(AbMean1Expr), expr(AbDiffExpr),
+          expr(AbWelchTExpr))
+        .orderBy("event_type")
+    },
+
+    // MAD OUTLIER AUDIT (q178) — the breakdown-resistant scale read
+    // beside the trimmed mean (q176): median and MAD survive 50%
+    // contamination where q129's σ is dragged by the very outliers it
+    // hunts. Three passes, each map-side against a 5-row broadcast:
+    // exact interpolated median (the q46 rule — bit-equal across
+    // engines), then MAD = median of |value − med| over the derived
+    // column (same interpolation arithmetic on bit-equal doubles),
+    // then the flag pass counting |value − med| > 3·MAD with the
+    // comparison text shared verbatim between engines so the cut can
+    // never straddle. Exact-ppm rate; no window, no per-group sort.
+    "q178_mad_outliers" -> { (s, d) =>
+      val med = Tables.events(s, d).groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = Tables.events(s, d)
+        .join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), col("med"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      Tables.events(s, d)
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+        .agg(sum(when(expr(MadOutlierPred), 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          col("n_outliers"),
+          expr("n_outliers * 1000000 div n").as("outlier_ppm"))
         .orderBy("event_type")
     },
 
@@ -1194,6 +1269,43 @@ object AnalyticsQueries {
         |WHERE value >= p01 AND value <= p99
         |GROUP BY e.event_type, n_total, sy
         |ORDER BY e.event_type""".stripMargin,
+    // q177: the same conditional-aggregation moments and the shared
+    // closed-form texts verbatim
+    "q177_ab_welch" ->
+      s"""WITH m AS (SELECT event_type,
+         |  CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+         |  CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0
+         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sy0,
+         |  CAST(sum(CASE WHEN user_id % 2 = 1
+         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sy1,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0
+         |    THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+         |      AS DECIMAL(38,4)) END) AS DOUBLE) AS syy0,
+         |  CAST(sum(CASE WHEN user_id % 2 = 1
+         |    THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+         |      AS DECIMAL(38,4)) END) AS DOUBLE) AS syy1
+         |FROM events GROUP BY event_type)
+         |SELECT event_type, n0, n1, $AbMean0Expr, $AbMean1Expr,
+         |  $AbDiffExpr, $AbWelchTExpr
+         |FROM m ORDER BY event_type""".stripMargin,
+    // q178: the same three passes — median, MAD over the derived
+    // column, and the shared outlier cut verbatim
+    "q178_mad_outliers" ->
+      s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |           FROM events GROUP BY 1),
+         |a AS (SELECT e.event_type, med, CAST(count(*) AS BIGINT) AS n,
+         |        quantile_cont(abs(value - med), 0.5) AS mad
+         |      FROM events e JOIN m ON e.event_type = m.event_type
+         |      GROUP BY 1, 2),
+         |f AS (SELECT e.event_type, n, med, mad,
+         |        CAST(sum(CASE WHEN $MadOutlierPred THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_outliers
+         |      FROM events e JOIN a ON e.event_type = a.event_type
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT event_type, n, med, mad, n_outliers,
+         |  n_outliers * 1000000 // n AS outlier_ppm
+         |FROM f ORDER BY event_type""".stripMargin,
     // q169: the same two first-event mins, guarded lag, and cohort
     // aggregation
     "q169_conversion_lag" ->

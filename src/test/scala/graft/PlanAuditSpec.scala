@@ -705,6 +705,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "trimming is two scans, never a per-group sort")
   }
 
+  test("q177: one conditional-aggregation pass; nothing joins") {
+    val p = formatted("q177_ab_welch")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "the per-arm moments must map-side combine in one pass")
+    assert(!p.contains("Join"), "the A/B report is one aggregate, no join anywhere")
+  }
+
+  test("q178: the 5-row median/MAD bounds broadcast into each pass") {
+    val p = formatted("q178_mad_outliers")
+    assert(p.contains("BroadcastExchange"), "median and MAD sides must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "robust stats are scans + broadcasts, never a per-group sort")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
