@@ -835,6 +835,19 @@ object AnalyticsQueries {
       graft.streaming.StreamingTransitions.transitionsReplay(s, d, 4)
     },
 
+    // STREAMED FUNNEL ≡ BATCH TRUTH (q179) — q81's three-stage funnel
+    // run the way a deployment runs it: the log as five deterministic
+    // micro-batches folded through `StreamingFunnel.advance`, stages
+    // advancing in dependency order within each batch against the
+    // just-updated state, so a funnel completing inside one batch or
+    // straddling any boundary lands identically. The oracle is q81's
+    // one-shot text — the hash match proves no stage time is lost,
+    // duplicated, or re-derived differently at any batch boundary (the
+    // q147/q170 streaming promotion precedent).
+    "q179_funnel_replay" -> { (s, d) =>
+      graft.streaming.StreamingFunnel.funnelReplay(s, d, 5)
+    },
+
     // QUOTA / RATE-LIMIT audit (q152) — the API-gateway batch twin:
     // each user's events past their first 50 are flagged throttled (the
     // per-user quota replay an abuse audit runs over a day's log). One
@@ -1453,7 +1466,16 @@ object AnalyticsQueries {
         |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
         |  value AS last_value, ts AS last_ts, CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "q81_funnel_stages" ->
+    "q81_funnel_stages" -> FunnelSql,
+    // q179: the oracle is q81's one-shot text — the hash match proves
+    // the per-user funnel state machine loses/duplicates no stage at
+    // any batch boundary (the q147/q170 promotion precedent).
+    "q179_funnel_replay" -> FunnelSql
+  )
+
+  /** q81/q179's shared one-shot funnel truth. Lazy: referenced by the
+    * `oracles` map above, which initializes first. */
+  private[queries] lazy val FunnelSql =
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |v AS (SELECT user_id, min(ts) AS t_view FROM events
         |      WHERE event_type = 'view' GROUP BY user_id),
@@ -1475,5 +1497,4 @@ object AnalyticsQueries {
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
         |  LEFT JOIN p USING (user_id)
         |ORDER BY u.user_id""".stripMargin
-  )
 }
