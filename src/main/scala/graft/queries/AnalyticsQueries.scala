@@ -579,6 +579,112 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // HISTOGRAM-QUANTILE EVAL (q180) — the 100 TB percentile path,
+    // graded against the exact truth (the q153/q132 sketch-eval
+    // precedent): exact interpolated percentiles need a full per-group
+    // sort, but a FIXED-WIDTH histogram needs only ONE partial-agg'd
+    // (type, bucket) count — constant state per group — and answers any
+    // quantile to ±bucket-width. Buckets are unit-width floor(value)
+    // (deterministic integer from the raw double, no libm); the
+    // estimate interpolates inside the covering bucket with a fixed
+    // IEEE dag on exact integers, so both engines produce bit-equal
+    // doubles. The report carries exact, estimate, and signed error per
+    // quantile — the number that justifies replacing the sort with the
+    // sketch at scale. The only window runs over the ≤1024-row-per-type
+    // bucket table.
+    "q180_histogram_quantile" -> { (s, d) =>
+      val b = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = b.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+      // CAST the quantile literal to DOUBLE explicitly: both engines
+      // otherwise type 0.5 as DECIMAL(1,1) and decimal×BIGINT rounding
+      // would diverge from the double dag. The covering bucket is the
+      // UNIQUE one with cum−c < target ≤ cum (cum strictly increases),
+      // so the min() is a pick, not a search.
+      def est(q: String, name: String) = {
+        val target = expr(s"CAST($q AS DOUBLE) * n")
+        min(when(col("cum") >= target && (col("cum") - col("c")) < target,
+          col("bucket") + (target - (col("cum") - col("c"))) / col("c")))
+          .as(name)
+      }
+      val sketch = cum.groupBy("event_type")
+        .agg(est("0.5", "p50_est"), est("0.9", "p90_est"))
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50_exact"),
+          expr("percentile(value, 0.9)").as("p90_exact"))
+      exact.join(broadcast(sketch), "event_type")
+        .select(col("event_type"), col("p50_exact"), col("p50_est"),
+          (col("p50_est") - col("p50_exact")).as("p50_err"),
+          col("p90_exact"), col("p90_est"),
+          (col("p90_est") - col("p90_exact")).as("p90_err"))
+        .orderBy("event_type")
+    },
+
+    // EXPONENTIAL-DECAY ENGAGEMENT (q181) — the recency-weighted
+    // feature every ranking/churn model wants, with the decay kept
+    // EXACT: the weight for an event aged a weeks is 2^(30−a), a pure
+    // power of two, so the score is Σ cents·2^(30−a) — one integer
+    // shift per row (no libm pow, no order-dependent double sum; the
+    // q42 no-libm rule's integer twin). Cents are decimal-exact
+    // (value → DECIMAL(18,2)·100), ages anchor on the corpus max day
+    // riding a 1-row broadcast crossJoin (the q115/q161 idiom), and the
+    // per-user fold is one partial-agg'd BIGINT sum. Headroom: cents <
+    // 2^16, shift ≤ 30, rows/user ≤ 2^10 at the gate SFs ⇒ score <
+    // 2^56; a 100 TB deployment drops the anchor shift to keep
+    // Σ < 2^63 (stated, not silent).
+    "q181_decay_engagement" -> { (s, d) =>
+      val t = Tables.events(s, d)
+        .agg(max(expr("unix_micros(ts) div 86400000000")).as("max_day"))
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .crossJoin(broadcast(t))
+        .select(col("user_id"),
+          expr("shiftleft(cents, CAST(30 - (max_day - day) div 7 AS INT))")
+            .as("wv"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("wv")).as("score_q30"))
+        .orderBy("user_id")
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE WITH RETRACTIONS (q182) — the
+    // Flink-style retract-stream contract proven in batch (the
+    // q124/q130 incremental family, extended to NEGATIVE deltas): an
+    // 'error' event RETRACTS one unit of presence and its value, so
+    // the maintained per-user aggregate is (Σ±1, Σ±cents). The
+    // incremental path materializes the first event_id half, aggregates
+    // the second half as a delta, and merges with ONE keyed full_outer
+    // join + coalesced component sums — never re-reading the base
+    // half. The oracle recomputes one-shot over the whole log with the
+    // same signed rule: the hash match is the increment ≡ recompute
+    // theorem, per user, in exact integers.
+    "q182_ivm_retractions" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_type") === "error", -1L).otherwise(1L).as("sgn"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val mid = ev.agg((max("event_id") / 2).cast("long").as("m"))
+      val signed = ev.crossJoin(broadcast(mid))
+        .select(col("user_id"), (col("event_id") <= col("m")).as("base"),
+          col("sgn"), (col("sgn") * col("cents")).as("sc"))
+      def agg(df: DataFrame, n: String, s2: String) =
+        df.groupBy("user_id")
+          .agg(sum(col("sgn")).as(n), sum(col("sc")).as(s2))
+      val m = agg(signed.filter(col("base")), "n_b", "s_b")
+      val dlt = agg(signed.filter(!col("base")), "n_d", "s_d")
+      m.join(dlt, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_net"),
+          (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L))).as("cents_net"))
+        .orderBy("user_id")
+    },
+
     // CONVERSION-LAG COHORTS (q169) — the duration face of the funnel
     // (q81 counts stage reach; q122 counts day-offset activity; this
     // measures HOW LONG signup → first purchase takes, per signup-day
@@ -1319,6 +1425,55 @@ object AnalyticsQueries {
          |SELECT event_type, n, med, mad, n_outliers,
          |  n_outliers * 1000000 // n AS outlier_ppm
          |FROM f ORDER BY event_type""".stripMargin,
+    // q180: the same unit-width buckets, covering-bucket interpolation,
+    // and exact truth side by side
+    "q180_histogram_quantile" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+        |        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket, c,
+        |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM b),
+        |s AS (SELECT event_type,
+        |        min(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * n
+        |              AND cum - c < CAST(0.5 AS DOUBLE) * n THEN
+        |          bucket + (CAST(0.5 AS DOUBLE) * n - (cum - c)) / c END)
+        |          AS p50_est,
+        |        min(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * n
+        |              AND cum - c < CAST(0.9 AS DOUBLE) * n THEN
+        |          bucket + (CAST(0.9 AS DOUBLE) * n - (cum - c)) / c END)
+        |          AS p90_est
+        |      FROM w GROUP BY 1),
+        |x AS (SELECT event_type, quantile_cont(value, 0.5) AS p50_exact,
+        |        quantile_cont(value, 0.9) AS p90_exact
+        |      FROM events GROUP BY 1)
+        |SELECT x.event_type, p50_exact, p50_est, p50_est - p50_exact AS p50_err,
+        |  p90_exact, p90_est, p90_est - p90_exact AS p90_err
+        |FROM x JOIN s ON x.event_type = s.event_type
+        |ORDER BY x.event_type""".stripMargin,
+    // q181: the same decimal-exact cents, week-age anchor, and
+    // power-of-two shift weights
+    "q181_decay_engagement" ->
+      """WITH t AS (SELECT max(epoch_us(ts) // 86400000000) AS max_day
+        |           FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    << (30 - (max_day - epoch_us(ts) // 86400000000) // 7))
+        |    AS BIGINT) AS score_q30
+        |FROM events CROSS JOIN t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q182: the one-shot signed recompute — the increment ≡ recompute
+    // theorem is exactly this hash match
+    "q182_ivm_retractions" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+        |    AS BIGINT) AS n_net,
+        |  CAST(sum((CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) *
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents_net
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q169: the same two first-event mins, guarded lag, and cohort
     // aggregation
     "q169_conversion_lag" ->

@@ -719,6 +719,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "robust stats are scans + broadcasts, never a per-group sort")
   }
 
+  test("q180: the sketch path partial-aggregates; its window runs over the bucket table") {
+    val p = formatted("q180_histogram_quantile")
+    assert(p.contains("partial_count"),
+      "the (type,bucket) histogram must map-side combine")
+    assert(p.contains("Window") && p.contains("BroadcastExchange"),
+      "cum runs over the bounded bucket table; the 5-row sketch broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q181: the day anchor rides a 1-row broadcast; the score is one partial-agg'd sum") {
+    val p = formatted("q181_decay_engagement")
+    assert(p.contains("partial_sum"), "per-user shift-weighted sums must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the max-day anchor must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q182: base and delta merge with one keyed full-outer join") {
+    val p = formatted("q182_ivm_retractions")
+    assert(p.contains("partial_sum"), "signed component sums must map-side combine")
+    assert(p.contains("FullOuter"), "the merge must be the keyed full_outer, not a union rescan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
