@@ -685,6 +685,38 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // LAST-TOUCH ATTRIBUTION (q183) — the marketing-analytics dual of
+    // the funnel (q81 asks "did the user convert"; this asks "which
+    // touch gets CREDIT for each purchase"): the latest view-or-click
+    // strictly before the purchase within a 12 h lookback, else
+    // 'none'. One user-keyed ordered window carrying the last touch
+    // (the q152 bounded-per-user-window scale shape — never a
+    // purchase×touch join), tie-broken by (ts, event_id) so the carry
+    // is total-ordered; the channel report is a 3-row aggregate with
+    // exact-ppm shares off a 1-row broadcast.
+    "q183_lasttouch_attribution" -> { (s, d) =>
+      val winUs = 43200000000L
+      val touch = when(col("event_type").isin("view", "click"), col("ts_us"))
+      val touchT = when(col("event_type").isin("view", "click"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val attr = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("lt_ts", last(touch, ignoreNulls = true).over(w))
+        .withColumn("lt_type", last(touchT, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(when(col("lt_ts").isNotNull &&
+            col("lt_ts") >= col("ts_us") - winUs, col("lt_type"))
+          .otherwise(lit("none")).as("channel"))
+      val counts = attr.groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+      val tot = counts.agg(sum(col("n_purchases")).as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_purchases"),
+          expr("n_purchases * 1000000 div n_total").as("share_ppm"))
+        .orderBy("channel")
+    },
+
     // CONVERSION-LAG COHORTS (q169) — the duration face of the funnel
     // (q81 counts stage reach; q122 counts day-offset activity; this
     // measures HOW LONG signup → first purchase takes, per signup-day
@@ -1474,6 +1506,30 @@ object AnalyticsQueries {
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    AS BIGINT) AS cents_net
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q183: the same carried-last-touch window, lookback cut, and
+    // exact-ppm shares
+    "q183_lasttouch_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |           FROM events),
+        |a AS (SELECT event_type, ts_us,
+        |        last_value(CASE WHEN event_type IN ('view', 'click')
+        |          THEN ts_us END IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts,
+        |        last_value(CASE WHEN event_type IN ('view', 'click')
+        |          THEN event_type END IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type
+        |      FROM e),
+        |c AS (SELECT CASE WHEN lt_ts IS NOT NULL
+        |          AND lt_ts >= ts_us - 43200000000 THEN lt_type
+        |          ELSE 'none' END AS channel,
+        |        CAST(count(*) AS BIGINT) AS n_purchases
+        |      FROM a WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS n_total FROM c)
+        |SELECT channel, n_purchases,
+        |  n_purchases * 1000000 // n_total AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY channel""".stripMargin,
     // q169: the same two first-event mins, guarded lag, and cohort
     // aggregation
     "q169_conversion_lag" ->

@@ -553,6 +553,46 @@ object CurationQueries {
     // shuffle-order-independent, the q47 rule); the mean is ONE IEEE
     // division. Output is |labels|·d rows — driver-sized at any corpus
     // scale; the corpus pass is map-side-combined.
+    // EMBEDDING HEALTH AUDIT (q184) — the vector-quality gate an
+    // ingest runs before indexing (q33/q108 assume sane vectors; this
+    // PROVES it): per label, exact squared-norm stats. Each vector's
+    // ‖x‖² is a partial-agg'd sum of DECIMAL(38,20) squares under
+    // q148's 7dp-round rule — exact, shuffle-order-free — then
+    // FLOOR-QUANTIZED to 1e6 micro-units (the q172 rule: casting a
+    // 20-scale decimal to double rounds differently across engines in
+    // the last ulp — observed live here on max_norm2 — while
+    // floor(·1e6) on the exact decimal is identical BIGINTs). The
+    // label report is one more partial-agg'd pass over exact integers:
+    // n, mean (ONE IEEE division of exact BIGINTs), min/max, and the
+    // UNIT-NORM CONTRACT count — vectors whose quantized ‖x‖² ≠ 1e6
+    // micro-units, the flag that catches un-normalized, truncated, or
+    // zeroed vectors before they poison cosine math (a near-zero cut
+    // was rejected: the fixtures are all unit-norm, so that branch
+    // could never fire — the q121 vacuous-branch rule; this cut splits
+    // every label at every SF). Both aggregation layers are map-side
+    // combining; nothing joins.
+    "q184_embedding_health" -> { (s, d) =>
+      val norms = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          explode(col("embedding")).as("xf"))
+        .select(col("vec_id"), col("label"),
+          round(col("xf").cast("double"), 7).cast("decimal(20,10)").as("x"))
+        .groupBy("vec_id", "label")
+        .agg(expr("CAST(floor(sum(CAST(x * x AS DECIMAL(38,20))) * 1000000) AS BIGINT)")
+          .as("norm2_u"))
+      norms.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("norm2_u")).as("sum_u"),
+          min(col("norm2_u")).as("min_norm2_u"),
+          max(col("norm2_u")).as("max_norm2_u"),
+          sum(when(col("norm2_u") =!= 1000000L, 1L).otherwise(0L)).as("n_off_unit"))
+        .select(col("label"), col("n_vecs"),
+          expr("CAST(sum_u AS DOUBLE) / CAST(n_vecs AS DOUBLE)").as("mean_norm2_u"),
+          col("min_norm2_u"), col("max_norm2_u"), col("n_off_unit"),
+          expr("n_off_unit * 1000000 div n_vecs").as("off_unit_ppm"))
+        .orderBy("label")
+    },
+
     "q148_label_centroids" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")))
@@ -1084,6 +1124,30 @@ object CurationQueries {
         |SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
         |  CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS shift_sq_q
         |FROM a JOIN b USING (label, dim) GROUP BY label ORDER BY label""".stripMargin,
+    // q184: the same 7dp-round DECIMAL squares, the same micro-unit
+    // floor, two partial-agg layers, and the exact near-zero cut
+    "q184_embedding_health" ->
+      """WITH e AS (SELECT vec_id, label,
+        |        unnest(generate_series(1, len(embedding))) AS i, embedding
+        |      FROM embeddings),
+        |v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE), 7)
+        |          AS DECIMAL(20,10)) AS x
+        |      FROM e),
+        |n AS (SELECT vec_id, label,
+        |        CAST(floor(sum(CAST(x * x AS DECIMAL(38,20))) * 1000000)
+        |          AS BIGINT) AS norm2_u
+        |      FROM v GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(norm2_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_norm2_u,
+        |  CAST(min(norm2_u) AS BIGINT) AS min_norm2_u,
+        |  CAST(max(norm2_u) AS BIGINT) AS max_norm2_u,
+        |  CAST(sum(CASE WHEN norm2_u <> 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_off_unit,
+        |  CAST(sum(CASE WHEN norm2_u <> 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS off_unit_ppm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q148_label_centroids" ->
       """WITH e AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
         |           FROM embeddings),

@@ -742,6 +742,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q183: attribution is one user-keyed window — never a purchase×touch join") {
+    val p = formatted("q183_lasttouch_attribution")
+    assert(p.contains("Window"), "the carried last-touch needs the per-user window")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row total must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q184: both norm layers partial-aggregate; nothing joins") {
+    val p = formatted("q184_embedding_health")
+    assert(p.contains("partial_sum"),
+      "per-vector squares and the label report must map-side combine")
+    assert(!p.contains("Join"), "the audit is two aggregations, no join anywhere")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
