@@ -717,6 +717,62 @@ object AnalyticsQueries {
         .orderBy("channel")
     },
 
+    // ROLLING 7-DAY FEATURES (q185) — the trailing-window features a
+    // churn/ranking model trains on: per user-day, events and exact
+    // cents over the last 7 calendar days. The corpus first collapses
+    // to the per-(user, day) grain (one partial-agg'd pass), and only
+    // THEN does the RANGE window run — over each user's calendar-sized
+    // daily series (the q157 discipline), never over raw events. All
+    // integers: decimal-exact cents, BIGINT day keys, RANGE 6
+    // PRECEDING on the integer day so gaps in activity still look back
+    // 7 real days (a ROWS frame would look back 7 ACTIVE days — the
+    // classic rolling-feature bug, called out so nobody "fixes" this).
+    "q185_rolling_features" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_day"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents_day"))
+      val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+      daily
+        .withColumn("roll7_n", sum(col("n_day")).over(w))
+        .withColumn("roll7_cents", sum(col("cents_day")).over(w))
+        .orderBy("user_id", "day")
+    },
+
+    // ERASURE CASCADE AUDIT (q186) — the GDPR deletion simulation
+    // beside the k-anonymity audit (q171 measures risk; this measures
+    // BLAST RADIUS): subjects are the customers in the request registry
+    // (c_custkey ≡ 0 mod 97 — deterministic stand-in for a request
+    // table), and the purge CASCADES along the foreign keys: customer
+    // rows → their orders (one keyed semi-join) → those orders'
+    // lineitems (a second keyed semi-join on the DERIVED order keys —
+    // never customer×lineitem). Per relation: total, purged, exact-ppm
+    // share. The request list is corpus-proportional (1/97 of
+    // customers), so its joins stay keyed equi-joins under AQE rather
+    // than forced broadcasts (the q50 dim-scaling rule).
+    "q186_erasure_audit" -> { (s, d) =>
+      val reqs = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0).select(col("c_custkey").as("k"))
+      val orders = Tables.orders(s, d)
+      val purgedOrders = orders
+        .join(reqs, orders("o_custkey") === reqs("k"), "left_semi")
+      val po = graft.Caches.scopedPersist(purgedOrders.select(col("o_orderkey").as("ok")))
+      val li = Tables.lineitem(s, d)
+      def row(name: String, total: DataFrame, purged: DataFrame) =
+        total.agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(purged.agg(count(lit(1)).as("n_purged"))))
+          .select(lit(name).as("relation"), col("n_total"), col("n_purged"),
+            expr("n_purged * 1000000 div n_total").as("purged_ppm"))
+      row("customer", Tables.customer(s, d),
+        Tables.customer(s, d).filter(col("c_custkey") % 97 === 0))
+        .unionByName(row("orders", orders, purgedOrders))
+        .unionByName(row("lineitem", li,
+          li.join(po, li("l_orderkey") === po("ok"), "left_semi")))
+        .orderBy("relation")
+    },
+
     // CONVERSION-LAG COHORTS (q169) — the duration face of the funnel
     // (q81 counts stage reach; q122 counts day-offset activity; this
     // measures HOW LONG signup → first purchase takes, per signup-day
@@ -1530,6 +1586,44 @@ object AnalyticsQueries {
         |SELECT channel, n_purchases,
         |  n_purchases * 1000000 // n_total AS share_ppm
         |FROM c CROSS JOIN t ORDER BY channel""".stripMargin,
+    // q185: the same daily grain and RANGE frame
+    "q185_rolling_features" ->
+      """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |        CAST(count(*) AS BIGINT) AS n_day,
+        |        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |          AS BIGINT) AS cents_day
+        |      FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, n_day, cents_day,
+        |  CAST(sum(n_day) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_n,
+        |  CAST(sum(cents_day) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll7_cents
+        |FROM daily ORDER BY user_id, day""".stripMargin,
+    // q186: the same registry predicate and two-level cascade
+    "q186_erasure_audit" ->
+      """WITH r AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM r)),
+        |c AS (SELECT 'customer' AS relation,
+        |        CAST(count(*) AS BIGINT) AS n_total,
+        |        CAST(count(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT)
+        |          AS n_purged
+        |      FROM customer),
+        |o AS (SELECT 'orders' AS relation,
+        |        CAST(count(*) AS BIGINT) AS n_total,
+        |        CAST(count(*) FILTER (WHERE o_custkey IN (SELECT k FROM r))
+        |          AS BIGINT) AS n_purged
+        |      FROM orders),
+        |l AS (SELECT 'lineitem' AS relation,
+        |        CAST(count(*) AS BIGINT) AS n_total,
+        |        CAST(count(*) FILTER (WHERE l_orderkey IN
+        |          (SELECT o_orderkey FROM po)) AS BIGINT) AS n_purged
+        |      FROM lineitem)
+        |SELECT relation, n_total, n_purged,
+        |  n_purged * 1000000 // n_total AS purged_ppm
+        |FROM (SELECT * FROM c UNION ALL SELECT * FROM o
+        |      UNION ALL SELECT * FROM l)
+        |ORDER BY relation""".stripMargin,
     // q169: the same two first-event mins, guarded lag, and cohort
     // aggregation
     "q169_conversion_lag" ->

@@ -73,6 +73,37 @@ object TemporalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // SESSION-QUALITY REPORT (q187) — the product-analytics read over
+    // q40's sessions (bounce rate, depth, dwell): sessions come from
+    // the same native session_window operator (user-keyed shuffle,
+    // no global sort), durations are exact epoch-µs BIGINTs (max−min
+    // within the session group), and the daily report is one more
+    // partial-agg'd pass — exact-ppm bounce share, exact interpolated
+    // p50/p90 depth (the q46 rule), mean dwell as ONE IEEE division of
+    // exact integers. The oracle replays sessions via gaps-and-islands
+    // (q40's equivalence, now proven a second way through duration
+    // arithmetic).
+    "q187_session_stats" -> { (s, d) =>
+      val sess = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (expr("unix_micros(max(ts))") - expr("unix_micros(min(ts))"))
+            .as("dur_us"),
+          expr("unix_micros(min(ts)) div 86400000000").as("day"))
+      sess.groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+          expr("percentile(n_events, 0.5)").as("p50_depth"),
+          expr("percentile(n_events, 0.9)").as("p90_depth"),
+          sum(col("dur_us")).as("sum_dur_us"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
+          col("p50_depth"), col("p90_depth"),
+          expr("CAST(sum_dur_us AS DOUBLE) / CAST(n_sessions AS DOUBLE)")
+            .as("mean_dur_us"))
+        .orderBy("day")
+    },
+
     // The WATERMARKED append-mode face of q40 (VERDICT r3 item 6):
     // sessions finalize and their state evicts once the watermark passes
     // session end (last event + gap) — the form whose state stays finite
@@ -224,6 +255,35 @@ object TemporalQueries {
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // q187: q40's gaps-and-islands sessions, then the same daily
+    // quality aggregation
+    "q187_session_stats" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (SELECT user_id, sid,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+        |    epoch_us(min(ts)) // 86400000000 AS day
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS bounce_ppm,
+        |  quantile_cont(n_events, 0.5) AS p50_depth,
+        |  quantile_cont(n_events, 0.9) AS p90_depth,
+        |  CAST(sum(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_dur_us
+        |FROM sess GROUP BY day ORDER BY day""".stripMargin,
     // Watermark mirrored at ms precision like q61; a session is emitted
     // once its END (last event + gap) <= watermark, compared in µs so a
     // sub-millisecond session end can't flip the cut.

@@ -756,6 +756,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "the audit is two aggregations, no join anywhere")
   }
 
+  test("q185: the RANGE window runs over the daily grain, after the partial-agg collapse") {
+    val p = formatted("q185_rolling_features")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "the (user,day) collapse must map-side combine before any window")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "rolling features are one collapse + one window, no join")
+  }
+
+  test("q186: the purge cascades through keyed semi-joins — never customer×lineitem") {
+    val p = formatted("q186_erasure_audit")
+    assert(p.contains("LeftSemi"), "orders and lineitem must purge via semi-joins")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row counts must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q187: sessions stay user-keyed; the report joins nothing") {
+    val p = formatted("q187_session_stats")
+    assert(!p.contains("Join"), "session stats are two aggregations, no join anywhere")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
