@@ -102,6 +102,24 @@ object AnalyticsQueries {
   /** q178's shared outlier cut (one text, two engines). */
   private[queries] val MadOutlierPred = "abs(value - med) > 3 * mad"
 
+  /** q189's shared Wilson-score texts (the q138 rule): center and
+    * half-width of the 95% interval from exact (k, n) and the literal
+    * z = 1.96 — every operand double-promotes identically, so the dag
+    * is bit-equal across engines. */
+  private[queries] val WilsonCenterExpr =
+    "(k / CAST(n AS DOUBLE) + 1.9208 / CAST(n AS DOUBLE)) / " +
+      "(1.0 + 3.8416 / CAST(n AS DOUBLE)) AS p_center"
+  private[queries] val WilsonLoExpr =
+    "(k / CAST(n AS DOUBLE) + 1.9208 / CAST(n AS DOUBLE) - 1.96 * sqrt(" +
+      "(k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+      "0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / " +
+      "(1.0 + 3.8416 / CAST(n AS DOUBLE)) AS p_lo"
+  private[queries] val WilsonHiExpr =
+    "(k / CAST(n AS DOUBLE) + 1.9208 / CAST(n AS DOUBLE) + 1.96 * sqrt(" +
+      "(k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+      "0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / " +
+      "(1.0 + 3.8416 / CAST(n AS DOUBLE)) AS p_hi"
+
   val queries: Map[String, Q] = Map(
     // SQL entry path: the oracle string itself, parsed by Spark. The
     // temp view exists only for the eager analysis inside sql() — it is
@@ -771,6 +789,65 @@ object AnalyticsQueries {
         .unionByName(row("lineitem", li,
           li.join(po, li("l_orderkey") === po("ok"), "left_semi")))
         .orderBy("relation")
+    },
+
+    // WILSON CONFIDENCE INTERVALS (q189) — the uncertainty the A/B
+    // report (q177) and conversion cohorts (q169) omit: per signup-day
+    // cohort, the 95% Wilson score interval around the conversion rate
+    // — the bound that stays honest at small n where the normal
+    // approximation lies. k and n are exact integers (two partial-agg'd
+    // first-event passes, the q169 shape); the interval is ONE shared
+    // fixed IEEE dag (the q138 rule) on (k, n, z=1.96), so both engines
+    // emit bit-equal doubles. No window, one keyed left join.
+    "q189_wilson_ci" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("p_us"))
+      su.join(pu, Seq("user_id"), "left")
+        .select(expr("s_us div 86400000000").as("cohort_day"),
+          when(col("p_us") >= col("s_us"), 1L).otherwise(0L).as("conv"))
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+        .select(col("cohort_day"), col("n"), col("k"),
+          expr(WilsonCenterExpr), expr(WilsonLoExpr), expr(WilsonHiExpr))
+        .orderBy("cohort_day")
+    },
+
+    // SHIP-LAG SLA REPORT (q190) — the fulfillment-latency read every
+    // ops dashboard runs over the order→lineitem join: per order
+    // year-month, exact interpolated p50/p95 lag (integer days, the
+    // q46 rule), the SLA-breach share (> 60 days) and the IMPOSSIBLE
+    // share (negative lag — shipment before order, the referential DQ
+    // flag beside q159), both exact ppm. One keyed big-big join
+    // (lineitem ⋈ orders shuffles on the order key) and one
+    // partial-agg'd month rollup; the fixture's uncorrelated synthetic
+    // dates make both audit branches fire at every SF.
+    "q190_shiplag_sla" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          // the date columns land as TIMESTAMP_NTZ (the TESTDATA.md
+          // gotcha); the UTC-session cast makes them µs-epoch exactly
+          // like DuckDB's native epoch_us on the same parquet values
+          expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
+            .as("lag_days"))
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("percentile(lag_days, 0.5)").as("p50_lag"),
+          expr("percentile(lag_days, 0.95)").as("p95_lag"),
+          sum(when(col("lag_days") > 60L, 1L).otherwise(0L)).as("n_breach"),
+          sum(when(col("lag_days") < 0L, 1L).otherwise(0L)).as("n_negative"))
+        .select(col("ym"), col("n_lines"), col("p50_lag"), col("p95_lag"),
+          col("n_breach"),
+          expr("n_breach * 1000000 div n_lines").as("breach_ppm"),
+          col("n_negative"),
+          expr("n_negative * 1000000 div n_lines").as("negative_ppm"))
+        .orderBy("ym")
     },
 
     // CONVERSION-LAG COHORTS (q169) — the duration face of the funnel
@@ -1624,6 +1701,40 @@ object AnalyticsQueries {
         |FROM (SELECT * FROM c UNION ALL SELECT * FROM o
         |      UNION ALL SELECT * FROM l)
         |ORDER BY relation""".stripMargin,
+    // q189: the same cohort counts and the shared Wilson dag verbatim
+    "q189_wilson_ci" ->
+      s"""WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+         |            WHERE event_type = 'signup' GROUP BY 1),
+         |pu AS (SELECT user_id, min(epoch_us(ts)) AS p_us FROM events
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |c AS (SELECT s_us // 86400000000 AS cohort_day,
+         |        CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN p_us >= s_us THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS k
+         |      FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+         |      GROUP BY 1)
+         |SELECT cohort_day, n, k, $WilsonCenterExpr, $WilsonLoExpr,
+         |  $WilsonHiExpr
+         |FROM c ORDER BY cohort_day""".stripMargin,
+    // q190: the same keyed join, integer-day lag, and audit cuts
+    "q190_shiplag_sla" ->
+      """WITH j AS (SELECT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000
+        |      AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT ym, CAST(count(*) AS BIGINT) AS n_lines,
+        |  quantile_cont(lag_days, 0.5) AS p50_lag,
+        |  quantile_cont(lag_days, 0.95) AS p95_lag,
+        |  CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_breach,
+        |  CAST(sum(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS breach_ppm,
+        |  CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative,
+        |  CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS negative_ppm
+        |FROM j GROUP BY ym ORDER BY ym""".stripMargin,
     // q169: the same two first-event mins, guarded lag, and cohort
     // aggregation
     "q169_conversion_lag" ->

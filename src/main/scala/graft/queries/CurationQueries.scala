@@ -593,6 +593,43 @@ object CurationQueries {
         .orderBy("label")
     },
 
+    // CLASS-CONFUSABILITY MATRIX (q188) — the label-geometry read
+    // beside the health audit (q184) and the drift report (q172):
+    // cosine similarity between every pair of label centroids — the
+    // number that says WHICH classes an embedding space cannot tell
+    // apart (high centroid cosine ⇒ expect q164-style label
+    // disagreement there). Corpus work ends at the centroid pass
+    // (q148 arithmetic, q172 micro-quantization: exact DECIMAL means
+    // floor-quantized to BIGINT micro-units); the pair stage runs on
+    // the L·d ≤ 640-row quantized table — a dim-keyed self-join with
+    // label_a < label_b, then cos = dot/(√·√) as ONE fixed IEEE dag on
+    // exact integers, bit-equal across engines. Never vectors×vectors.
+    "q188_centroid_similarity" -> { (s, d) =>
+      val cent = graft.Caches.scopedPersist(
+        Tables.embeddings(s, d)
+          .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos").cast("long").as("dim"),
+            round(col("col").cast("double"), 7).cast("decimal(20,10)").as("x"))
+          .groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+          .select(col("label"), col("dim"),
+            floor(col("sx").cast("double") / col("n").cast("double")
+              * lit(1000000.0d)).cast("long").as("mq")))
+      val norms = cent.groupBy("label")
+        .agg(sum(col("mq") * col("mq")).as("nsq"))
+      val a = cent.select(col("label").as("label_a"), col("dim"), col("mq").as("ma"))
+      val b = cent.select(col("label").as("label_b"), col("dim"), col("mq").as("mb"))
+      a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(col("ma") * col("mb")).as("dot_q"))
+        .join(broadcast(norms.select(col("label").as("label_a"), col("nsq").as("na"))), "label_a")
+        .join(broadcast(norms.select(col("label").as("label_b"), col("nsq").as("nb"))), "label_b")
+        .select(col("label_a"), col("label_b"), col("dot_q"),
+          expr("CAST(dot_q AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))")
+            .as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    },
+
     "q148_label_centroids" -> { (s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")))
@@ -1124,6 +1161,31 @@ object CurationQueries {
         |SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
         |  CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS shift_sq_q
         |FROM a JOIN b USING (label, dim) GROUP BY label ORDER BY label""".stripMargin,
+    // q188: the same q148/q172 mean quantization, then the dim-keyed
+    // pair stage and one shared cosine dag
+    "q188_centroid_similarity" ->
+      """WITH e AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+        |        embedding FROM embeddings),
+        |v AS (SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE), 7)
+        |          AS DECIMAL(20,10)) AS x
+        |      FROM e),
+        |c AS (SELECT label, dim,
+        |        CAST(floor(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |          * 1000000.0) AS BIGINT) AS mq
+        |      FROM v GROUP BY 1, 2),
+        |nr AS (SELECT label, CAST(sum(mq * mq) AS BIGINT) AS nsq
+        |       FROM c GROUP BY 1),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        CAST(sum(a.mq * b.mq) AS BIGINT) AS dot_q
+        |      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b, dot_q,
+        |  CAST(dot_q AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) *
+        |    sqrt(CAST(nb.nsq AS DOUBLE))) AS cos_sim
+        |FROM p JOIN nr na ON p.label_a = na.label
+        |       JOIN nr nb ON p.label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin,
     // q184: the same 7dp-round DECIMAL squares, the same micro-unit
     // floor, two partial-agg layers, and the exact near-zero cut
     "q184_embedding_health" ->

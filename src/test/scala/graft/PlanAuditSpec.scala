@@ -777,6 +777,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q188: corpus work ends at the centroid pass; pairs run dim-keyed on the quantized table") {
+    val p = formatted("q188_centroid_similarity")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the centroid pass must map-side combine the posexplode stream")
+    assert(p.contains("BroadcastExchange"), "the 10-row norms must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "a cross product means the pair stage lost its dim key")
+  }
+
+  test("q189: cohort counts partial-aggregate; the Wilson dag adds no extra pass") {
+    val p = formatted("q189_wilson_ci")
+    assert(p.contains("partial_min"), "first-event mins must map-side combine")
+    assert(p.contains("EqualTo(event_type,signup)"),
+      "the stage filter must reach PushedFilters")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("q190: one keyed big-big join, then one partial-agg'd month rollup") {
+    val p = formatted("q190_shiplag_sla")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "the SLA report is join + aggregate, never a sort")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
