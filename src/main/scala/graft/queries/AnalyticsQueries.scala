@@ -602,7 +602,11 @@ object AnalyticsQueries {
     // precedent): exact interpolated percentiles need a full per-group
     // sort, but a FIXED-WIDTH histogram needs only ONE partial-agg'd
     // (type, bucket) count — constant state per group — and answers any
-    // quantile to ±bucket-width. Buckets are unit-width floor(value)
+    // quantile to within the covering bucket of the q·n-th order
+    // statistic (NOT a global ±bucket-width bound: in a sparse tail,
+    // adjacent order statistics can sit buckets apart, so the distance
+    // to the interpolated exact percentile is data-dependent — the
+    // err columns report it). Buckets are unit-width floor(value)
     // (deterministic integer from the raw double, no libm); the
     // estimate interpolates inside the covering bucket with a fixed
     // IEEE dag on exact integers, so both engines produce bit-equal
