@@ -80,4 +80,26 @@ class StreamingFunnelSpec extends SparkSpec {
     val s2 = StreamingFunnel.advance(ev(Seq.empty), s1)
     assert(stateOf(s2) === stateOf(s1))
   }
+
+  test("durable face: batched apply equals one-shot; retries no-op; a crash-orphan version is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-state")
+    graft.TempDirs.cleanupOnExit(dir)
+    val batches = Seq(log.filter(_._2 < 10 * H),
+      log.filter(r => r._2 >= 10 * H && r._2 < 20 * H),
+      log.filter(_._2 >= 20 * H))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingFunnel.processBatch(ev(b), dir.toString, i.toLong)
+    }
+    assert(stateOf(StreamingFunnel.publish(spark, dir.toString)) === expected)
+
+    // retry of an already-committed batch must not change the state
+    StreamingFunnel.processBatch(ev(batches(1)), dir.toString, 1L)
+    assert(stateOf(StreamingFunnel.publish(spark, dir.toString)) === expected)
+
+    // a crash mid-write leaves a version dir WITHOUT the marker — the
+    // published state must still be the last committed one
+    val orphan = java.nio.file.Paths.get(dir.toString, "v9", "state")
+    java.nio.file.Files.createDirectories(orphan)
+    assert(stateOf(StreamingFunnel.publish(spark, dir.toString)) === expected)
+  }
 }
