@@ -854,6 +854,38 @@ object AnalyticsQueries {
         .orderBy("ym")
     },
 
+    // SEASONAL-BASELINE ANOMALY (q191) — the monitoring gap between
+    // the global z-score (q129) and the level-shift CUSUM (q175): a
+    // Tuesday that is normal for a Saturday. Daily counts collapse
+    // from the corpus in ONE partial-agg'd pass; each day-of-week's
+    // baseline (exact integer moments over its ≤ ⌈days/7⌉ members) is
+    // a 7-row broadcast; the deviation stays integer-exact scaled by
+    // n (dev = n·c − S, the q175 trick), and the flag is the ARGMAX
+    // deviation per weekday (a 2σ cut was rejected: the fixture's
+    // near-uniform days never cross it at any SF — the q121
+    // vacuous-branch rule; the worst-day-per-weekday flag fires 7 of
+    // 30 days everywhere and is the row an on-call actually reads).
+    // Headroom: n·c must fit BIGINT — past ≈ 9e18 escalate to
+    // DECIMAL(38,0), the q161 rule.
+    "q191_seasonal_baseline" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", expr("day % 7"))
+      val base = daily.groupBy("dow")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      val dev = daily.join(broadcast(base), "dow")
+        .withColumn("dev_scaled", col("n") * col("c") - col("sc"))
+      val worst = dev.groupBy("dow")
+        .agg(max(abs(col("dev_scaled"))).as("max_abs_dev"))
+      dev.join(broadcast(worst), "dow")
+        .select(col("day"), col("dow"), col("c"),
+          expr("sc div n").as("dow_mean_floor"), col("dev_scaled"),
+          when(abs(col("dev_scaled")) === col("max_abs_dev"), 1L)
+            .otherwise(0L).as("is_worst"))
+        .orderBy("day")
+    },
+
     // CONVERSION-LAG COHORTS (q169) — the duration face of the funnel
     // (q81 counts stage reach; q122 counts day-offset activity; this
     // measures HOW LONG signup → first purchase takes, per signup-day
@@ -1739,6 +1771,24 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000 // CAST(count(*) AS BIGINT) AS negative_ppm
         |FROM j GROUP BY ym ORDER BY ym""".stripMargin,
+    // q191: the same daily collapse, dow baselines, scaled deviation,
+    // and per-weekday argmax flag
+    "q191_seasonal_baseline" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |        CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |d2 AS (SELECT day, day % 7 AS dow, c FROM daily),
+        |b AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS sc
+        |      FROM d2 GROUP BY 1),
+        |dev AS (SELECT day, d2.dow, c, n, sc,
+        |          n * c - sc AS dev_scaled
+        |        FROM d2 JOIN b ON d2.dow = b.dow),
+        |w AS (SELECT dow, max(abs(dev_scaled)) AS mad FROM dev GROUP BY 1)
+        |SELECT day, dev.dow, c, sc // n AS dow_mean_floor,
+        |  CAST(dev_scaled AS BIGINT) AS dev_scaled,
+        |  CAST(CASE WHEN abs(dev_scaled) = mad THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_worst
+        |FROM dev JOIN w ON dev.dow = w.dow ORDER BY day""".stripMargin,
     // q169: the same two first-event mins, guarded lag, and cohort
     // aggregation
     "q169_conversion_lag" ->

@@ -119,6 +119,48 @@ object JoinQueries {
           expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"),
           expr("n_baskets * n_ab * 1000000 div (n_a * n_b)").as("lift_ppm"))
         .orderBy("brand_a", "brand_b")
+    },
+
+    // ITEM-ITEM COLLABORATIVE FILTERING (q192) — the classic
+    // "customers who bought X also bought" candidate generator, the
+    // recommendation face of q173's basket lift: baskets are CUSTOMERS
+    // (coarser than orders, denser co-occurrence), items are parts,
+    // similarity is cosine over co-occurrence counts, and each part
+    // keeps its top-3 neighbors. Scale shape: the (customer, part)
+    // incidence builds through the order join and ONE partial-agg'd
+    // DISTINCT; pairs self-join KEYED ON THE CUSTOMER (expansion
+    // bounded by parts-per-customer, never parts²); cosine is one
+    // shared IEEE dag over exact counts; the top-3 rank window runs
+    // per part over its ≤|co-bought| candidate rows with a total
+    // (sim, id) order — vocabulary-bounded, never a global sort. A
+    // min-support floor (pair seen ≥ 2×) keeps one-off noise out of
+    // the neighbor lists — and it FIRES at every SF.
+    "q192_item_similarity" -> { (s, d) =>
+      val inc = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .distinct()
+      val bb = graft.Caches.scopedPersist(inc)
+      val marg = bb.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = bb.as("x")
+        .join(bb.as("y"),
+          col("x.ck") === col("y.ck") && col("x.pk") =!= col("y.pk"))
+        .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2L)
+      val scored = pairs
+        .join(marg.select(col("pk").as("part_a"), col("c").as("c_a")), "part_a")
+        .join(marg.select(col("pk").as("part_b"), col("c").as("c_b")), "part_b")
+        .withColumn("sim",
+          expr("CAST(c_ab AS DOUBLE) / (sqrt(CAST(c_a AS DOUBLE)) * sqrt(CAST(c_b AS DOUBLE)))"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("part_a")
+        .orderBy(col("sim").desc, col("part_b"))
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3L)
+        .select(col("part_a"), col("rk"), col("part_b"), col("c_ab"), col("sim"))
+        .orderBy("part_a", "rk")
     }
   )
 
@@ -172,6 +214,27 @@ object JoinQueries {
         |FROM p JOIN m ma ON p.brand_a = ma.br
         |       JOIN m mb ON p.brand_b = mb.br
         |       CROSS JOIN n
-        |ORDER BY brand_a, brand_b""".stripMargin
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    // q192: the same customer-keyed incidence, min-support, shared
+    // cosine dag, and (sim, id)-ordered top-3
+    "q192_item_similarity" ->
+      """WITH inc AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM inc GROUP BY 1),
+        |p AS (SELECT x.pk AS part_a, y.pk AS part_b,
+        |        CAST(count(*) AS BIGINT) AS c_ab
+        |      FROM inc x JOIN inc y ON x.ck = y.ck AND x.pk <> y.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT part_a, part_b, c_ab,
+        |        CAST(c_ab AS DOUBLE) / (sqrt(CAST(ma.c AS DOUBLE)) *
+        |          sqrt(CAST(mb.c AS DOUBLE))) AS sim
+        |      FROM p JOIN m ma ON p.part_a = ma.pk
+        |             JOIN m mb ON p.part_b = mb.pk),
+        |r AS (SELECT part_a, part_b, c_ab, sim,
+        |        CAST(row_number() OVER (PARTITION BY part_a
+        |          ORDER BY sim DESC, part_b) AS BIGINT) AS rk
+        |      FROM s)
+        |SELECT part_a, rk, part_b, c_ab, sim
+        |FROM r WHERE rk <= 3 ORDER BY part_a, rk""".stripMargin
   )
 }

@@ -800,6 +800,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "the SLA report is join + aggregate, never a sort")
   }
 
+  test("q191: daily collapse partial-aggregates; baselines and maxima ride 7-row broadcasts") {
+    val p = formatted("q191_seasonal_baseline")
+    assert(p.contains("partial_count"), "the daily count must map-side combine")
+    assert(p.contains("BroadcastExchange"), "dow baselines and maxima must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("q192: the pair stage keys on the customer; top-3 ranks per part, never globally") {
+    val p = formatted("q192_item_similarity")
+    assert(!p.contains("CartesianProduct"),
+      "a cross product means the self-join lost its customer key")
+    assert(p.contains("Window"), "the top-3 needs the per-part rank window")
+    assert(p.contains("partial_count"), "incidence and pair counts must map-side combine")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
