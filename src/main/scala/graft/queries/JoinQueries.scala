@@ -142,12 +142,17 @@ object JoinQueries {
         .distinct()
       val bb = graft.Caches.scopedPersist(inc)
       val marg = bb.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      val pairs = bb.as("x")
+      // emit each unordered pair ONCE (pk < pk) through the heavy
+      // customer-keyed shuffle, then mirror the counted table — half
+      // the expansion rows for the same symmetric counts
+      val lower = bb.as("x")
         .join(bb.as("y"),
-          col("x.ck") === col("y.ck") && col("x.pk") =!= col("y.pk"))
+          col("x.ck") === col("y.ck") && col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
         .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 2L)
+      val pairs = lower.unionByName(lower.select(
+        col("part_b").as("part_a"), col("part_a").as("part_b"), col("c_ab")))
       val scored = pairs
         .join(marg.select(col("pk").as("part_a"), col("c").as("c_a")), "part_a")
         .join(marg.select(col("pk").as("part_b"), col("c").as("c_b")), "part_b")
