@@ -1334,6 +1334,52 @@ object AnalyticsQueries {
           unix_micros(col("t_click")).as("t_click_us"),
           unix_micros(col("t_purchase")).as("t_purchase_us"))
         .orderBy("user_id")
+    },
+
+    // SNAPSHOT RECONCILIATION DIFF (q194) — the replica-audit face
+    // beside q159's referential integrity: given two snapshots of the
+    // same table (a migration cutover, a cross-region replica, a
+    // vendor re-delivery), classify every key as added / removed /
+    // changed / unchanged and report per-class counts with a key
+    // checksum that pins MEMBERSHIP, not just cardinality. The two
+    // snapshots are derived deterministically from orders (base drops
+    // keys ≡0 mod 83 — "late-arriving"; the replica drops ≡0 mod 97
+    // and bumps o_totalprice on ≡0 mod 89), so all four classes fire
+    // at every SF. Work shape: ONE keyed full-outer join plus a
+    // null-safe column-by-column compare (<=> — no row-hash string
+    // render to drift across engines) and a grammar-sized final agg.
+    // At 100 TB both snapshots bucket by pk, making the join
+    // shuffle-free; nothing else touches the fact width. Keys are
+    // non-negative, so Spark % ≡ DuckDB % (the q105 sign rule).
+    "q194_snapshot_diff" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val base = o.filter(expr("o_orderkey % 83 <> 0"))
+        .select(col("o_orderkey").as("k"), lit(true).as("b_in"),
+          col("o_custkey").as("b_ck"), col("o_orderstatus").as("b_st"),
+          price.as("b_tp"), col("o_orderdate").as("b_od"),
+          col("o_orderpriority").as("b_pr"))
+      val repl = o.filter(expr("o_orderkey % 97 <> 0"))
+        .select(col("o_orderkey").as("k"), lit(true).as("r_in"),
+          col("o_custkey").as("r_ck"), col("o_orderstatus").as("r_st"),
+          when(expr("o_orderkey % 89 = 0"),
+            (price + lit(1).cast("decimal(18,2)")).cast("decimal(18,2)"))
+            .otherwise(price).as("r_tp"),
+          col("o_orderdate").as("r_od"), col("o_orderpriority").as("r_pr"))
+      base.join(repl, Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("b_in").isNull, "added")
+            .when(col("r_in").isNull, "removed")
+            .when(!(col("b_ck") <=> col("r_ck")) ||
+              !(col("b_st") <=> col("r_st")) ||
+              !(col("b_tp") <=> col("r_tp")) ||
+              !(col("b_od") <=> col("r_od")) ||
+              !(col("b_pr") <=> col("r_pr")), "changed")
+            .otherwise("unchanged").as("diff_class"))
+        .groupBy("diff_class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("key_checksum"))
+        .orderBy("diff_class")
     }
   )
 
@@ -1940,7 +1986,34 @@ object AnalyticsQueries {
     // q179: the oracle is q81's one-shot text — the hash match proves
     // the per-user funnel state machine loses/duplicates no stage at
     // any batch boundary (the q147/q170 promotion precedent).
-    "q179_funnel_replay" -> FunnelSql
+    "q179_funnel_replay" -> FunnelSql,
+    // q194: the same derived snapshots, IS DISTINCT FROM ≡ Spark's
+    // negated <=>, and the same grammar-sized per-class report.
+    "q194_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+        |        o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+        |        o_orderdate AS od, o_orderpriority AS pr
+        |      FROM orders WHERE o_orderkey % 83 <> 0),
+        |repl AS (SELECT o_orderkey AS k, o_custkey AS ck,
+        |        o_orderstatus AS st,
+        |        CAST(CASE WHEN o_orderkey % 89 = 0
+        |          THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2))
+        |          ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS tp,
+        |        o_orderdate AS od, o_orderpriority AS pr
+        |      FROM orders WHERE o_orderkey % 97 <> 0),
+        |j AS (SELECT coalesce(b.k, r.k) AS k,
+        |        CASE WHEN b.k IS NULL THEN 'added'
+        |             WHEN r.k IS NULL THEN 'removed'
+        |             WHEN b.ck IS DISTINCT FROM r.ck
+        |               OR b.st IS DISTINCT FROM r.st
+        |               OR b.tp IS DISTINCT FROM r.tp
+        |               OR b.od IS DISTINCT FROM r.od
+        |               OR b.pr IS DISTINCT FROM r.pr THEN 'changed'
+        |             ELSE 'unchanged' END AS diff_class
+        |      FROM base b FULL OUTER JOIN repl r ON b.k = r.k)
+        |SELECT diff_class, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_checksum
+        |FROM j GROUP BY diff_class ORDER BY diff_class""".stripMargin
   )
 
   /** q81/q179's shared one-shot funnel truth. Lazy: referenced by the

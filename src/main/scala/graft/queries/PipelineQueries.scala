@@ -2341,6 +2341,68 @@ object PipelineQueries {
           size(col("ck")).cast("long").as("n_chunk_tokens"),
           array_join(col("ck"), " ").as("chunk"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // POSITIONAL PHRASE SEARCH (q193) — the exact-phrase face of the
+    // q126/q166 inverted index: postings carry token POSITIONS, and a
+    // two-word phrase match is a postings self-intersection on
+    // (doc, pos+1). The scale shape is the search-engine one: the
+    // posting build is ONE posexplode pass filtered to the queried
+    // terms BEFORE anything joins (term-bucketed postings at 100 TB
+    // mean only the queried terms' lists are ever read — the filter is
+    // the index probe), the phrase dim is a broadcast literal, and the
+    // adjacency join is keyed on (doc_id, pos) — candidate volume is
+    // the queried terms' posting mass, never corpus². Overlapping
+    // occurrences count individually ("table table table" → 2), same
+    // as the oracle's bigram replay.
+    "q193_phrase_search" -> { (s, d) =>
+      import s.implicits._
+      val phrases = Seq("fast merge", "key scan", "table table")
+      val terms = phrases.flatMap(_.split(" ")).distinct
+      val posts = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokensCol).as(Seq("pos", "term")))
+        .filter(col("term").isin(terms: _*))
+      val pp = graft.Caches.scopedPersist(posts)
+      val qdim = phrases.map(p => (p, p.split(" ")(0), p.split(" ")(1)))
+        .toDF("phrase", "w1", "w2")
+      broadcast(qdim)
+        .join(pp.as("a"), col("w1") === col("a.term"))
+        .join(pp.as("b"),
+          col("w2") === col("b.term") &&
+            col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("phrase"), col("a.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_occur"))
+        .orderBy("phrase", "doc_id")
+    },
+
+    // VOCABULARY COVERAGE CURVE (q195) — the tokenizer-sizing report
+    // beside q163's vocab-growth curve: what fraction of all corpus
+    // tokens does a top-k vocabulary cover (the OOV-rate complement
+    // that decides BPE vocab size / UNK handling)? Corpus work is ONE
+    // partial-agg'd unigram count; everything after runs on the VOCAB
+    // table (31 rows here, ≤ a few hundred thousand for a real BPE —
+    // vocabulary-shaped, never corpus-shaped), so the single-partition
+    // cumulative window over (freq DESC, term) is bounded by
+    // construction, the same adjudicated shape as q163/q174. Coverage
+    // is exact integer ppm against a 1-row broadcast total.
+    "q195_vocab_coverage" -> { (s, d) =>
+      val uni = Tables.documents(s, d)
+        .select(explode(tokensCol).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = uni.agg(sum(col("n")).cast("long").as("n_total"))
+      val w = Window.orderBy(col("n").desc, col("tok").asc)
+      uni
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("long"))
+        .filter(col("rk").isin(1L, 2L, 4L, 8L, 16L))
+        .crossJoin(broadcast(tot))
+        .select(col("rk").as("vocab_k"), col("tok").as("kth_term"),
+          col("cum").as("n_covered"), col("n_total"),
+          expr("cum * 1000000 div n_total").as("coverage_ppm"))
+        .orderBy("vocab_k")
     }
   )
 
@@ -3355,6 +3417,34 @@ object PipelineQueries {
         |f AS (SELECT doc_id, n_bytes, n_bytes % 640 + 1 AS width,
         |    n_bytes * 7 % 480 + 1 AS height, n_bytes % 16 + 1 AS n_frames FROM m)
         |SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, width, height, n_bytes
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // q193: the oracle replays phrase adjacency as the q140 positional
+    // bigram construction filtered to the query phrases — identical
+    // overlap semantics (every adjacent occurrence counts once).
+    "q193_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(tk) - 1),
+        |           i -> tk[i] || ' ' || tk[i+1])) AS phrase
+        |       FROM toks WHERE len(tk) >= 2)
+        |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occur
+        |FROM bg WHERE phrase IN ('fast merge', 'key scan', 'table table')
+        |GROUP BY phrase, doc_id ORDER BY phrase, doc_id""".stripMargin,
+    // q195: identical unigram counts, (freq DESC, term) rank order, and
+    // exact integer-ppm coverage.
+    "q195_vocab_coverage" ->
+      """WITH uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+        |       GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uni),
+        |r AS (SELECT tok, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rk,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM uni)
+        |SELECT rk AS vocab_k, tok AS kth_term, cum AS n_covered, n_total,
+        |  cum * 1000000 // n_total AS coverage_ppm
+        |FROM r CROSS JOIN tot
+        |WHERE rk IN (1, 2, 4, 8, 16) ORDER BY vocab_k""".stripMargin
   )
 }

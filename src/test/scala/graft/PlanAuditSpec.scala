@@ -815,6 +815,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "incidence and pair counts must map-side combine")
   }
 
+  test("q193: the phrase dim broadcasts; adjacency stays a keyed equi-join") {
+    val p = formatted("q193_phrase_search")
+    assert(p.contains("BroadcastExchange"), "the 3-row phrase dim must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a positional adjacency that loses its (doc, pos) key scans posting² pairs")
+    assert(p.contains("partial_count"), "per-doc occurrence counts must map-side combine")
+  }
+
+  test("q194: reconciliation is one keyed full-outer join, no sort, no product") {
+    val p = formatted("q194_snapshot_diff")
+    assert(p.contains("FullOuter"), "the diff must ride a single full-outer join on the pk")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(p.contains("partial_count"), "the per-class report must map-side combine")
+  }
+
+  test("q195: corpus work ends at the unigram pass; the window runs on the vocab table") {
+    val p = formatted("q195_vocab_coverage")
+    assert(p.contains("partial_count"), "unigram counts must map-side combine")
+    assert(p.contains("BroadcastExchange"), "the 1-row total must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the total must ride the 1-row broadcast loop join (q115 idiom), never a cartesian")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
