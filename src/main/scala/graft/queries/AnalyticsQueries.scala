@@ -1175,6 +1175,18 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    // STREAMED RATE LIMIT ≡ BATCH TRUTH (q196) — q152's quota run the
+    // way a gateway runs it: through Spark 4's arbitrary-state API
+    // (`transformWithState` + a typed ValueState per user on the
+    // RocksDB store — the first oracle-gated face of the new processor
+    // model; see `streaming/RateLimitStream`). The oracle is q152's
+    // one-shot text — the hash match proves the per-user counter
+    // survives the engine's state round-trip with no count lost,
+    // duplicated, or re-ordered (the q147/q179 promotion precedent).
+    "q196_rate_limit_stream" -> { (s, d) =>
+      graft.streaming.RateLimitStream.streamed(s, d)
+    },
+
     // USER-GROWTH CURVE (q157) — cumulative distinct users by day, the
     // companion to q122's retention matrix. The naive form (a running
     // COUNT(DISTINCT) window) holds unbounded state; the scale-correct
@@ -1874,12 +1886,10 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM p ORDER BY day""".stripMargin,
     // q152: the same keyed row_number and threshold
-    "q152_rate_limit" ->
-      """SELECT event_id, user_id,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS k,
-        |  CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) > 50
-        |    THEN 1 ELSE 0 END AS BIGINT) AS throttled
-        |FROM events ORDER BY event_id""".stripMargin,
+    "q152_rate_limit" -> RateLimitSql,
+    // q196: the transformWithState face must reproduce the same
+    // one-shot truth — shared text (the q147/q179 promotion rule).
+    "q196_rate_limit_stream" -> RateLimitSql,
     // q139: the same orientation and oriented wedge enumeration — the
     // hash match proves each triangle is found exactly once
     "q139_triangle_count" ->
@@ -2015,6 +2025,15 @@ object AnalyticsQueries {
         |  CAST(sum(k) AS BIGINT) AS key_checksum
         |FROM j GROUP BY diff_class ORDER BY diff_class""".stripMargin
   )
+
+  /** q152/q196's shared one-shot rate-limit truth. Lazy: referenced by
+    * the `oracles` map above, which initializes first. */
+  private[queries] lazy val RateLimitSql =
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS k,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) > 50
+        |    THEN 1 ELSE 0 END AS BIGINT) AS throttled
+        |FROM events ORDER BY event_id""".stripMargin
 
   /** q81/q179's shared one-shot funnel truth. Lazy: referenced by the
     * `oracles` map above, which initializes first. */
