@@ -1175,6 +1175,50 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    // RFM SEGMENTATION (q199) — the marketing-warehouse classic:
+    // score every customer on Recency (days since last order, against
+    // the corpus max-date anchor — a 1-row broadcast, the q181 rule),
+    // Frequency (order count), and Monetary (lifetime spend in exact
+    // cents), cut each into quintiles, and report the segment grid.
+    // Scale shape: ONE partial-agg'd pass builds the per-customer
+    // table; the quintile cuts come from ONE exact-percentile agg
+    // broadcast back (map-side assignment — no global ntile sort; the
+    // q127 exact→approx-percentile trade at 100 TB); the final report
+    // is ≤ 125 cells. Interpolated percentile cuts are bit-equal
+    // doubles across engines (the q176 precedent); everything else is
+    // integer/exact arithmetic.
+    "q199_rfm_segments" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val anchor = o.agg(max(col("day")).as("anchor_day"))
+      val rfm = graft.Caches.scopedPersist(
+        o.groupBy("ck")
+          .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+            sum(col("cents")).cast("long").as("m_cents"))
+          .crossJoin(broadcast(anchor))
+          .select(col("ck"), (col("anchor_day") - col("last_day")).as("r_days"),
+            col("f"), col("m_cents")))
+      val cuts = rfm.agg(
+        expr("percentile(r_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rc"),
+        expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
+        expr("percentile(m_cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
+      def quint(x: String, c: String) = expr(
+        s"""CAST(1 + (CASE WHEN $x > element_at($c, 1) THEN 1 ELSE 0 END)
+           |       + (CASE WHEN $x > element_at($c, 2) THEN 1 ELSE 0 END)
+           |       + (CASE WHEN $x > element_at($c, 3) THEN 1 ELSE 0 END)
+           |       + (CASE WHEN $x > element_at($c, 4) THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin)
+      rfm.crossJoin(broadcast(cuts))
+        .select(quint("r_days", "rc").as("r_q"), quint("f", "fc").as("f_q"),
+          quint("m_cents", "mc").as("m_q"), col("f"), col("m_cents"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("f")).cast("long").as("sum_orders"),
+          sum(col("m_cents")).cast("long").as("sum_m_cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    },
+
     // STREAMED RATE LIMIT ≡ BATCH TRUTH (q196) — q152's quota run the
     // way a gateway runs it: through Spark 4's arbitrary-state API
     // (`transformWithState` + a typed ValueState per user on the
@@ -1890,6 +1934,43 @@ object AnalyticsQueries {
     // q196: the transformWithState face must reproduce the same
     // one-shot truth — shared text (the q147/q179 promotion rule).
     "q196_rate_limit_stream" -> RateLimitSql,
+    // q199: identical per-customer metrics, quantile_cont ≡ percentile
+    // (bit-equal interpolated doubles — q176), list index ≡ element_at.
+    "q199_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey AS ck,
+        |        epoch_us(o_orderdate) // 86400000000 AS day,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders),
+        |anchor AS (SELECT max(day) AS anchor_day FROM o),
+        |rfm AS (SELECT ck, anchor_day - max(day) AS r_days,
+        |          CAST(count(*) AS BIGINT) AS f,
+        |          CAST(sum(cents) AS BIGINT) AS m_cents
+        |        FROM o CROSS JOIN anchor
+        |        GROUP BY ck, anchor_day),
+        |cuts AS (SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |           quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |           quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |         FROM rfm),
+        |seg AS (SELECT
+        |    CAST(1 + (CASE WHEN r_days > rc[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN r_days > rc[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN r_days > rc[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN r_days > rc[4] THEN 1 ELSE 0 END) AS BIGINT) AS r_q,
+        |    CAST(1 + (CASE WHEN f > fc[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN f > fc[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN f > fc[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN f > fc[4] THEN 1 ELSE 0 END) AS BIGINT) AS f_q,
+        |    CAST(1 + (CASE WHEN m_cents > mc[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m_cents > mc[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m_cents > mc[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m_cents > mc[4] THEN 1 ELSE 0 END) AS BIGINT) AS m_q,
+        |    f, m_cents
+        |  FROM rfm CROSS JOIN cuts)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(f) AS BIGINT) AS sum_orders,
+        |  CAST(sum(m_cents) AS BIGINT) AS sum_m_cents
+        |FROM seg GROUP BY r_q, f_q, m_q
+        |ORDER BY r_q, f_q, m_q""".stripMargin,
     // q139: the same orientation and oriented wedge enumeration — the
     // hash match proves each triangle is found exactly once
     "q139_triangle_count" ->

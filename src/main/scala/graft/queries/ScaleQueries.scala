@@ -206,6 +206,44 @@ object ScaleQueries {
           && graft.ZOrderTables.yCol.between(ZYLo, ZYHi))
         .select(col("event_id"), col("user_id"), col("value"), col("zval"))
         .orderBy("event_id")
+    },
+
+    // ZONE-MAP SKIP-RATE REPORT (q197) — the layout-evaluation twin of
+    // q105: BEFORE paying for a re-cluster (Z-order, bucketing), a
+    // storage owner wants the number it buys — what fraction of files
+    // could footer min/max stats skip for a given predicate, under the
+    // current layout vs a proposed one. Files are simulated as
+    // contiguous row groups (arrival order = event_id blocks; clustered
+    // = user_id blocks), zone maps are ONE partial-agg'd min/max/count
+    // pass per layout, and the skip decision replays exactly what a
+    // parquet reader does (skip iff zone_max < lo OR zone_min > hi).
+    // rows_matched is layout-invariant by construction — the report
+    // carries it as its own sanity row. All-integer arithmetic; at
+    // every SF the clustered layout skips (ppm > 0) while arrival
+    // skips nothing, so both branches fire.
+    "q197_zonemap_skiprate" -> { (s, d) =>
+      val lo = 10L
+      val hi = 19L
+      val base = graft.Caches.scopedPersist(
+        Tables.events(s, d).select(col("event_id"), col("user_id")))
+      def layout(name: String, fileCol: org.apache.spark.sql.Column): DataFrame =
+        base.withColumn("f", fileCol)
+          .groupBy("f")
+          .agg(min(col("user_id")).as("zmin"), max(col("user_id")).as("zmax"),
+            count(lit(1)).as("n"),
+            sum(when(col("user_id").between(lo, hi), 1L).otherwise(0L)).as("m"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("zmax") < lo || col("zmin") > hi, 1L).otherwise(0L))
+              .cast("long").as("n_skipped"),
+            sum(when(col("zmax") < lo || col("zmin") > hi, 0L).otherwise(col("n")))
+              .cast("long").as("rows_read"),
+            sum(col("m")).cast("long").as("rows_matched"))
+          .select(lit(name).as("layout"), col("n_files"), col("n_skipped"),
+            expr("n_skipped * 1000000 div n_files").as("skip_ppm"),
+            col("rows_read"), col("rows_matched"))
+      layout("arrival", expr("event_id div 512"))
+        .unionByName(layout("clustered", expr("user_id div 8")))
+        .orderBy("layout")
     }
   )
 
@@ -281,6 +319,30 @@ object ScaleQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, date_trunc('minute', ts)
-        |ORDER BY event_type, minute""".stripMargin
+        |ORDER BY event_type, minute""".stripMargin,
+    // q197: identical file blocks, zone maps, and reader skip rule.
+    "q197_zonemap_skiprate" ->
+      """WITH fa AS (SELECT event_id // 512 AS f, min(user_id) AS zmin,
+        |         max(user_id) AS zmax, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN user_id BETWEEN 10 AND 19 THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |       FROM events GROUP BY 1),
+        |fb AS (SELECT user_id // 8 AS f, min(user_id) AS zmin,
+        |         max(user_id) AS zmax, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN user_id BETWEEN 10 AND 19 THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |       FROM events GROUP BY 1),
+        |ra AS (SELECT 'arrival' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |         CAST(sum(CASE WHEN zmax < 10 OR zmin > 19 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |         CAST(sum(CASE WHEN zmax < 10 OR zmin > 19 THEN 0 ELSE n END) AS BIGINT) AS rows_read,
+        |         CAST(sum(m) AS BIGINT) AS rows_matched
+        |       FROM fa),
+        |rb AS (SELECT 'clustered' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |         CAST(sum(CASE WHEN zmax < 10 OR zmin > 19 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |         CAST(sum(CASE WHEN zmax < 10 OR zmin > 19 THEN 0 ELSE n END) AS BIGINT) AS rows_read,
+        |         CAST(sum(m) AS BIGINT) AS rows_matched
+        |       FROM fb)
+        |SELECT layout, n_files, n_skipped,
+        |  n_skipped * 1000000 // n_files AS skip_ppm, rows_read, rows_matched
+        |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u
+        |ORDER BY layout""".stripMargin
   )
 }

@@ -838,6 +838,23 @@ class PlanAuditSpec extends SparkSpec {
       "the total must ride the 1-row broadcast loop join (q115 idiom), never a cartesian")
   }
 
+  test("q197: each layout's zone maps are one partial-agg'd pass over the shared cache") {
+    val p = formatted("q197_zonemap_skiprate")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      "zone min/max must map-side combine")
+    assert(p.contains("InMemoryTableScan"),
+      "both layouts must read the single cached projection, not rescan the parquet")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("q199: one pass builds the RFM table; quintile cuts broadcast back, no ntile sort") {
+    val p = formatted("q199_rfm_segments")
+    assert(p.contains("partial_count"), "per-customer metrics must map-side combine")
+    assert(p.contains("BroadcastExchange"), "the 1-row cuts must broadcast")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      "quintiles must be map-side comparisons against the cuts, never a global rank")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
