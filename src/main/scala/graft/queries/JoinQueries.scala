@@ -136,38 +136,91 @@ object JoinQueries {
     // min-support floor (pair seen ≥ 2×) keeps one-off noise out of
     // the neighbor lists — and it FIRES at every SF.
     "q192_item_similarity" -> { (s, d) =>
-      val inc = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
-        .distinct()
-      val bb = graft.Caches.scopedPersist(inc)
-      val marg = bb.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      // emit each unordered pair ONCE (pk < pk) through the heavy
-      // customer-keyed shuffle, then mirror the counted table — half
-      // the expansion rows for the same symmetric counts
-      val lower = bb.as("x")
-        .join(bb.as("y"),
-          col("x.ck") === col("y.ck") && col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
-        .agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 2L)
-      val pairs = lower.unionByName(lower.select(
-        col("part_b").as("part_a"), col("part_a").as("part_b"), col("c_ab")))
-      val scored = pairs
-        .join(marg.select(col("pk").as("part_a"), col("c").as("c_a")), "part_a")
-        .join(marg.select(col("pk").as("part_b"), col("c").as("c_b")), "part_b")
-        .withColumn("sim",
-          expr("CAST(c_ab AS DOUBLE) / (sqrt(CAST(c_a AS DOUBLE)) * sqrt(CAST(c_b AS DOUBLE)))"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("part_a")
-        .orderBy(col("sim").desc, col("part_b"))
-      scored
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3L)
+      val bb = graft.Caches.scopedPersist(incidence(s, d))
+      itemNeighbors(bb)
         .select(col("part_a"), col("rk"), col("part_b"), col("c_ab"), col("sim"))
         .orderBy("part_a", "rk")
+    },
+
+    // RECOMMENDER OFFLINE EVAL (q198) — the eval harness q192 needs
+    // before anyone ships its neighbor lists: a TEMPORAL train/test
+    // split (train < 2000-01-01, test after — time-based, so the eval
+    // can't see the future it predicts), neighbors built on the train
+    // slice ONLY through the SHARED q192 chain, and hit-rate@3 scored
+    // on the test purchases that are NOVEL for their customer (a
+    // recommender recommending what you already bought is not
+    // measured). Scale shape: the candidate table is customer-keyed
+    // (train parts × ≤3 neighbors, distinct — bounded by per-customer
+    // history, never parts²), every eval join is a keyed semi/anti
+    // join, and the report is ONE row of exact counts + integer ppm.
+    // All four count branches (test, novel, evaluable, hits) are
+    // nonzero at every SF — hits 307/536/615 at sf0.001/0.01/0.1.
+    "q198_recommender_eval" -> { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+      val jj = graft.Caches.scopedPersist(j)
+      val ti = graft.Caches.scopedPersist(
+        jj.filter(col("day") < SplitDay).select("ck", "pk").distinct())
+      val te = graft.Caches.scopedPersist(
+        jj.filter(col("day") >= SplitDay).select("ck", "pk").distinct())
+      val nb = itemNeighbors(ti).select(col("part_a"), col("part_b"))
+      val cand = ti.join(nb, col("pk") === col("part_a"))
+        .select(col("ck"), col("part_b").as("pk")).distinct()
+      val novel = graft.Caches.scopedPersist(
+        te.join(ti, Seq("ck", "pk"), "left_anti"))
+      val ev = graft.Caches.scopedPersist(
+        novel.join(ti.select("ck").distinct(), Seq("ck"), "left_semi"))
+      val hits = ev.join(cand, Seq("ck", "pk"), "left_semi")
+      te.agg(count(lit(1)).cast("long").as("n_test"))
+        .crossJoin(broadcast(novel.agg(count(lit(1)).cast("long").as("n_novel"))))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).cast("long").as("n_evaluable"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).cast("long").as("n_hits"))))
+        .select(col("n_test"), col("n_novel"), col("n_evaluable"), col("n_hits"),
+          expr("n_hits * 1000000 div n_evaluable").as("hit_ppm"))
     }
   )
+
+  /** 2000-01-01 as an epoch day — q198's temporal split point. */
+  private val SplitDay = 10957L
+
+  /** q192/q198's shared (customer, part) purchase incidence. */
+  private def incidence(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .distinct()
+
+  /** q192/q198's shared neighbor chain over a persisted (ck, pk)
+    * incidence: customer-keyed co-occurrence emitting each unordered
+    * pair ONCE (pk < pk) through the heavy shuffle, then mirroring the
+    * counted table — half the expansion rows for the same symmetric
+    * counts; min-support ≥ 2, cosine over exact counts, top-3 per part
+    * via a vocabulary-bounded (sim DESC, part_b) rank window. Shared so
+    * the recommender and its eval can never drift. */
+  private def itemNeighbors(bb: DataFrame): DataFrame = {
+    val marg = bb.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val lower = bb.as("x")
+      .join(bb.as("y"),
+        col("x.ck") === col("y.ck") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2L)
+    val pairs = lower.unionByName(lower.select(
+      col("part_b").as("part_a"), col("part_a").as("part_b"), col("c_ab")))
+    val scored = pairs
+      .join(marg.select(col("pk").as("part_a"), col("c").as("c_a")), "part_a")
+      .join(marg.select(col("pk").as("part_b"), col("c").as("c_b")), "part_b")
+      .withColumn("sim",
+        expr("CAST(c_ab AS DOUBLE) / (sqrt(CAST(c_a AS DOUBLE)) * sqrt(CAST(c_b AS DOUBLE)))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part_a")
+      .orderBy(col("sim").desc, col("part_b"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3L)
+  }
 
   val oracles: Map[String, String] = Map(
     "q50_revenue_by_nation" ->
@@ -223,23 +276,53 @@ object JoinQueries {
     // q192: the same customer-keyed incidence, min-support, shared
     // cosine dag, and (sim, id)-ordered top-3
     "q192_item_similarity" ->
-      """WITH inc AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
-        |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM inc GROUP BY 1),
-        |p AS (SELECT x.pk AS part_a, y.pk AS part_b,
-        |        CAST(count(*) AS BIGINT) AS c_ab
-        |      FROM inc x JOIN inc y ON x.ck = y.ck AND x.pk <> y.pk
-        |      GROUP BY 1, 2 HAVING count(*) >= 2),
-        |s AS (SELECT part_a, part_b, c_ab,
-        |        CAST(c_ab AS DOUBLE) / (sqrt(CAST(ma.c AS DOUBLE)) *
-        |          sqrt(CAST(mb.c AS DOUBLE))) AS sim
-        |      FROM p JOIN m ma ON p.part_a = ma.pk
-        |             JOIN m mb ON p.part_b = mb.pk),
-        |r AS (SELECT part_a, part_b, c_ab, sim,
-        |        CAST(row_number() OVER (PARTITION BY part_a
-        |          ORDER BY sim DESC, part_b) AS BIGINT) AS rk
-        |      FROM s)
-        |SELECT part_a, rk, part_b, c_ab, sim
-        |FROM r WHERE rk <= 3 ORDER BY part_a, rk""".stripMargin
+      s"""WITH inc AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+         |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |${neighborsCtes("inc")}
+         |SELECT part_a, rk, part_b, c_ab, sim
+         |FROM r WHERE rk <= 3 ORDER BY part_a, rk""".stripMargin,
+    // q198: train-slice neighbors through the SAME shared CTEs, then
+    // the novel-test semi/anti-join eval and one exact-count row
+    "q198_recommender_eval" ->
+      s"""WITH j AS (SELECT o_custkey AS ck, l_partkey AS pk,
+         |        epoch_us(o_orderdate) // 86400000000 AS day
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ti AS (SELECT DISTINCT ck, pk FROM j WHERE day < 10957),
+         |te AS (SELECT DISTINCT ck, pk FROM j WHERE day >= 10957),
+         |${neighborsCtes("ti")},
+         |nb AS (SELECT part_a, part_b FROM r WHERE rk <= 3),
+         |cand AS (SELECT DISTINCT ti.ck, nb.part_b AS pk
+         |         FROM ti JOIN nb ON ti.pk = nb.part_a),
+         |novel AS (SELECT te.ck, te.pk FROM te
+         |          ANTI JOIN ti ON te.ck = ti.ck AND te.pk = ti.pk),
+         |ev AS (SELECT novel.ck, novel.pk FROM novel
+         |       SEMI JOIN (SELECT DISTINCT ck FROM ti) t ON novel.ck = t.ck),
+         |hits AS (SELECT ev.ck, ev.pk FROM ev
+         |         SEMI JOIN cand ON ev.ck = cand.ck AND ev.pk = cand.pk)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_test,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM novel) AS n_novel,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_evaluable,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+         |  CAST((SELECT count(*) FROM hits) * 1000000
+         |    // (SELECT count(*) FROM ev) AS BIGINT) AS hit_ppm""".stripMargin
   )
+
+  /** q192/q198's shared neighbor-chain SQL over an incidence CTE named
+    * `inc` — the oracle-side mirror of [[itemNeighbors]], parameterized
+    * so the recommender and its eval replay identical text. */
+  private def neighborsCtes(inc: String): String =
+    s"""m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM $inc GROUP BY 1),
+       |p AS (SELECT x.pk AS part_a, y.pk AS part_b,
+       |        CAST(count(*) AS BIGINT) AS c_ab
+       |      FROM $inc x JOIN $inc y ON x.ck = y.ck AND x.pk <> y.pk
+       |      GROUP BY 1, 2 HAVING count(*) >= 2),
+       |s AS (SELECT part_a, part_b, c_ab,
+       |        CAST(c_ab AS DOUBLE) / (sqrt(CAST(ma.c AS DOUBLE)) *
+       |          sqrt(CAST(mb.c AS DOUBLE))) AS sim
+       |      FROM p JOIN m ma ON p.part_a = ma.pk
+       |             JOIN m mb ON p.part_b = mb.pk),
+       |r AS (SELECT part_a, part_b, c_ab, sim,
+       |        CAST(row_number() OVER (PARTITION BY part_a
+       |          ORDER BY sim DESC, part_b) AS BIGINT) AS rk
+       |      FROM s)""".stripMargin
 }

@@ -855,6 +855,14 @@ class PlanAuditSpec extends SparkSpec {
       "quintiles must be map-side comparisons against the cuts, never a global rank")
   }
 
+  test("q198: eval joins stay keyed semi/anti; counts ride 1-row broadcasts") {
+    val p = formatted("q198_recommender_eval")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "novel-test filtering must be anti/semi joins, never a scan product")
+    assert(p.contains("BroadcastExchange"), "the count rows must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
