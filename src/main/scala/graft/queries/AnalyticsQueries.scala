@@ -1175,6 +1175,41 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    // COLUMN-ENTROPY PROFILE (q201) — the information-theoretic face of
+    // q114's profiling: Shannon entropy per column answers "is this
+    // column a key, a category, or a constant?" (feature selection /
+    // join-key quality / PII-risk triage read the same number). Work
+    // shape: one value-count pass per column over a shared cached
+    // projection (value tables are domain-bounded), totals on 1-row
+    // broadcasts. Arithmetic discipline: each term nv·⌊1e6·ln(n/nv)⌋ is
+    // floor-QUANTIZED to integer micro-nats BEFORE the sum (the q127
+    // quantized-surprisal rule), so Σ is an exact BIGINT sum — no
+    // order-dependent double accumulation; ln(n/nv) is ONE division and
+    // ONE IEEE log, bit-equal across engines. Per-event entropy is one
+    // final integer division.
+    "q201_entropy_profile" -> { (s, d) =>
+      val ev = graft.Caches.scopedPersist(
+        Tables.events(s, d).select(col("event_type"),
+          col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day")))
+      def ent(cname: String): DataFrame = {
+        val vc = ev.groupBy(col(cname).as("v")).agg(count(lit(1)).as("nv"))
+        val tot = vc.agg(sum(col("nv")).cast("long").as("n"),
+          count(lit(1)).cast("long").as("n_distinct"))
+        vc.crossJoin(broadcast(tot))
+          .select(col("n"), col("n_distinct"),
+            (col("nv") * floor(lit(1000000.0d) *
+              log(col("n").cast("double") / col("nv").cast("double")))
+              .cast("long")).as("term"))
+          .groupBy("n", "n_distinct")
+          .agg(sum(col("term")).cast("long").as("tsum"))
+          .select(lit(cname).as("col_name"), col("n_distinct"),
+            expr("tsum div n").as("entropy_unats"))
+      }
+      ent("event_type").unionByName(ent("user_id")).unionByName(ent("day"))
+        .orderBy("col_name")
+    },
+
     // RFM SEGMENTATION (q199) — the marketing-warehouse classic:
     // score every customer on Recency (days since last order, against
     // the corpus max-date anchor — a 1-row broadcast, the q181 rule),
@@ -1934,6 +1969,35 @@ object AnalyticsQueries {
     // q196: the transformWithState face must reproduce the same
     // one-shot truth — shared text (the q147/q179 promotion rule).
     "q196_rate_limit_stream" -> RateLimitSql,
+    // q201: identical per-value terms (one division, one ln, one floor
+    // — bit-equal), exact BIGINT sums, same final integer division
+    "q201_entropy_profile" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |        epoch_us(ts) // 86400000000 AS day FROM events),
+        |et AS (SELECT event_type AS v, CAST(count(*) AS BIGINT) AS nv FROM ev GROUP BY 1),
+        |eu AS (SELECT user_id AS v, CAST(count(*) AS BIGINT) AS nv FROM ev GROUP BY 1),
+        |ed AS (SELECT day AS v, CAST(count(*) AS BIGINT) AS nv FROM ev GROUP BY 1),
+        |rt AS (SELECT 'event_type' AS col_name,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(CAST(sum(nv * CAST(floor(1000000.0 *
+        |           ln(CAST((SELECT sum(nv) FROM et) AS DOUBLE) / CAST(nv AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |           // CAST((SELECT sum(nv) FROM et) AS BIGINT) AS BIGINT) AS entropy_unats
+        |       FROM et),
+        |ru AS (SELECT 'user_id' AS col_name,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(CAST(sum(nv * CAST(floor(1000000.0 *
+        |           ln(CAST((SELECT sum(nv) FROM eu) AS DOUBLE) / CAST(nv AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |           // CAST((SELECT sum(nv) FROM eu) AS BIGINT) AS BIGINT) AS entropy_unats
+        |       FROM eu),
+        |rd AS (SELECT 'day' AS col_name,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(CAST(sum(nv * CAST(floor(1000000.0 *
+        |           ln(CAST((SELECT sum(nv) FROM ed) AS DOUBLE) / CAST(nv AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |           // CAST((SELECT sum(nv) FROM ed) AS BIGINT) AS BIGINT) AS entropy_unats
+        |       FROM ed)
+        |SELECT col_name, n_distinct, entropy_unats
+        |FROM (SELECT * FROM rt UNION ALL SELECT * FROM ru UNION ALL SELECT * FROM rd) u
+        |ORDER BY col_name""".stripMargin,
     // q199: identical per-customer metrics, quantile_cont ≡ percentile
     // (bit-equal interpolated doubles — q176), list index ≡ element_at.
     "q199_rfm_segments" ->

@@ -211,6 +211,31 @@ object TemporalQueries {
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       AsOfJoin.lastAtOrBeforeNative(left, right, "user_id", "ts", "purchase_id")
         .orderBy("event_id")
+    },
+
+    // TOP SESSION PATHS (q200) — the path-mining read over q40's
+    // sessions (the "how do users actually start a visit" report behind
+    // funnel design): each session's first three event types joined
+    // into a path string, top-10 paths by session count. The sessions
+    // are the SAME native session_window operator as q40/q187
+    // (user-keyed shuffle, no global sort); the per-session
+    // collect_list is bounded by session length and made deterministic
+    // by sorting on (ts, event_id) structs before the slice (event_id
+    // is unique — the total-order rule). The top-10 is a TakeOrdered
+    // with (n DESC, path) tie-break; the oracle replays sessions via
+    // gaps-and-islands and the path via an ORDER BY inside list().
+    "q200_session_paths" -> { (s, d) =>
+      val paths = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(array_join(
+          transform(
+            slice(array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))), 1, 3),
+            x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(10)
     }
   )
 
@@ -354,7 +379,27 @@ object TemporalQueries {
     "q44_asof_join" -> AsOfOracleSql,
     // composed and native as-of forms share one oracle: the gate itself
     // cross-checks the two implementations against the same SQL truth.
-    "q70_asof_native" -> AsOfOracleSql
+    "q70_asof_native" -> AsOfOracleSql,
+    // q200: q40's gaps-and-islands sessions, ordered-list path, same
+    // (n DESC, path) top-10
+    "q200_session_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |p AS (SELECT user_id, sid,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
   )
 
   private lazy val AsOfOracleSql =

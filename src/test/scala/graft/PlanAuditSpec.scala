@@ -863,6 +863,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q200: sessions stay user-keyed; the top-10 is a TakeOrdered, never a global sort") {
+    val p = formatted("q200_session_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-10 path cut must not globally sort the path table")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q201: one value-count pass per column over the shared cache; totals broadcast") {
+    val p = formatted("q201_entropy_profile")
+    assert(p.contains("partial_count"), "value counts must map-side combine")
+    assert(p.contains("InMemoryTableScan"),
+      "all three columns must read the single cached projection")
+    assert(p.contains("BroadcastExchange"), "the 1-row totals must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
