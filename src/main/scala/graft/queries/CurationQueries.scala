@@ -77,6 +77,35 @@ object CurationQueries {
   private def positionalShingles(s: SparkSession, d: String): DataFrame =
     PipelineQueries.positionalShingleDocs(s, d)
 
+  /** q127/q202's shared unigram-LM quality tiers: per-doc average token
+    * surprisal under the corpus's own unigram model, quantized to
+    * integer bits (pure integer arithmetic both engines), tier cuts
+    * from ONE exact-percentile agg broadcast back. Shared so the tierer
+    * and the q202 agreement eval can never drift. */
+  private def lmTiers(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Caches.scopedPersist(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok")))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val perDoc = graft.Caches.scopedPersist(
+      toks.join(cnt, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (length(bin(expr("t div c"))) - 1).cast("long").as("bits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("bits").as("sum_bits"))
+        .withColumn("avg_bits",
+          col("sum_bits").cast("double") / col("n_tok").cast("double")))
+    val cuts = perDoc.agg(
+      expr("percentile(avg_bits, 0.3333333333333333)").as("t1"),
+      expr("percentile(avg_bits, 0.6666666666666666)").as("t2"))
+    perDoc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tok"), col("sum_bits"), col("avg_bits"),
+        when(col("avg_bits") <= col("t1"), "head")
+          .when(col("avg_bits") <= col("t2"), "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Duplicated-span fraction (the Lee et al. "fraction of tokens
     // inside a duplicated n-gram" dedup diagnostic): per doc, how many
@@ -699,28 +728,31 @@ object CurationQueries {
     },
 
     "q127_lm_quality" -> { (s, d) =>
-      val toks = graft.Caches.scopedPersist(
-        Tables.documents(s, d)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok")))
-      val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = toks.agg(count(lit(1)).as("t"))
-      val perDoc = graft.Caches.scopedPersist(
-        toks.join(cnt, "tok").crossJoin(broadcast(tot))
-          .select(col("doc_id"),
-            (length(bin(expr("t div c"))) - 1).cast("long").as("bits"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"), sum("bits").as("sum_bits"))
-          .withColumn("avg_bits",
-            col("sum_bits").cast("double") / col("n_tok").cast("double")))
-      val cuts = perDoc.agg(
-        expr("percentile(avg_bits, 0.3333333333333333)").as("t1"),
-        expr("percentile(avg_bits, 0.6666666666666666)").as("t2"))
-      perDoc.crossJoin(broadcast(cuts))
-        .select(col("doc_id"), col("n_tok"), col("sum_bits"), col("avg_bits"),
-          when(col("avg_bits") <= col("t1"), "head")
-            .when(col("avg_bits") <= col("t2"), "middle")
-            .otherwise("tail").as("tier"))
-        .orderBy("doc_id")
+      lmTiers(s, d).orderBy("doc_id")
+    },
+
+    // QUALITY-SIGNAL AGREEMENT MATRIX (q202) — the meta-eval a curation
+    // pipeline runs before trusting its filters: do the model-based
+    // quality classifier (q98) and the unigram-LM tiering (q127) agree
+    // on which documents are good? The cross-tab (tier × kept) with
+    // exact-ppm shares is the number that decides whether the two
+    // signals are redundant, complementary, or contradictory. Both
+    // signals come from the SHARED implementations (lmTiers /
+    // TextCuration.qualityScores — the q192/q198 no-drift rule), the
+    // join is doc-keyed, and the report is ≤ 6 cells.
+    "q202_signal_agreement" -> { (s, d) =>
+      val tiers = lmTiers(s, d).select(col("doc_id"), col("tier"))
+      val clf = graft.operators.TextCuration
+        .qualityScores(Tables.documents(s, d))
+        .select(col("doc_id"),
+          when(col("score") > 0, 1L).otherwise(0L).as("kept"))
+      val cells = tiers.join(clf, "doc_id")
+        .groupBy("tier", "kept").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("n")).cast("long").as("n_docs"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("tier"), col("kept"), col("n"),
+          expr("n * 1000000 div n_docs").as("share_ppm"))
+        .orderBy("tier", "kept")
     },
 
     // Per-domain document cap — the RefinedWeb/C4 anti-spam pass: no
@@ -834,6 +866,33 @@ object CurationQueries {
     * pipeline); aliased here for the oracle-SQL interpolation. */
   private val PiiEmail = graft.operators.TextCuration.PiiEmail
   private val PiiIpv4 = graft.operators.TextCuration.PiiIpv4
+
+  /** q127/q202's shared tier CTEs — the oracle mirror of [[lmTiers]]. */
+  private val LmTierCtes =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(sum(length(bin(t // c)) - 1) AS BIGINT) AS sum_bits
+      |  FROM tok JOIN cnt USING (tok), tot GROUP BY doc_id),
+      |pda AS (SELECT doc_id, n_tok, sum_bits,
+      |    CAST(sum_bits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_bits FROM pd),
+      |cut AS (SELECT quantile_cont(avg_bits, 0.3333333333333333) AS t1,
+      |    quantile_cont(avg_bits, 0.6666666666666666) AS t2 FROM pda),
+      |tiers AS (SELECT doc_id, n_tok, sum_bits, avg_bits,
+      |    CASE WHEN avg_bits <= t1 THEN 'head'
+      |         WHEN avg_bits <= t2 THEN 'middle' ELSE 'tail' END AS tier
+      |  FROM pda, cut)""".stripMargin
+
+  /** q98/q202's shared hashed-BoW classifier CTEs — the oracle mirror of
+    * [[graft.operators.TextCuration.qualityScores]]. */
+  private val ClassifierCtes =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |w AS (SELECT doc_id,
+      |    (CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 1024)
+      |      * 2654435761 % 1997 - 998 AS w
+      |  FROM t)""".stripMargin
   private val PiiPhone = graft.operators.TextCuration.PiiPhone
 
   val oracles: Map[String, String] = Map(
@@ -984,17 +1043,25 @@ object CurationQueries {
     // Same hashed-bucket weight formula, token-for-token; the margin is
     // one IEEE division of identical integers in both engines
     "q98_quality_classifier" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |w AS (SELECT doc_id,
-        |    (CAST(('0x' || substr(md5(tok), 1, 14)) AS BIGINT) % 1024)
-        |      * 2654435761 % 1997 - 998 AS w
-        |  FROM t)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(w) AS BIGINT) AS score,
-        |  CAST(sum(w) AS DOUBLE) / count(*) AS margin,
-        |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $ClassifierCtes
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(w) AS BIGINT) AS score,
+         |  CAST(sum(w) AS DOUBLE) / count(*) AS margin,
+         |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q202: both SHARED signal chains, then the doc-keyed cross-tab
+    "q202_signal_agreement" ->
+      s"""WITH $LmTierCtes,
+         |$ClassifierCtes,
+         |clf AS (SELECT doc_id,
+         |    CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |  FROM w GROUP BY doc_id),
+         |cells AS (SELECT tier, kept, CAST(count(*) AS BIGINT) AS n
+         |  FROM tiers JOIN clf USING (doc_id) GROUP BY tier, kept),
+         |nd AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM cells)
+         |SELECT tier, kept, n,
+         |  CAST(n * 1000000 // n_docs AS BIGINT) AS share_ppm
+         |FROM cells, nd ORDER BY tier, kept""".stripMargin,
     "q99_shard_export" ->
       """WITH k AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
@@ -1244,20 +1311,9 @@ object CurationQueries {
     // integer division (Spark's `div`), bin() the binary string on
     // both engines, quantile_cont the q46 percentile twin
     "q127_lm_quality" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
-        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-        |    CAST(sum(length(bin(t // c)) - 1) AS BIGINT) AS sum_bits
-        |  FROM tok JOIN cnt USING (tok), tot GROUP BY doc_id),
-        |pda AS (SELECT doc_id, n_tok, sum_bits,
-        |    CAST(sum_bits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_bits FROM pd),
-        |cut AS (SELECT quantile_cont(avg_bits, 0.3333333333333333) AS t1,
-        |    quantile_cont(avg_bits, 0.6666666666666666) AS t2 FROM pda)
-        |SELECT doc_id, n_tok, sum_bits, avg_bits,
-        |  CASE WHEN avg_bits <= t1 THEN 'head'
-        |       WHEN avg_bits <= t2 THEN 'middle' ELSE 'tail' END AS tier
-        |FROM pda, cut ORDER BY doc_id""".stripMargin,
+      s"""WITH $LmTierCtes
+         |SELECT doc_id, n_tok, sum_bits, avg_bits, tier
+         |FROM tiers ORDER BY doc_id""".stripMargin,
     // row_number <= cap replays the bounded MinKLong selection exactly:
     // both rank by (priority asc, doc_id asc) within the domain
     "q103_domain_cap" ->

@@ -2376,6 +2376,38 @@ object PipelineQueries {
         .orderBy("phrase", "doc_id")
     },
 
+    // PROXIMITY SEARCH (q203) — q193's NEAR operator: two terms within
+    // a slop window (|Δpos| ≤ 2, either order) instead of exact
+    // adjacency — the other half of a search engine's positional
+    // queries (phrase = slop 0, NEAR = slop k). Same index-probe access
+    // pattern: postings filtered to the queried terms BEFORE the join;
+    // the pair join stays keyed on doc_id with the slop test as the
+    // residual — candidate volume is the queried terms' posting mass
+    // per doc, never positions². Each unordered occurrence pair counts
+    // once per direction that satisfies the slop (matching the oracle's
+    // symmetric |Δ| test).
+    "q203_proximity_search" -> { (s, d) =>
+      import s.implicits._
+      val pairsQ = Seq(("fast", "merge"), ("key", "scan"), ("table", "window"))
+      val terms = pairsQ.flatMap(p => Seq(p._1, p._2)).distinct
+      val posts = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokensCol).as(Seq("pos", "term")))
+        .filter(col("term").isin(terms: _*))
+      val pp = graft.Caches.scopedPersist(posts)
+      val qdim = pairsQ.map(p => (p._1 + " NEAR " + p._2, p._1, p._2))
+        .toDF("pair", "w1", "w2")
+      broadcast(qdim)
+        .join(pp.as("a"), col("w1") === col("a.term"))
+        .join(pp.as("b"),
+          col("w2") === col("b.term") &&
+            col("a.doc_id") === col("b.doc_id") &&
+            abs(col("b.pos") - col("a.pos")) <= 2 &&
+            col("b.pos") =!= col("a.pos"))
+        .groupBy(col("pair"), col("a.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_occur"))
+        .orderBy("pair", "doc_id")
+    },
+
     // VOCABULARY COVERAGE CURVE (q195) — the tokenizer-sizing report
     // beside q163's vocab-growth curve: what fraction of all corpus
     // tokens does a top-k vocabulary cover (the OOV-rate complement
@@ -3430,6 +3462,25 @@ object PipelineQueries {
         |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_occur
         |FROM bg WHERE phrase IN ('fast merge', 'key scan', 'table table')
         |GROUP BY phrase, doc_id ORDER BY phrase, doc_id""".stripMargin,
+    // q203: 1-based positions vs Spark's 0-based cancel inside |Δ|; the
+    // same term-filtered postings and symmetric slop test.
+    "q203_proximity_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |po AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(tk)),
+        |           i -> struct_pack(p := i, w := tk[i]))) AS e
+        |       FROM toks),
+        |posts AS (SELECT doc_id, e.p AS pos, e.w AS term FROM po
+        |          WHERE e.w IN ('fast', 'merge', 'key', 'scan', 'table', 'window')),
+        |q(pair, w1, w2) AS (VALUES
+        |  ('fast NEAR merge', 'fast', 'merge'),
+        |  ('key NEAR scan', 'key', 'scan'),
+        |  ('table NEAR window', 'table', 'window'))
+        |SELECT pair, a.doc_id, CAST(count(*) AS BIGINT) AS n_occur
+        |FROM q JOIN posts a ON a.term = q.w1
+        |       JOIN posts b ON b.term = q.w2 AND b.doc_id = a.doc_id
+        |         AND abs(b.pos - a.pos) <= 2 AND b.pos <> a.pos
+        |GROUP BY pair, a.doc_id ORDER BY pair, a.doc_id""".stripMargin,
     // q195: identical unigram counts, (freq DESC, term) rank order, and
     // exact integer-ppm coverage.
     "q195_vocab_coverage" ->

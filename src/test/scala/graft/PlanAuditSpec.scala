@@ -879,6 +879,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("q202: the agreement cross-tab is one doc-keyed join of the two signal chains") {
+    val p = formatted("q202_signal_agreement")
+    assert(p.contains("partial_count"), "signal aggregations must map-side combine")
+    assert(p.contains("BroadcastExchange"), "tier cuts and totals must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("q203: the slop join stays doc-keyed; the phrase dim broadcasts") {
+    val p = formatted("q203_proximity_search")
+    assert(p.contains("BroadcastExchange"), "the 3-row pair dim must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a slop test that loses its doc key scans posting² pairs")
+    assert(p.contains("partial_count"), "per-doc occurrence counts must map-side combine")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
