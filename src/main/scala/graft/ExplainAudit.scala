@@ -42,7 +42,12 @@ object ExplainAudit {
         // hybrid rerank, broadcast-stats anomaly flag, full-outer CDC
         // merge, one-Expand grouping sets
         "q126_bm25", "q128_hybrid_retrieval", "q129_anomaly",
-        "q130_cdc_merge", "q131_grouping_sets")
+        "q130_cdc_merge", "q131_grouping_sets",
+        // late round-11 additions: positional index probe (phrase +
+        // slop), pk-keyed full-outer reconciliation, semi/anti eval
+        // joins, broadcast percentile cuts, zone-map layout eval
+        "q193_phrase_search", "q194_snapshot_diff", "q197_zonemap_skiprate",
+        "q198_recommender_eval", "q199_rfm_segments", "q203_proximity_search")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
