@@ -244,6 +244,40 @@ object ScaleQueries {
       layout("arrival", expr("event_id div 512"))
         .unionByName(layout("clustered", expr("user_id div 8")))
         .orderBy("layout")
+    },
+
+    // JOIN-SIZE ESTIMATOR EVAL (q204) — the optimizer-observability
+    // number behind q161's skew report and q134's salting decision:
+    // how wrong is the textbook uniform-key estimate |A⋈A| ≈ n²/d
+    // against the exact size Σₖ c(k)² (which a one-pass key-count
+    // table computes cheaply — the exact size of a self-equi-join
+    // without running it)? A large err_ppm on a key column is the
+    // planner-visible signature of skew; both self-joins here are the
+    // repo's real join keys. One partial-agg'd count pass per key,
+    // all-integer arithmetic (n ≤ 6e5 at the gate SFs keeps n² well
+    // inside BIGINT; at true warehouse n the products escalate to
+    // DECIMAL(38,0) — the q161/q173 note).
+    "q204_joinsize_estimate" -> { (s, d) =>
+      def eval(name: String, keyed: DataFrame): DataFrame = {
+        val counts = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+        counts.agg(sum(col("c")).cast("long").as("n"),
+            count(lit(1)).cast("long").as("n_distinct"),
+            sum(col("c") * col("c")).cast("long").as("exact_size"))
+          .select(lit(name).as("join_key"), col("n"), col("n_distinct"),
+            col("exact_size"),
+            expr("n * n div n_distinct").as("est_size"))
+          .select(col("join_key"), col("n"), col("n_distinct"),
+            col("exact_size"), col("est_size"),
+            expr("abs(est_size - exact_size) * 1000000 div exact_size")
+              .as("err_ppm"))
+      }
+      eval("events.user_id",
+        Tables.events(s, d).select(col("user_id").as("k")))
+        .unionByName(eval("lineitem.l_partkey",
+          Tables.lineitem(s, d).select(col("l_partkey").as("k"))))
+        .unionByName(eval("orders.o_custkey",
+          Tables.orders(s, d).select(col("o_custkey").as("k"))))
+        .orderBy("join_key")
     }
   )
 
@@ -343,6 +377,28 @@ object ScaleQueries {
         |SELECT layout, n_files, n_skipped,
         |  n_skipped * 1000000 // n_files AS skip_ppm, rows_read, rows_matched
         |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u
-        |ORDER BY layout""".stripMargin
+        |ORDER BY layout""".stripMargin,
+    // q204: the same count tables, Σc², n²/d estimate, and integer ppm
+    "q204_joinsize_estimate" ->
+      """WITH ce AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+        |      FROM events GROUP BY 1),
+        |cl AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |      FROM lineitem GROUP BY 1),
+        |co AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |      FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT 'events.user_id' AS join_key, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(c * c) AS BIGINT) AS exact_size FROM ce
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', CAST(sum(c) AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(sum(c * c) AS BIGINT) FROM cl
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', CAST(sum(c) AS BIGINT),
+        |    CAST(count(*) AS BIGINT), CAST(sum(c * c) AS BIGINT) FROM co)
+        |SELECT join_key, n, n_distinct, exact_size,
+        |  n * n // n_distinct AS est_size,
+        |  abs(n * n // n_distinct - exact_size) * 1000000 // exact_size AS err_ppm
+        |FROM u ORDER BY join_key""".stripMargin
   )
 }

@@ -894,6 +894,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "per-doc occurrence counts must map-side combine")
   }
 
+  test("q204: each key's estimate is one partial-agg'd count pass, no joins at all") {
+    val p = formatted("q204_joinsize_estimate")
+    assert(p.contains("partial_count"), "key counts must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "the whole point: the join size comes from count tables, not from running the join")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

@@ -88,7 +88,7 @@ class CdcApplySpec extends SparkSpec {
       st.toString, ck.toString)
     try {
       q.processAllAvailable()
-      df(b2).write.parquet(s"$in/f2")
+      df(b2).coalesce(1).write.parquet(s"$in/f2") // single part: atomic appearance under the running poll
       q.processAllAvailable()
     } finally q.stop()
     assert(published(st.toString) ===

@@ -14,11 +14,18 @@ class DqMonitorSpec extends SparkSpec {
     val clean = Seq((1L, "good text", "en", 9L), (2L, "mehr text", "de", 9L))
     val dirty = Seq((3L, "fine", "en", 4L), (3L, "fine", "en", 4L), // dup id
       (4L, "bad", "xx", 3L))                                       // bad lang
-    clean.toDF("doc_id", "text", "lang", "n_chars").write.parquet(s"$in/b0")
+    // coalesce(1): the running query's trigger polls the glob
+    // continuously, and a multi-part write can be listed mid-commit —
+    // part files surface one rename at a time, splitting one logical
+    // batch across two micro-batches (observed as a flaky hist.size=3).
+    // A single part file appears atomically.
+    clean.toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.parquet(s"$in/b0")
     val q = DqMonitor.run(spark, in.toString + "/*", out.toString, ck.toString)
     try {
       q.processAllAvailable()
-      dirty.toDF("doc_id", "text", "lang", "n_chars").write.parquet(s"$in/b1")
+      dirty.toDF("doc_id", "text", "lang", "n_chars")
+        .coalesce(1).write.parquet(s"$in/b1")
       q.processAllAvailable()
     } finally q.stop()
 

@@ -29,7 +29,7 @@ class KappaBackfillSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       tail.filter(col("half") === 1).select("user_id", "cents")
-        .write.parquet(s"$in/chunk1")
+        .coalesce(1).write.parquet(s"$in/chunk1") // atomic under the running poll
       q.processAllAvailable()
     } finally q.stop()
 

@@ -57,7 +57,7 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     val q = StreamingHeavyHitters.run(spark, in.toString + "/*", st.toString, ck.toString)
     try {
       q.processAllAvailable()
-      b2.toDF("doc_id", "text").write.parquet(s"$in/f2")
+      b2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/f2") // atomic under the running poll
       q.processAllAvailable()
     } finally q.stop()
     val rep = StreamingHeavyHitters.report(spark, st.toString)
