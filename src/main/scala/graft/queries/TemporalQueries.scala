@@ -213,6 +213,22 @@ object TemporalQueries {
         .orderBy("event_id")
     },
 
+    // TIMER-CLOSED SESSIONS (q205) — q40's sessionization through the
+    // registerTimer / handleExpiredTimer half of Spark 4's new state
+    // API (`streaming/SessionTimers`): a session emits exactly once,
+    // either when a later event past the gap arrives (in-data 'gap'
+    // close) or when the event-time watermark passes its idle deadline
+    // (the no-data final micro-batch fires the 'timer' close). For a
+    // bounded log the emitted set is deterministic: every non-trailing
+    // session closes in-data; a user's trailing session closes by
+    // timer iff the log's max event time passed its deadline. The
+    // oracle replays gaps-and-islands + exactly that close rule — so
+    // the gate pins the engine's timer semantics, not just the session
+    // arithmetic (the q196 promotion precedent).
+    "q205_session_timers" -> { (s, d) =>
+      graft.streaming.SessionTimers.streamedSessions(s, d)
+    },
+
     // TOP SESSION PATHS (q200) — the path-mining read over q40's
     // sessions (the "how do users actually start a visit" report behind
     // funnel design): each session's first three event types joined
@@ -380,6 +396,32 @@ object TemporalQueries {
     // composed and native as-of forms share one oracle: the gate itself
     // cross-checks the two implementations against the same SQL truth.
     "q70_asof_native" -> AsOfOracleSql,
+    // q205: gaps-and-islands sessions + the exact close rule — every
+    // non-trailing session is 'gap'; a trailing session is 'timer' iff
+    // the final watermark (max event time) passed end + 5 min
+    "q205_session_timers" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                 >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |g AS (SELECT user_id, sid, epoch_ms(min(ts)) AS start_ms,
+        |        epoch_ms(max(ts)) AS end_ms,
+        |        CAST(count(*) AS BIGINT) AS n_events,
+        |        max(sid) OVER (PARTITION BY user_id) AS last_sid
+        |      FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT epoch_ms(max(ts)) AS wm_ms FROM events)
+        |SELECT user_id, start_ms, end_ms, n_events,
+        |  CASE WHEN sid < last_sid THEN 'gap' ELSE 'timer' END AS closed_by
+        |FROM g, wm
+        |WHERE sid < last_sid OR end_ms + 300000 <= wm_ms
+        |ORDER BY user_id, start_ms""".stripMargin,
     // q200: q40's gaps-and-islands sessions, ordered-list path, same
     // (n DESC, path) top-10
     "q200_session_paths" ->
