@@ -731,6 +731,34 @@ object CurationQueries {
       lmTiers(s, d).orderBy("doc_id")
     },
 
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (q206) — Efraimidis &
+    // Spirakis's exponential-keys method, the third sampling face
+    // beside q104's capped uniform priorities and q79's temperature
+    // mixing: select k docs with probability proportional to a WEIGHT
+    // (length here; quality in production) by ranking on
+    // ln(u)/w with u a reproducible md5 fraction — a single top-k
+    // TakeOrdered over map-side keys, no global sort, no rejection
+    // loop, trivially distributed (each partition offers its local
+    // top-k). Determinism: u = (hash56+1)/2^56 ∈ (0,1] (the +1 guard —
+    // Spark's log(0) is NULL while DuckDB's ln(0) is -inf, the one
+    // divergence this dag could hit), and the key is one division, one
+    // ln, one division — but ln is NOT IEEE-correctly-rounded, and
+    // Java's Math.log vs DuckDB's libm DID diverge by one ulp on a
+    // fixture row, so the key is floor-QUANTIZED to integer nano-units
+    // before anything orders or outputs it (the q149 rule: floor(x·10⁹)
+    // on a ~unit-magnitude value makes an ulp wiggle irrelevant), with
+    // doc_id breaking quantized ties.
+    "q206_weighted_sample" -> { (s, d) =>
+      val u = (TextOps.hash56(concat(lit("es:"), col("doc_id").cast("string")))
+        + lit(1L)).cast("double") / lit(72057594037927936.0d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          floor(log(u) / col("n_chars").cast("double") * lit(1.0e9d))
+            .cast("long").as("es_key_q"))
+        .orderBy(col("es_key_q").desc, col("doc_id"))
+        .limit(64)
+    },
+
     // QUALITY-SIGNAL AGREEMENT MATRIX (q202) — the meta-eval a curation
     // pipeline runs before trusting its filters: do the model-based
     // quality classifier (q98) and the unigram-LM tiering (q127) agree
@@ -1049,6 +1077,15 @@ object CurationQueries {
          |  CAST(sum(w) AS DOUBLE) / count(*) AS margin,
          |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q206: the same md5 fraction (+1 guard), the same
+    // nano-unit-quantized exponential key, the same top-64
+    "q206_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  CAST(floor(ln(CAST(CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 14))
+        |        AS BIGINT) + 1 AS DOUBLE) / 72057594037927936.0)
+        |    / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS es_key_q
+        |FROM documents
+        |ORDER BY es_key_q DESC, doc_id LIMIT 64""".stripMargin,
     // q202: both SHARED signal chains, then the doc-keyed cross-tab
     "q202_signal_agreement" ->
       s"""WITH $LmTierCtes,

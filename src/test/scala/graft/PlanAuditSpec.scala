@@ -902,6 +902,13 @@ class PlanAuditSpec extends SparkSpec {
       "the whole point: the join size comes from count tables, not from running the join")
   }
 
+  test("q206: the weighted sample is one map pass + TakeOrdered, no sort, no shuffle agg") {
+    val p = formatted("q206_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-64 must not globally sort the corpus")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
