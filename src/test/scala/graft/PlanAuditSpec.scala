@@ -813,6 +813,12 @@ class PlanAuditSpec extends SparkSpec {
       "a cross product means the self-join lost its customer key")
     assert(p.contains("Window"), "the top-3 needs the per-part rank window")
     assert(p.contains("partial_count"), "incidence and pair counts must map-side combine")
+    // r12 (VERDICT r11 item 3): the pair expansion must run over the
+    // BasketCap'd incidence — the MinKLong aggregator's partial-agg
+    // (minklong / partial_minklong in the formatted plan) is the
+    // structural bound that caps any power customer at C(64,2) pairs
+    assert(p.contains("partial_minklong") || p.contains("MinKLong"),
+      "the per-customer incidence cap (MinKLong) must bound the self-join")
   }
 
   test("q193: the phrase dim broadcasts; adjacency stays a keyed equi-join") {

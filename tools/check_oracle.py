@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local dev-only mirror of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [gateJsonOut]
 
 Reads each <name>/ parquet dump produced by graft.Verify plus
 oracle_sql.json, runs the oracle SQL in DuckDB against views over the
@@ -18,7 +18,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
+    record = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -34,16 +35,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            record[name] = {"status": "FAIL", "reason": str(e)[:200]}
             failures += 1
             continue
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            record[name] = {"status": "FAIL",
+                            "reason": f"columns {list(got.columns)} != {list(want.columns)}"}
             failures += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            record[name] = {"status": "FAIL",
+                            "reason": f"rows {len(got)} != {len(want)}"}
             failures += 1
             continue
         dtype_mismatch = [
@@ -72,12 +78,34 @@ def main(sf_dir: str, out_dir: str) -> int:
         if bad:
             c, i, a, b = bad
             print(f"FAIL {name}: col={c} row={i} spark={a!r} oracle={b!r}")
+            record[name] = {"status": "FAIL",
+                            "reason": f"col={c} row={i} spark={a!r} oracle={b!r}"}
             failures += 1
         else:
             note = f" [dtype diff: {dtype_mismatch}]" if dtype_mismatch else ""
             print(f"OK   {name}: {len(got)} rows{note}")
+            record[name] = {"status": "OK", "rows": len(got)}
+            if dtype_mismatch:
+                record[name]["dtype_diff"] = [list(d) for d in dtype_mismatch]
+    # Builder-side gate record (VERDICT r11 item 1): the driver's own
+    # CORRECTNESS_rN.json came back `{}` in round 11 while the repo was
+    # 204/204 green — committing this per-query record per round lets an
+    # empty driver artifact always be adjudicated from the repo.
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_checked": len(record),
+            "n_ok": sum(1 for v in record.values() if v["status"] == "OK"),
+            "n_fail": failures,
+            "queries": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {summary['n_ok']}/{summary['n_checked']} OK")
     return failures
 
 
+
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
