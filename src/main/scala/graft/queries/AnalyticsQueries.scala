@@ -1276,6 +1276,18 @@ object AnalyticsQueries {
       graft.streaming.RateLimitStream.streamed(s, d)
     },
 
+    // KAPPA BACKFILL ≡ FULL BATCH (q207) — the batch→stream handoff
+    // every kappa deployment crosses, promoted into the oracle gate
+    // (VERDICT r11 item 4; see `streaming/KappaBackfill.kappaReplay`
+    // for the full seam argument): history-at-the-median-cut aggregated
+    // as a batch, handed to `mapGroupsWithState` as `initialState`, the
+    // tail replayed as two real micro-batches. The oracle is ONE
+    // full-history aggregate — the cut never appears in its text,
+    // because an invisible seam is the operator's entire contract.
+    "q207_kappa_replay" -> { (s, d) =>
+      graft.streaming.KappaBackfill.kappaReplay(s, d)
+    },
+
     // USER-GROWTH CURVE (q157) — cumulative distinct users by day, the
     // companion to q122's retention matrix. The naive form (a running
     // COUNT(DISTINCT) window) holds unbounded state; the scale-correct
@@ -1979,6 +1991,14 @@ object AnalyticsQueries {
     // q196: the transformWithState face must reproduce the same
     // one-shot truth — shared text (the q147/q179 promotion rule).
     "q196_rate_limit_stream" -> RateLimitSql,
+    // q207: one full-history batch aggregate — no cut, no seam. Cents
+    // are per-row round(value*100): the fixture values carry two
+    // decimals, so both engines' rounds sit ~0.5 from any half-way
+    // boundary and agree exactly; the sum is an exact BIGINT fold.
+    "q207_kappa_replay" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q201: identical integer-bits terms — length(bin(n // nv)) − 1 on
     // both engines (the q137/q146 idiom), exact BIGINT sums, same
     // final integer division. No libm anywhere (ADVICE r11).

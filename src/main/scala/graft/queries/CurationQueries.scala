@@ -257,6 +257,21 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // CURATION FLAGSHIP REPLAY (q209) — the full streaming curation
+    // chain (quality filter → incremental near-dup vs the growing
+    // on-disk index → PII scrub + shard export) replayed as THREE
+    // deterministic doc_id-residue batches and reduced to its per-batch
+    // funnel (VERDICT r11 item 4; see
+    // `streaming/CurationPipeline.curationReplay` for the promotion
+    // argument). The oracle unrolls all three dedup rounds in SQL —
+    // batch-b bands probe the UNION of earlier rounds' SURVIVORS, the
+    // q93 Jaccard-0.5 verify behind — so a survivor missing from the
+    // standing index, or a doc dropped against an already-dropped
+    // duplicate, moves a counter and reds the row.
+    "q209_curation_replay" -> { (s, d) =>
+      graft.streaming.CurationPipeline.curationReplay(s, d)
+    },
+
     // Duplicated-span REMOVAL — the curation step q75 only measures
     // (Lee et al.'s dedup-the-substrings pass): positions whose 3-gram
     // occurs in >= 2 distinct docs mark their covered tokens, covered
@@ -1013,6 +1028,54 @@ object CurationQueries {
          |FROM documents d LEFT JOIN m ON d.doc_id = m.new_id
          |WHERE d.doc_id % 10 = 5
          |ORDER BY d.doc_id""".stripMargin,
+    // q209: the three rounds unrolled — the shared band/shingle CTEs
+    // (bands depend only on a doc's own shingles, the q93 argument),
+    // the q98 classifier chain for the quality gate, then round b's
+    // candidates as batch-b bands probing the union of earlier rounds'
+    // survivors with the Jaccard-0.5 verify behind. Batch 0 probes an
+    // EMPTY index: everything quality-passed is kept by construction.
+    "q209_curation_replay" ->
+      s"""${PipelineQueries.MinhashCandidatesSql},
+         |$ClassifierCtes,
+         |q AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM w GROUP BY doc_id),
+         |p AS (SELECT d.doc_id, d.doc_id % 3 AS b
+         |      FROM documents d JOIN q USING (doc_id)
+         |      WHERE q.score > (SELECT floor(quantile_cont(score, 0.5)) FROM q)),
+         |k0 AS (SELECT doc_id FROM p WHERE b = 0),
+         |c1 AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+         |       FROM bands nb JOIN bands cb
+         |         ON nb.band = cb.band AND nb.bucket = cb.bucket
+         |       WHERE nb.doc_id IN (SELECT doc_id FROM p WHERE b = 1)
+         |         AND cb.doc_id IN (SELECT doc_id FROM k0)),
+         |d1 AS (SELECT DISTINCT c.new_id
+         |       FROM c1 c JOIN sh sa ON c.new_id = sa.doc_id
+         |                 JOIN sh sb ON c.corpus_id = sb.doc_id
+         |       WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |k1 AS (SELECT doc_id FROM p WHERE b = 1
+         |         AND doc_id NOT IN (SELECT new_id FROM d1)),
+         |c2 AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+         |       FROM bands nb JOIN bands cb
+         |         ON nb.band = cb.band AND nb.bucket = cb.bucket
+         |       WHERE nb.doc_id IN (SELECT doc_id FROM p WHERE b = 2)
+         |         AND cb.doc_id IN (SELECT doc_id FROM k0
+         |                           UNION ALL SELECT doc_id FROM k1)),
+         |d2 AS (SELECT DISTINCT c.new_id
+         |       FROM c2 c JOIN sh sa ON c.new_id = sa.doc_id
+         |                 JOIN sh sb ON c.corpus_id = sb.doc_id
+         |       WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |drops AS (SELECT 1 AS b, CAST(count(*) AS BIGINT) AS nd FROM d1
+         |          UNION ALL SELECT 2 AS b, CAST(count(*) AS BIGINT) AS nd FROM d2),
+         |base AS (SELECT doc_id % 3 AS b, CAST(count(*) AS BIGINT) AS n_input
+         |         FROM documents GROUP BY 1),
+         |passed AS (SELECT b, CAST(count(*) AS BIGINT) AS n_pass FROM p GROUP BY 1)
+         |SELECT CAST(base.b AS BIGINT) AS batch, base.n_input,
+         |  CAST(base.n_input - coalesce(passed.n_pass, 0) AS BIGINT) AS n_quality_dropped,
+         |  CAST(coalesce(drops.nd, 0) AS BIGINT) AS n_dup_dropped,
+         |  CAST(coalesce(passed.n_pass, 0) - coalesce(drops.nd, 0) AS BIGINT) AS n_exported
+         |FROM base LEFT JOIN passed USING (b) LEFT JOIN drops USING (b)
+         |ORDER BY batch""".stripMargin,
     // Positions here are 1-based (DuckDB lists) vs Spark's 0-based —
     // immaterial: islands, lengths and excised token sets are invariant
     // under the shift. The zipped double-unnest pairs each position with

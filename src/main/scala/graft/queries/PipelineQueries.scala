@@ -307,6 +307,26 @@ object PipelineQueries {
        |    FROM n, c2) WHERE rn = 1)""".stripMargin
   }
 
+  /** q33's full oracle text — [[IvfCte]] + the nprobe=4 probe and
+    * rank-over-ROUNDED-cosine phase. Shared verbatim with q208: the
+    * streamed-ingest index must serve the IDENTICAL search result. */
+  private[queries] val IvfSearchSql: String =
+    s"""$IvfCte,
+       |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
+       |pr AS (SELECT query_id, qv, qn, centroid_id AS cell FROM (
+       |    SELECT q.query_id, q.qv, q.qn, c2.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
+       |    FROM q, c2) WHERE r <= 4),
+       |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+       |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
+       |         FROM pr JOIN asg a USING (cell) WHERE a.vec_id <> pr.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |           FROM cand)
+       |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** PQ replay appended to [[IvfCte]]'s namespace (pc/pa/pm prefixes so
     * nothing clashes with the coarse chain): per-subspace view of the
     * corpus, the SAME md5 seed ranking as the coarse init, two unrolled
@@ -993,6 +1013,20 @@ object PipelineQueries {
       Ann.ivfKnnAssigned(graft.similarity.IvfIndex.assignments(s, d),
           queries, graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
+    },
+
+    // STREAMED VECTOR INGEST ≡ ONE-SHOT INDEX (q208) — q33's IVF index
+    // built the way a live embedding feed builds it (VERDICT r11 item
+    // 4; see `streaming/VectorIngest.ingestReplay`): four real
+    // micro-batches, each cell-assigned against the FIXED codebook and
+    // appended under its cell directory, then the exact q33 search over
+    // the accumulated index. The oracle is q33's own text — the hash
+    // match proves batch-at-a-time ingest and one-shot indexing are the
+    // same index (nothing lost, duplicated, or mis-assigned at any
+    // batch boundary; doubles bit-exact through the parquet
+    // round-trip).
+    "q208_vector_ingest_replay" -> { (s, d) =>
+      graft.streaming.VectorIngest.ingestReplay(s, d)
     },
 
     // ANN RECALL@5 — the EVAL-HARNESS operator every vector deployment
@@ -2735,23 +2769,10 @@ object PipelineQueries {
         |WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin,
     // q33: the shared IVF replay ([[IvfCte]]) + the nprobe=4 probe and
     // rank-over-ROUNDED-cosine phase.
-    "q33_ann_ivf" -> {
-      s"""$IvfCte,
-         |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
-         |pr AS (SELECT query_id, qv, qn, centroid_id AS cell FROM (
-         |    SELECT q.query_id, q.qv, q.qn, c2.centroid_id,
-         |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
-         |    FROM q, c2) WHERE r <= 4),
-         |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
-         |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
-         |         FROM pr JOIN asg a USING (cell) WHERE a.vec_id <> pr.query_id),
-         |ranked AS (SELECT query_id, neighbor_id, cos,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |           FROM cand)
-         |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+    "q33_ann_ivf" -> IvfSearchSql,
+    // q208: literally q33's text — the streamed ingest must serve the
+    // IDENTICAL search result as the one-shot index.
+    "q208_vector_ingest_replay" -> IvfSearchSql,
     // q132: q33's replay (the approx arm) + the exact top-5 via the
     // same rounded-cos (DESC, id) ranking, hits counted per query
     "q132_ann_recall" -> {

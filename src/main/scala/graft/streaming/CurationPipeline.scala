@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -86,6 +86,52 @@ object CurationPipeline {
     val nKept = kept.count()
     graft.Caches.releaseScoped()
     BatchStats(input, input - nPassed, nPassed - nKept, nKept)
+  }
+
+  /** q209: the curation flagship promoted into the oracle gate (the
+    * q170 batch-fold precedent — batch ORDER is load-bearing here, the
+    * standing dedup index grows with each batch's survivors, so the
+    * replay drives [[processBatch]] in a deterministic doc_id-residue
+    * sequence rather than racing a file-source listing; the REAL
+    * streaming path stays pinned by CurationPipelineSpec). Three
+    * batches (`doc_id % 3`) run the full chain — quality filter,
+    * incremental near-dup against the growing on-disk index, PII scrub
+    * + shard export — and the replay emits the per-batch FUNNEL:
+    * (batch, n_input, n_quality_dropped, n_dup_dropped, n_exported).
+    * The oracle unrolls all three rounds in SQL (the q110/q133 rule):
+    * quality via the q98 classifier chain, round-b dedup candidates as
+    * batch-b bands probing the UNION of earlier rounds' survivors, the
+    * q93 Jaccard-0.5 verify behind. A doc kept that should have
+    * dropped — or a survivor missing from the standing index when the
+    * next batch probes it — moves a counter and reds the row.
+    *
+    * The 5-counter result is driver-built from [[BatchStats]] (3 rows —
+    * the documented q133-style bounded action); every underlying
+    * relation stays distributed. */
+  def curationReplay(spark: SparkSession, sfDir: String,
+                     nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-curation-replay-")
+    graft.TempDirs.cleanupOnExit(root)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    // gate at the corpus median score — the deploy shape (a threshold
+    // calibrated OFFLINE before the stream starts), and the value that
+    // keeps BOTH funnel branches firing at every SF: the fixture's
+    // near-dup twins score deeply negative, so the default `> 0` gate
+    // would starve the dedup stage of every twin. `floor` loses
+    // nothing: for integer scores, score > floor(median) ⟺
+    // score > median (median is k or k+0.5).
+    val minScore = TextCuration.qualityScores(docs)
+      .agg(floor(expr("percentile(score, 0.5)")).cast("long"))
+      .as[Long].head()
+    val stats = (0 until nBatches).map { b =>
+      val st = processBatch(docs.filter(pmod(col("doc_id"), lit(nBatches)) === b),
+        s"$root/index", s"$root/out", minScore)
+      (b.toLong, st.input, st.qualityDropped, st.dupDropped, st.exported)
+    }
+    stats.toDF("batch", "n_input", "n_quality_dropped",
+        "n_dup_dropped", "n_exported")
+      .orderBy("batch")
   }
 
   /** Run the chain over a streaming (doc_id, text) source. */

@@ -79,6 +79,82 @@ object KappaBackfill {
       .start()
   }
 
+  /** q207: the kappa seam promoted into the oracle gate (the
+    * q147/q170/q196 precedent). History up to the median event time is
+    * aggregated as a BATCH and handed to the stream as `initialState`;
+    * the live tail replays as TWO real micro-batches (two staged files,
+    * `maxFilesPerTrigger=1`, split by timestamp parity so the SAME user
+    * appears in both batches and the state provably folds across the
+    * boundary); the final per-user state — last emission per user
+    * (n is monotone, so `max(struct(n, cents))` selects it), untouched
+    * users backfilled from the initial state — must hash-match the
+    * ORACLE, which is one full-history batch aggregate with no cut and
+    * no seam. A row double-counted at the seam, dropped at the handoff,
+    * or folded twice under the engine's state round-trip breaks the
+    * match. The cut itself never reaches the oracle text: the whole
+    * point of kappa is that the seam is invisible in the result.
+    *
+    * Scale: the drain is executor→disk (`foreachBatch` parquet append —
+    * update-mode emissions resolved by the monotone-n argmax, never a
+    * driver-side memory sink); the anti-join backfill is keyed on
+    * user_id. State is one row per active user, the same bound the
+    * deployed form carries. */
+  def kappaReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutUs = graft.Tables.events(spark, dir)
+      .select(expr("CAST(median(unix_micros(ts)) AS BIGINT)")).as[Long].head()
+    val initial = backfill(spark, dir, cutUs)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-kappa-replay-")
+    graft.TempDirs.cleanupOnExit(root)
+    val in = s"$root/in"; val ck = s"$root/ck"; val out = s"$root/out"
+    val t = graft.Tables.events(spark, dir)
+      .filter(expr("unix_micros(ts)") > cutUs)
+      .select(col("user_id"), centsCol.as("cents"),
+        pmod(expr("unix_micros(ts)"), lit(2)).as("half"))
+    (0 to 1).foreach { h =>
+      t.filter(col("half") === h).select("user_id", "cents")
+        .coalesce(1).write.parquet(s"$in/chunk$h")
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+    val init = initial.groupByKey(_._1).mapValues(_._2)
+    val updates = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout, init) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n; var c = prev.cents
+          rows.foreach { case (_, cents) => n += 1; c += cents }
+          val next = UserState(n, c)
+          state.update(next)
+          UserUpdate(user, next.n, next.cents)
+      }
+    val q = updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: Dataset[UserUpdate], _: Long) =>
+        b.write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max(struct(col("n"), col("cents"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n_events"), col("s.cents").as("cents"))
+    val initDf = initial
+      .map { case (u, st) => (u, st.n, st.cents) }
+      .toDF("user_id", "n_events", "cents")
+    val untouched = initDf.join(streamed.select("user_id"), Seq("user_id"), "left_anti")
+    streamed.unionByName(untouched).orderBy("user_id")
+  }
+
   /** Post-cut events in the stream's wire shape, for the spec to stage
     * as micro-batch files. */
   def tail(spark: SparkSession, dir: String, cutUs: Long): DataFrame =

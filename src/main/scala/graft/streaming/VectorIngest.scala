@@ -47,6 +47,40 @@ object VectorIngest {
       }
       .start()
 
+  /** q208: the streaming ingest promoted into the oracle gate (the
+    * q170/q196/q207 precedent). The corpus replays as FOUR real
+    * micro-batches (four staged files, `maxFilesPerTrigger=1`, split by
+    * vec_id residue) through [[run]] — each batch cell-assigned against
+    * the SAME fixed codebook and appended under its cell directory —
+    * and the accumulated index then serves the exact q33 search
+    * ([[searchIndex]]). The oracle is q33's one-shot text: the hash
+    * match proves batch-at-a-time ingest builds the SAME index as
+    * indexing the corpus at once — no vector lost, duplicated, or
+    * mis-assigned across batch boundaries, and the doubles surviving
+    * the parquet round-trip bit-exactly.
+    *
+    * Scale: each batch is a broadcast-codebook map-side argmax plus one
+    * partitioned append; the search opens only the probed cells. The
+    * staged-files split is the harness stand-in for a real feed; the
+    * per-batch work is identical. */
+  def ingestReplay(spark: SparkSession, sfDir: String, nBatches: Int = 4): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vecingest-")
+    graft.TempDirs.cleanupOnExit(root)
+    val in = s"$root/in"; val ck = s"$root/ck"; val indexDir = s"$root/index"
+    val e = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    (0 until nBatches).foreach { b =>
+      e.filter(pmod(col("vec_id"), lit(nBatches)) === b)
+        .coalesce(1).write.parquet(s"$in/chunk$b")
+    }
+    val centroids = graft.similarity.IvfIndex.codebook(spark, sfDir)
+    val src = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    val q = run(src, centroids, indexDir, ck)
+    try q.processAllAvailable() finally q.stop()
+    searchIndex(spark, indexDir, e.filter(col("vec_id") < 32), centroids,
+      k = 5, nprobe = 4)
+  }
+
   /** kNN over the accumulated on-disk index — literally the q33 search
     * ([[Ann.ivfKnnAssigned]]) with the assignment read back from the
     * cell-partitioned layout. */

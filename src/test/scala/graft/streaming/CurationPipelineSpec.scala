@@ -185,4 +185,21 @@ class CurationPipelineSpec extends SparkSpec {
     // the quality report still covers (and explains) every dropped doc
     assert(spark.read.parquet(s"$outDir/quality").count() === 2)
   }
+
+  test("q209: every funnel stage fires on the fixture (no vacuous gate row)") {
+    val rows = graft.SparkEntry.queries("q209_curation_replay")(spark, sf0001)
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_input") ===
+        r.getAs[Long]("n_quality_dropped") + r.getAs[Long]("n_dup_dropped") +
+          r.getAs[Long]("n_exported"), "the funnel must account for every doc")
+    }
+    assert(rows.map(_.getAs[Long]("n_quality_dropped")).sum > 0,
+      "the quality gate must drop something")
+    assert(rows.map(_.getAs[Long]("n_dup_dropped")).sum > 0,
+      "the median-score gate exists so surviving twins reach the dedup stage")
+    assert(rows.map(_.getAs[Long]("n_exported")).sum > 0,
+      "something must survive to export")
+  }
 }

@@ -58,4 +58,14 @@ class KappaBackfillSpec extends SparkSpec {
         s"user $u: untouched by the tail, so backfill must already equal full")
     }
   }
+
+  test("q207: the gate-facing replay equals the full-history batch row-for-row") {
+    val replay = graft.SparkEntry.queries("q207_kappa_replay")(spark, sf0001)
+      .collect().toSeq
+    val full = KappaBackfill.fullBatch(spark, sf0001)
+      .select(col("user_id"), col("n").as("n_events"), col("cents"))
+      .orderBy("user_id").collect().toSeq
+    assert(replay.nonEmpty)
+    assert(replay === full, "the seam must be invisible in the result")
+  }
 }
