@@ -26,7 +26,11 @@ Everything else (fixed-size dims) is symlinked unchanged; stale/broken
 links are repaired. pyarrow is used (not DuckDB) so the parquet physical
 types, including events.ts TIMESTAMP(NANOS), survive byte-exact.
 
-Usage: python3 tools/make_scale_data.py <sfDir> <outDir> [N=10]
+Usage: python3 tools/make_scale_data.py <sfDir> <outDir> [N=10] [--cf]
+
+`--cf` additionally replicates orders+lineitem (offset custkeys/
+orderkeys, SAME part vocabulary) so the q192/q198 item-item-CF chain
+can be probed at N× baskets; see replicate_cf for the contract.
 """
 import os
 import sys
@@ -117,12 +121,52 @@ def replicate_embeddings(sf_dir: str, out_dir: str, n: int) -> int:
     return big.num_rows
 
 
-def main(sf_dir: str, out_dir: str, n: int) -> None:
+def replicate_cf(sf_dir: str, out_dir: str, n: int) -> int:
+    """Replicate orders+lineitem for the q192/q198 item-item-CF probe:
+    copy k offsets o_custkey and the o_orderkey/l_orderkey pair while
+    keeping l_partkey UNCHANGED — n× the baskets over the SAME part
+    vocabulary, which is exactly how a real order corpus grows. The
+    neighbor chain's per-customer work is capped (BasketCap), so its
+    cost must grow linearly in baskets; the pair-count table's keys stay
+    part-vocabulary-bounded. Customer/part dims are NOT consulted by
+    q192/q198 (the chain runs on the orders⋈lineitem incidence alone),
+    so the offset custkeys needing no dim rows is fine — but it means a
+    dir built with this flag is ONLY for queries that skip those dims.
+    """
+    o = pq.read_table(f"{sf_dir}/orders.parquet")
+    l = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    c_off = pc.max(o["o_custkey"]).as_py() + 1
+    k_off = max(pc.max(o["o_orderkey"]).as_py(),
+                pc.max(l["l_orderkey"]).as_py()) + 1
+    ocs, lcs = [], []
+    for k in range(n):
+        oc = o.set_column(o.schema.get_field_index("o_custkey"), "o_custkey",
+                          pc.add(o["o_custkey"], k * c_off))
+        oc = oc.set_column(oc.schema.get_field_index("o_orderkey"), "o_orderkey",
+                           pc.add(o["o_orderkey"], k * k_off))
+        ocs.append(oc)
+        lc = l.set_column(l.schema.get_field_index("l_orderkey"), "l_orderkey",
+                          pc.add(l["l_orderkey"], k * k_off))
+        lcs.append(lc)
+    for name, parts in (("orders", ocs), ("lineitem", lcs)):
+        pq.write_table(pa.concat_tables(parts), _fresh(f"{out_dir}/{name}.parquet"))
+    return n * o.num_rows
+
+
+def main(sf_dir: str, out_dir: str, n: int, cf: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     n_ev = replicate_events(sf_dir, out_dir, n)
     n_doc = replicate_documents(sf_dir, out_dir, n)
     n_vec = replicate_embeddings(sf_dir, out_dir, n)
-    for name in LINK_TABLES:
+    link_tables = LINK_TABLES
+    if cf:
+        n_ord = replicate_cf(sf_dir, out_dir, n)
+        link_tables = [t for t in LINK_TABLES
+                       if t not in ("orders", "lineitem")]
+        print(f"replicated {n_ord} orders (+lineitem) for the CF probe")
+        # a prior non-cf run may have left orders/lineitem symlinks that
+        # _fresh() already replaced with real files; nothing else to fix
+    for name in link_tables:
         dst = f"{out_dir}/{name}.parquet"
         # any pre-existing link is re-created, not kept: a broken link
         # (pre-abspath relative runs) or a VALID link into a different
@@ -140,4 +184,6 @@ def main(sf_dir: str, out_dir: str, n: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+         cf=(len(sys.argv) > 4 and sys.argv[4] == "--cf"))
