@@ -93,6 +93,49 @@ object TextCuration {
   def shuffleKey(id: Column): Column =
     TextOps.hash56(concat(lit("shard_"), id.cast("string")))
 
+  /** q210's BIGRAM held-out perplexity over a (doc_id, lang, text)
+    * relation: add-1-smoothed bigram model trained on the even doc_ids,
+    * the odd half scored with integer-bit quantized surprisal
+    * bits = ⌊log₂((c(w₁)+V) div (c(w₁w₂)+1))⌋ (the q127/q146 no-libm
+    * rule). Shared here (the q146/q121 rule) so the planted-corpus spec
+    * can fire the ctx-OOV and novel-bigram branches deterministically —
+    * on the fixture the novel branch fires at sf0.001 but saturates
+    * away at sf0.1 (5000 same-vocabulary docs cover the bigram space),
+    * and ctx-OOV never fires (fully shared vocabulary, the q146
+    * caveat). */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("tk"))
+    val bg = toks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(expr("slice(tk, 1, size(tk) - 1)"),
+          expr("slice(tk, 2, size(tk) - 1)"),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"),
+        concat(col("b.w1"), lit(" "), col("b.w2")).as("bg"))
+    val train = graft.Caches.scopedPersist(bg.filter(col("doc_id") % 2 === 0))
+    val held = bg.filter(col("doc_id") % 2 === 1)
+    val cb = train.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cc = train.groupBy("w1").agg(count(lit(1)).as("cc"))
+    val vv = train.agg(countDistinct(col("w1")).cast("long").as("v"))
+    held.join(cb, Seq("bg"), "left").join(cc, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("lang"),
+        when(col("cc").isNull, 1L).otherwise(0L).as("ctx_oov"),
+        when(col("cc").isNotNull && col("cb").isNull, 1L).otherwise(0L)
+          .as("novel"),
+        (length(bin(expr("(coalesce(cc, 0) + v) div (coalesce(cb, 0) + 1)")))
+          - 1).cast("long").as("bits"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ctx_oov").as("n_ctx_oov"),
+        sum("novel").as("n_novel"), sum("bits").as("sum_bits"))
+      .select(col("lang"), col("n_bigrams"), col("n_ctx_oov"),
+        col("n_novel"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_bits"))
+      .orderBy("lang")
+  }
+
   /** q146's held-out perplexity report over a (doc_id, lang, text)
     * relation: train an add-1-smoothed unigram model on the EVEN
     * doc_ids, score the odd half with integer-bit quantized surprisal

@@ -1288,6 +1288,18 @@ object AnalyticsQueries {
       graft.streaming.KappaBackfill.kappaReplay(s, d)
     },
 
+    // MAPSTATE PROFILE ≡ BATCH CROSS-TAB (q212) — the third face of
+    // Spark 4's arbitrary-state API under oracle: q196 pins ValueState,
+    // q205 pins event-time timers, q212 pins the MAP-typed slot (see
+    // `streaming/MapStateProfile` for why a real profile store wants a
+    // map slot, not a ValueState[Map]). Two real micro-batches fold
+    // each user's event_type→count map through the RocksDB store; the
+    // oracle is the one-shot (user, type) cross-tab — an entry lost,
+    // duplicated, or mis-keyed across the batch boundary reds the row.
+    "q212_mapstate_profile" -> { (s, d) =>
+      graft.streaming.MapStateProfile.profileReplay(s, d)
+    },
+
     // USER-GROWTH CURVE (q157) — cumulative distinct users by day, the
     // companion to q122's retention matrix. The naive form (a running
     // COUNT(DISTINCT) window) holds unbounded state; the scale-correct
@@ -1999,6 +2011,11 @@ object AnalyticsQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q212: the one-shot cross-tab — no batches, no state
+    "q212_mapstate_profile" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     // q201: identical integer-bits terms — length(bin(n // nv)) − 1 on
     // both engines (the q137/q146 idiom), exact BIGINT sums, same
     // final integer division. No libm anywhere (ADVICE r11).

@@ -746,6 +746,27 @@ object CurationQueries {
       lmTiers(s, d).orderBy("doc_id")
     },
 
+    // BIGRAM HELD-OUT PERPLEXITY (q210) — q146's eval moved up one
+    // order: an add-1-smoothed BIGRAM model trained on the even
+    // doc_ids, the odd half scored with integer-bit quantized surprisal
+    // (the q127/q146 no-libm rule): bits = ⌊log₂((c(w₁)+V) div
+    // (c(w₁w₂)+1))⌋ as length(bin(·))−1, pure integer arithmetic on
+    // both engines. Branch honesty (the q146/q154 precedent): the
+    // NOVEL-bigram smoothing branch fires on the fixture at sf0.001
+    // (7 held-out bigrams with a seen context but unseen continuation)
+    // and saturates away at sf0.1 (5000 same-vocabulary docs cover the
+    // bigram space); ctx-OOV never fires on the fully-shared
+    // vocabulary — BOTH branches are pinned deterministically by the
+    // planted-corpus spec through the SHARED operator
+    // ([[graft.operators.TextCuration.bigramPerplexity]], the q121
+    // rule). Scale: bigram count tables are corpus-sized but only ever
+    // equi-joined on their own keys (bg, w₁); V on a 1-row broadcast;
+    // no windows, no self-joins.
+    "q210_bigram_perplexity" -> { (s, d) =>
+      graft.operators.TextCuration.bigramPerplexity(
+        Tables.documents(s, d).select("doc_id", "lang", "text"))
+    },
+
     // WEIGHTED SAMPLING WITHOUT REPLACEMENT (q206) — Efraimidis &
     // Spirakis's exponential-keys method, the third sampling face
     // beside q104's capped uniform priorities and q79's temperature
@@ -1406,6 +1427,34 @@ object CurationQueries {
         |SELECT lang, n_tokens, n_oov, sum_bits,
         |  CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_bits,
         |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM g ORDER BY lang""".stripMargin,
+    // q210: identical bigram chain — 1-based list index vs Spark's
+    // slice/zip_with produce the same (w1, w2) pairs; integer-bits
+    // surprisal, exact BIGINT sums, one final IEEE division
+    "q210_bigram_perplexity" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+        |       FROM (SELECT doc_id, lang, tk,
+        |               unnest(generate_series(1, len(tk) - 1)) AS i
+        |             FROM toks WHERE len(tk) >= 2)),
+        |tr AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |hd AS (SELECT * FROM bg WHERE doc_id % 2 = 1),
+        |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM tr GROUP BY 1),
+        |cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cc FROM tr GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM tr),
+        |sc AS (SELECT hd.lang,
+        |    CASE WHEN cc.cc IS NULL THEN 1 ELSE 0 END AS ctx_oov,
+        |    CASE WHEN cc.cc IS NOT NULL AND cb.cb IS NULL THEN 1 ELSE 0 END AS novel,
+        |    CAST(length(bin((coalesce(cc.cc, 0) + v) // (coalesce(cb.cb, 0) + 1))) - 1 AS BIGINT) AS bits
+        |  FROM hd LEFT JOIN cb ON hd.bg = cb.bg
+        |          LEFT JOIN cc ON hd.w1 = cc.w1, vv),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(ctx_oov) AS BIGINT) AS n_ctx_oov,
+        |    CAST(sum(novel) AS BIGINT) AS n_novel,
+        |    CAST(sum(bits) AS BIGINT) AS sum_bits
+        |  FROM sc GROUP BY lang)
+        |SELECT lang, n_bigrams, n_ctx_oov, n_novel, sum_bits,
+        |  CAST(sum_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_bits
         |FROM g ORDER BY lang""".stripMargin,
     // q127: the same quantized-surprisal model replayed — T // c is
     // integer division (Spark's `div`), bin() the binary string on

@@ -1057,6 +1057,63 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // INT8 SCALAR-QUANTIZATION RECALL (q211) — the OTHER vector
+    // compression every serving stack evaluates beside PQ (q106/q108):
+    // per-dimension symmetric int8 — q_d = ⌊127·v_d / s_d⌋ against the
+    // corpus per-dim max-|v| scale — then recall@5 of quantized-cosine
+    // search vs the exact float top-5 for the pinned 32-query audit
+    // slice. Quantized scoring is INTEGER end-to-end: int8 dots and
+    // norms sum exactly in BIGINT (≤ 127²·64 per pair), the one cosine
+    // division runs on exact-integer→double operands and is
+    // floor-quantized to micro-units BEFORE ranking (the q149/q166
+    // rule — no raw double is ever a rank key). Scale: the scales pass
+    // is one posexplode partial-agg with d-bounded output broadcast
+    // back; quantization is a map against that 64-element array; the
+    // eval is audit-slice × corpus (the q32/q132 rule), never all-pairs.
+    "q211_int8_quant_recall" -> { (s, d) =>
+      val e = graft.Caches.scopedPersist(
+        Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")))
+      val scales = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(max(abs(col("x"))).as("s"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)")
+          .as("sc"))
+      val qn = graft.Caches.scopedPersist(
+        e.crossJoin(broadcast(scales))
+          .select(col("vec_id"),
+            expr("""zip_with(v, sc, (x, s) -> CASE WHEN s = 0.0D THEN 0L
+                    ELSE CAST(floor(127.0D * x / s) AS BIGINT) END)""").as("q"))
+          .select(col("vec_id"), col("q"),
+            expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2")))
+      val qq = qn.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("q").as("qv2"),
+          col("n2").as("qn2"))
+      val rankW = Window.partitionBy("query_id")
+        .orderBy(col("qcos").desc, col("neighbor_id").asc)
+      val approx = qn.crossJoin(broadcast(qq))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          floor(lit(1000000.0d)
+              * expr("aggregate(zip_with(q, qv2, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+                .cast("double")
+              / (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+            .cast("long").as("qcos"))
+        .withColumn("r", row_number().over(rankW))
+        .filter(col("r") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val em = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val exact = Ann.bruteForceKnn(em, em.filter(col("vec_id") < 32), 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      qq.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0).as("recall"))
+        .orderBy("query_id")
+    },
+
     // TOKEN-DISTRIBUTION DRIFT REPORT (q167) — dataset-shift
     // observability (did the feed change under us? which vocabulary is
     // rising/falling?): the two corpus halves under the q146 doc_id % 2
@@ -2773,6 +2830,43 @@ object PipelineQueries {
     // q208: literally q33's text — the streamed ingest must serve the
     // IDENTICAL search result as the one-shot index.
     "q208_vector_ingest_replay" -> IvfSearchSql,
+    // q211: the same per-dim scales, ⌊127·v/s⌋ int8 codes, exact
+    // integer dots/norms, micro-unit-floored cosine rank key, and the
+    // q132 exact arm — identical op sequence, bit-equal doubles
+    "q211_int8_quant_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT g.i AS dim, max(abs(v[g.i])) AS s
+        |       FROM v, (SELECT unnest(generate_series(1, 64)) AS i) g
+        |       GROUP BY g.i),
+        |scl AS (SELECT list(s ORDER BY dim) AS sc FROM sc),
+        |qn AS (SELECT vec_id,
+        |         list_transform(generate_series(1, 64),
+        |           i -> CASE WHEN sc[i] = 0.0 THEN 0
+        |                ELSE CAST(floor(127.0 * v[i] / sc[i]) AS BIGINT) END) AS q
+        |       FROM v, scl),
+        |qn2 AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM qn),
+        |qq AS (SELECT vec_id AS query_id, q AS qv2, n2 AS qn2 FROM qn2 WHERE vec_id < 32),
+        |ap AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT qq.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
+        |        CAST(floor(1000000.0 * CAST(list_dot_product(b.q, qq.qv2) AS DOUBLE)
+        |          / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(qq.qn2 AS DOUBLE)))) AS BIGINT) DESC,
+        |        b.vec_id) AS r
+        |    FROM qn2 b, qq WHERE b.vec_id <> qq.query_id) WHERE r <= 5),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+        |q2 AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 32),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q2.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q2.vec_id
+        |        ORDER BY round(list_dot_product(q2.v, b.v) / (q2.nrm * b.nrm), 4) DESC,
+        |                 b.vec_id) AS r
+        |    FROM q2 JOIN n b ON b.vec_id <> q2.vec_id) WHERE r <= 5),
+        |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        |      FROM ex e JOIN ap a USING (query_id, neighbor_id)
+        |      GROUP BY e.query_id)
+        |SELECT qq.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+        |FROM qq LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
     // q132: q33's replay (the approx arm) + the exact top-5 via the
     // same rounded-cos (DESC, id) ranking, hits counted per query
     "q132_ann_recall" -> {

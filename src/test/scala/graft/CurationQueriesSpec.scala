@@ -223,6 +223,27 @@ class CurationQueriesSpec extends SparkSpec {
       ("en", 3L, 1L, 5L, 5.0 / 3.0, 1.0 / 3.0)))
   }
 
+  test("q210's ctx-OOV and novel-bigram branches fire on a planted corpus (exact bits)") {
+    // the fixture's shared vocabulary never fires ctx-OOV, and its
+    // bigram coverage saturates the novel branch away at sf0.1 — this
+    // corpus plants both, through the SAME shared operator
+    val rows = Seq(
+      (0L, "en", "a b c"),    // train: bigrams (a b), (b c)
+      (2L, "en", "a b a b"),  // train: (a b) x2, (b a)
+      (1L, "en", "a b c"),    // held out: both bigrams seen
+      (3L, "de", "a c x"))    // held out: (a c) novel, (c x) ctx-OOV
+    val df = rows.toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextCuration.bigramPerplexity(df)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // train: cb(a b)=3, cb(b c)=1, cb(b a)=1; cc(a)=3, cc(b)=2; V=2
+    // en: (a b) → (3+2) div 4 = 1 → 0 bits; (b c) → (2+2) div 2 = 2 → 1 bit
+    // de: (a c) novel → (3+2) div 1 = 5 → 2 bits;
+    //     (c x) ctx-OOV → (0+2) div 1 = 2 → 1 bit
+    assert(got === Seq(
+      ("de", 2L, 1L, 1L, 3L, 1.5),
+      ("en", 2L, 0L, 0L, 1L, 0.5)))
+  }
+
   test("q121's checks fire on planted violations (every branch, exact counts)") {
     // the fixture corpus passes all five checks, so the gate alone
     // cannot prove the violation branches count; this corpus violates
