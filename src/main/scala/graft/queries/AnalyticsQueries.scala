@@ -1300,6 +1300,20 @@ object AnalyticsQueries {
       graft.streaming.MapStateProfile.profileReplay(s, d)
     },
 
+    // LISTSTATE RECENT-ITEMS ≡ BATCH TRUTH (q213) — the LAST state
+    // primitive of Spark 4's arbitrary-state API under oracle
+    // (ValueState q196, timers q205, MapState q212): a per-user
+    // last-3-items ring in a LIST-typed slot — the feature-store
+    // "recent items" every recommender reads — folded across two real
+    // micro-batches staged as event_id-RANGE chunks (order-dependent
+    // state needs the ordered-log arrival; see
+    // `streaming/ListStateRecent`). Oracle = the one-shot last-3 path
+    // by event_id: an item dropped from the ring, re-ordered at the
+    // batch boundary, or a tail re-read wrong from RocksDB reds the row.
+    "q213_liststate_recent" -> { (s, d) =>
+      graft.streaming.ListStateRecent.recentReplay(s, d)
+    },
+
     // USER-GROWTH CURVE (q157) — cumulative distinct users by day, the
     // companion to q122's retention matrix. The naive form (a running
     // COUNT(DISTINCT) window) holds unbounded state; the scale-correct
@@ -2016,6 +2030,16 @@ object AnalyticsQueries {
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // q213: the one-shot last-3 path — event_id is the unique log
+    // order, string_agg re-assembles ascending
+    "q213_liststate_recent" ->
+      """WITH r AS (SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
+        |  string_agg(event_type, '>' ORDER BY event_id) AS recent_path
+        |FROM r WHERE rk <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q201: identical integer-bits terms — length(bin(n // nv)) − 1 on
     // both engines (the q137/q146 idiom), exact BIGINT sums, same
     // final integer division. No libm anywhere (ADVICE r11).

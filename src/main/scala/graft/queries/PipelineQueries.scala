@@ -1932,6 +1932,37 @@ object PipelineQueries {
           "CAST(chars_total - chars_kept AS DOUBLE) / CAST(chars_total AS DOUBLE) AS savings_rate")
     },
 
+    // CROSS-SOURCE CONTAMINATION MATRIX (q214) — the pairwise face of
+    // q155's per-source dup report and q74's train/test decontamination:
+    // which FEEDS duplicate each other (mirror crawls, re-posts,
+    // aggregators)? Each source's distinct 3-gram shingle set meets
+    // every other's through ONE hash-keyed equi-join — per-hash
+    // expansion is (sources containing the hash choose 2), bounded by
+    // the source DOMAIN, never docs² — and the overlap reports in exact
+    // ppm of the smaller side (the containment-style normalization, so
+    // a tiny feed swallowed by a big one still reads ~10⁶). At 100 TB
+    // the (source, hash) projection is the same postings relation every
+    // dedup face here probes; output is |sources|²-bounded (190 rows at
+    // every SF). The fixture's near-dup twins cross sources, so real
+    // signal fires everywhere (max shared 162 hashes at sf0.001).
+    "q214_source_overlap" -> { (s, d) =>
+      val sp = graft.Caches.scopedPersist(
+        shingleDocs(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+          .select(col("source"), explode(col("sh")).as("h"))
+          .distinct())
+      val cnt = sp.groupBy("source").agg(count(lit(1)).as("n"))
+      sp.as("a").join(sp.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(cnt.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(cnt.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+          expr("n_shared * 1000000 div least(n_a, n_b)").as("overlap_ppm"))
+        .orderBy("src_a", "src_b")
+    },
+
     // PER-SOURCE DUPLICATION REPORT (q155) — dedup observability by
     // provenance: for each source, how many docs sit in a multi-member
     // near-dup component (q60's clusters, shared code) and the dup
@@ -3318,6 +3349,22 @@ object PipelineQueries {
          |  chars_total - chars_kept AS chars_dropped,
          |  CAST(chars_total - chars_kept AS DOUBLE) / CAST(chars_total AS DOUBLE) AS savings_rate
          |FROM g""".stripMargin,
+    // q214: the same distinct (source, shingle) postings, the same
+    // src_a < src_b hash join, exact-ppm containment normalization
+    "q214_source_overlap" ->
+      s"""$ShingleCte,
+         |sp AS (SELECT DISTINCT d.source, s.h
+         |       FROM (SELECT doc_id, unnest(sh) AS h FROM sh) s
+         |       JOIN documents d USING (doc_id)),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_shared, ca.n AS n_a, cb.n AS n_b,
+         |  p.n_shared * 1000000 // least(ca.n, cb.n) AS overlap_ppm
+         |FROM p JOIN c ca ON p.src_a = ca.source JOIN c cb ON p.src_b = cb.source
+         |ORDER BY p.src_a, p.src_b""".stripMargin,
     // q155: the component truth again, sizes + the same per-source
     // division
     "q155_source_dup_rate" ->
