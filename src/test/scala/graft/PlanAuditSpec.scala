@@ -915,6 +915,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("q210: bigram model tables equi-join on their own keys; V broadcasts") {
+    val p = formatted("q210_bigram_perplexity")
+    assert(p.contains("BroadcastExchange"), "the 1-row V total must broadcast")
+    assert(p.contains("partial_count"), "bigram/context counts must map-side combine")
+    // the only nested-loop is the 1-row V broadcast cross (the
+    // q115/q161 idiom); a true cartesian would be a lost join key
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q211: scales and the audit slice broadcast into the corpus scan") {
+    val p = formatted("q211_int8_quant_recall")
+    assert(p.contains("BroadcastExchange"),
+      "the 64-element scales array and the 32-vector slice must broadcast")
+    // the slice×corpus scoring rides broadcast NLJs; the remaining
+    // SortMergeJoin is the 160-row exact∩approx eval join (AQE shrinks
+    // it at runtime) — only a true cartesian is a defect
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q214: source overlap is one hash-keyed equi-join; marginals broadcast") {
+    val p = formatted("q214_source_overlap")
+    assert(p.contains("BroadcastExchange"), "the per-source totals must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a cross product means the pair join lost its shingle-hash key")
+    assert(p.contains("partial_count"), "postings counts must map-side combine")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
