@@ -47,7 +47,13 @@ object ExplainAudit {
         // slop), pk-keyed full-outer reconciliation, semi/anti eval
         // joins, broadcast percentile cuts, zone-map layout eval
         "q193_phrase_search", "q194_snapshot_diff", "q197_zonemap_skiprate",
-        "q198_recommender_eval", "q199_rfm_segments", "q203_proximity_search")
+        "q198_recommender_eval", "q199_rfm_segments", "q203_proximity_search",
+        // round-12 additions: MinKLong-capped CF expansion (q192/q198
+        // share the chain — q198 above now shows the cap), bigram model
+        // joins + broadcast V, int8 broadcast scales/slice, hash-keyed
+        // source-overlap join
+        "q210_bigram_perplexity", "q211_int8_quant_recall",
+        "q214_source_overlap")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
