@@ -1114,6 +1114,77 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // RANKED-RETRIEVAL QUALITY: MRR + NDCG@5 (q215) — the graded
+    // companion to q132's binary recall: per audit query, the IVF
+    // ranking (q33's chain, shared index) graded against the exact
+    // float top-5 as relevance. Arithmetic is INTEGER end-to-end (the
+    // q149 rule): the per-rank DCG weights ⌊10⁶/log₂(i+1)⌋ are written
+    // as LITERALS in both engines (1000000, 630929, 500000, 430676,
+    // 386852 — computed once, spliced as constants, so no engine ever
+    // evaluates a log), DCG is an exact BIGINT sum, IDCG is the
+    // constant 2948457 (all five relevant by construction), and
+    // MRR_ppm = 10⁶ div first-relevant-rank. Scale: two audit-slice
+    // rankings (the q32/q132 rule) + one (query, neighbor)-keyed join.
+    "q215_retrieval_ndcg" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 32)
+      val approx = Ann.ivfKnnAssigned(graft.similarity.IvfIndex.assignments(s, d),
+          queries, graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val exact = Ann.bruteForceKnn(e, queries, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
+      val w = expr("""CASE rank WHEN 1 THEN 1000000L WHEN 2 THEN 630929L
+                      WHEN 3 THEN 500000L WHEN 4 THEN 430676L
+                      ELSE 386852L END""")
+      val graded = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"),
+          coalesce(col("rel"), lit(0L)).as("rel"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(graded.groupBy("query_id")
+          .agg(sum(when(col("rel") === 1L, w).otherwise(0L)).as("dcg_q"),
+            coalesce(max(when(col("rel") === 1L,
+              expr("1000000 div rank"))), lit(0L)).as("mrr_ppm")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("dcg_q"), lit(0L)).as("dcg_q"),
+          expr("coalesce(dcg_q, 0L) * 1000000 div 2948457").as("ndcg_ppm"),
+          coalesce(col("mrr_ppm"), lit(0L)).as("mrr_ppm"))
+        .orderBy("query_id")
+    },
+
+    // DEDUP THRESHOLD-SENSITIVITY CURVE (q216) — the tuning dashboard
+    // behind q30/q31's fixed 0.5: how many pairs, affected docs, and
+    // keep-min drops does each candidate threshold produce? Computed
+    // from the session-shared verified-pairs truth (j ≥ 0.5 floor —
+    // the operating range; pairs are stored doc_a < doc_b so the
+    // keep-min drop set at threshold t is exactly the distinct doc_b
+    // side). The 5-row threshold dim broadcasts; the comparison
+    // j·100 ≥ t runs on identical doubles in both engines (same
+    // formula text), so the bucket edges cannot flip. Every threshold
+    // row emits even when empty (left join from the dim).
+    "q216_threshold_curve" -> { (s, d) =>
+      import s.implicits._
+      val pairs = verifiedPairs(s, d)
+      val ths = Seq(50L, 60L, 70L, 80L, 90L).toDF("threshold_pct")
+      val f = graft.Caches.scopedPersist(
+        pairs.crossJoin(broadcast(ths))
+          .filter(col("jaccard") * 100 >= col("threshold_pct")))
+      val p = f.groupBy("threshold_pct")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_dropped"))
+      val a = f.select(col("threshold_pct"), col("doc_a").as("doc"))
+        .unionByName(f.select(col("threshold_pct"), col("doc_b").as("doc")))
+        .groupBy("threshold_pct")
+        .agg(countDistinct(col("doc")).as("n_docs_affected"))
+      ths.join(p, Seq("threshold_pct"), "left")
+        .join(a, Seq("threshold_pct"), "left")
+        .select(col("threshold_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy("threshold_pct")
+    },
+
     // TOKEN-DISTRIBUTION DRIFT REPORT (q167) — dataset-shift
     // observability (did the feed change under us? which vocabulary is
     // rising/falling?): the two corpus halves under the q146 doc_id % 2
@@ -2898,6 +2969,71 @@ object PipelineQueries {
         |SELECT qq.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
         |FROM qq LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
+    // q215: q132's two arms with the approx rank retained, the same
+    // LITERAL DCG weights, exact BIGINT sums, integer divisions
+    "q215_retrieval_ndcg" -> {
+      s"""$IvfCte,
+         |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
+         |pr AS (SELECT query_id, qv, qn, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c2.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
+         |    FROM q, c2) WHERE r <= 4),
+         |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
+         |         FROM pr JOIN asg a USING (cell) WHERE a.vec_id <> pr.query_id),
+         |approx AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM cand) WHERE rank <= 5),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, n2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_dot_product(q.qv, n2.nv) / (q.qn * n2.nn), 4) DESC,
+         |                 n2.vec_id) AS r
+         |    FROM q JOIN n n2 ON n2.vec_id <> q.query_id) WHERE r <= 5),
+         |g AS (SELECT a.query_id, a.rank,
+         |        CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+         |      FROM approx a LEFT JOIN ex e
+         |        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+         |s AS (SELECT query_id,
+         |        CAST(sum(rel * (CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+         |          WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END)) AS BIGINT) AS dcg_q,
+         |        CAST(coalesce(max(CASE WHEN rel = 1 THEN 1000000 // rank END), 0) AS BIGINT) AS mrr_ppm
+         |      FROM g GROUP BY query_id)
+         |SELECT q.query_id, CAST(coalesce(s.dcg_q, 0) AS BIGINT) AS dcg_q,
+         |  CAST(coalesce(s.dcg_q, 0) * 1000000 // 2948457 AS BIGINT) AS ndcg_ppm,
+         |  CAST(coalesce(s.mrr_ppm, 0) AS BIGINT) AS mrr_ppm
+         |FROM q LEFT JOIN s USING (query_id) ORDER BY q.query_id""".stripMargin
+    },
+    // q216: the banded+verified pairs truth, the same j·100 ≥ t edges,
+    // every threshold row present
+    "q216_threshold_curve" ->
+      s"""$MinhashCandidatesSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b, j FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+         |  FROM cand c JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id)
+         |  WHERE j >= 0.5),
+         |t AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct),
+         |f AS (SELECT t.threshold_pct, v.doc_a, v.doc_b
+         |      FROM ver v, t WHERE v.j * 100 >= t.threshold_pct),
+         |p AS (SELECT threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs,
+         |        CAST(count(DISTINCT doc_b) AS BIGINT) AS n_dropped
+         |      FROM f GROUP BY 1),
+         |a AS (SELECT threshold_pct, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_affected
+         |      FROM (SELECT threshold_pct, doc_a AS doc FROM f
+         |            UNION ALL SELECT threshold_pct, doc_b FROM f)
+         |      GROUP BY 1)
+         |SELECT CAST(t.threshold_pct AS BIGINT) AS threshold_pct,
+         |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(a.n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+         |  CAST(coalesce(p.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM t LEFT JOIN p USING (threshold_pct) LEFT JOIN a USING (threshold_pct)
+         |ORDER BY threshold_pct""".stripMargin,
     // q132: q33's replay (the approx arm) + the exact top-5 via the
     // same rounded-cos (DESC, id) ranking, hits counted per query
     "q132_ann_recall" -> {

@@ -934,6 +934,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q215: both ranking arms ride broadcasts; the grade join is keyed") {
+    val p = formatted("q215_retrieval_ndcg")
+    assert(p.contains("BroadcastExchange"),
+      "the 32-query slice and the probed cells must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q216: the curve reads the shared pairs truth; the threshold dim broadcasts") {
+    val p = formatted("q216_threshold_curve")
+    assert(p.contains("InMemoryTableScan"),
+      "pairs must come from the session-shared verified_pairs relation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q214: source overlap is one hash-keyed equi-join; marginals broadcast") {
     val p = formatted("q214_source_overlap")
     assert(p.contains("BroadcastExchange"), "the per-source totals must broadcast")
