@@ -209,6 +209,10 @@ object Bench {
     attempt += 1
     anyKeptRepHot = false
     maxKeptExternal = 0.0
+    // ADVICE r12: the rerun exists to produce a clean record, but a
+    // first attempt that burned the whole retry budget on hot reps
+    // would leave the rerun with zero retries — re-arm it per attempt
+    retriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "12").toInt
     val wallStart = System.nanoTime()
     def timed(f: => Unit): Double = {
       externalBusy() // close the preceding window; this build starts fresh
@@ -313,9 +317,15 @@ object Bench {
     // ok-portion per FAMILY: if one family failed, the other's cached
     // build still benefited its queries and must stay charged — a
     // combined -1 would zero BOTH, making a half-crashed run look faster
+    // r13 fix: pq/zorder joined shared_build in their rounds but were
+    // never added HERE, so `value` excluded ~1-2 s that `shared_build`
+    // reported — the two fields now tile (`value` = shared ok-portion +
+    // query medians). Cross-round note: r13+ totals carry those seconds;
+    // pre-r13 totals do not (ARCHITECTURE round table).
     val sharedOk = math.max(sharedTrio, 0.0) + math.max(sharedDense, 0.0) +
       math.max(sharedBuckets, 0.0) + math.max(sharedParts, 0.0) +
-      math.max(sharedIvf, 0.0)
+      math.max(sharedIvf, 0.0) + math.max(sharedPq, 0.0) +
+      math.max(sharedZorder, 0.0)
     val total = sharedOk + ok.map { case (_, ts) => median(ts) }.sum
     val totalMin = sharedOk + ok.map(_._2.min).sum
     val totalMax = sharedOk + ok.map(_._2.max).sum

@@ -448,10 +448,12 @@ object AnalyticsQueries {
     // Σ i·cᵢ over a block of m keys of value c after K predecessors is
     // c·(m·K + m(m+1)/2), integer-exact because m(m+1) is even. Then
     // G·1e6 = (2·Σi·cᵢ − (n+1)·S)·1e6 div (n·S), exact integer ppm
-    // (numerator ≤ n·S·1e6, so BIGINT holds to n·S ≈ 9.2e12;
-    // past that escalate the products to DECIMAL(38,0) — the q161
-    // ppm rule). The numerator is never negative: ascending order
-    // makes Σi·cᵢ ≥ (n+1)·S/2.
+    // (numerator ≤ n·S·1e6, so BIGINT holds to n·S ≈ 9.2e12; the
+    // headroom is ENFORCED, r13 per VERDICT r12 item 3: the ×1e6
+    // numerator, the (n+1)·S term, and the n·S denominator all ride
+    // Guards.checkedMul — out-of-bounds raises a named error in any
+    // SQL mode instead of relying on ANSI being on). The numerator is
+    // never negative: ascending order makes Σi·cᵢ ≥ (n+1)·S/2.
     "q174_gini_concentration" -> { (s, d) =>
       def gini(rel: DataFrame, key: String, name: String): DataFrame = {
         val cnts = rel.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
@@ -466,9 +468,14 @@ object AnalyticsQueries {
             col("m"), (col("c") * col("m")).as("s_part"))
           .agg(sum(col("sic_part")).as("sic"), sum(col("m")).as("n_keys"),
             sum(col("s_part")).as("n_rows"))
+          .withColumn("gini_num", graft.functions.Guards.checkedMul(
+            lit(2L) * col("sic") - graft.functions.Guards.checkedMul(
+              col("n_keys") + lit(1L), col("n_rows"), "q174 gini (n+1)*S"),
+            lit(1000000L), "q174 gini numerator"))
+          .withColumn("gini_den", graft.functions.Guards.checkedMul(
+            col("n_keys"), col("n_rows"), "q174 gini denominator"))
           .select(lit(name).as("relation"), col("n_keys"), col("n_rows"),
-            expr("(2 * sic - (n_keys + 1) * n_rows) * 1000000 div (n_keys * n_rows)")
-              .as("gini_ppm"))
+            expr("gini_num div gini_den").as("gini_ppm"))
       }
       gini(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
         .unionByName(gini(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
@@ -484,8 +491,10 @@ object AnalyticsQueries {
     // stays integer-exact scaled by n: d_scaled = n·Cumₜ − t·S. The
     // change-point is argmax |d| per series, found with one 5-row
     // broadcast of per-type maxima — never a second sort. Headroom:
-    // n_days·S must fit BIGINT (days·corpus-rows ≤ 9.2e18 — at 100 TB
-    // escalate d_scaled to DECIMAL(38,0)).
+    // n_days·S must fit BIGINT (days·corpus-rows ≤ 9.2e18 — ENFORCED,
+    // r13 per VERDICT r12 item 3: both d_scaled products ride
+    // Guards.checkedMul, so an out-of-bounds corpus raises a named
+    // error in any SQL mode; at 100 TB escalate to DECIMAL(38,0)).
     "q175_cusum_changepoint" -> { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -500,7 +509,10 @@ object AnalyticsQueries {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .join(broadcast(tot), "event_type")
         .withColumn("d_scaled",
-          col("n_days") * col("cum") - col("i") * col("s_total"))
+          graft.functions.Guards.checkedMul(col("n_days"), col("cum"),
+            "q175 cusum n*cum") -
+            graft.functions.Guards.checkedMul(col("i"), col("s_total"),
+              "q175 cusum t*S"))
       val peak = d2.groupBy("event_type")
         .agg(max(abs(col("d_scaled"))).as("max_abs_d"))
       d2.join(broadcast(peak), "event_type")
@@ -870,8 +882,10 @@ object AnalyticsQueries {
     // near-uniform days never cross it at any SF — the q121
     // vacuous-branch rule; the worst-day-per-weekday flag fires 7 of
     // 30 days everywhere and is the row an on-call actually reads).
-    // Headroom: n·c must fit BIGINT — past ≈ 9e18 escalate to
-    // DECIMAL(38,0), the q161 rule.
+    // Headroom: n·c must fit BIGINT — ENFORCED, r13 per VERDICT r12
+    // item 3: the n·c product rides Guards.checkedMul (named error in
+    // any SQL mode); past ≈ 9e18 escalate to DECIMAL(38,0), the q161
+    // rule.
     "q191_seasonal_baseline" -> { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
@@ -880,7 +894,9 @@ object AnalyticsQueries {
       val base = daily.groupBy("dow")
         .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
       val dev = daily.join(broadcast(base), "dow")
-        .withColumn("dev_scaled", col("n") * col("c") - col("sc"))
+        .withColumn("dev_scaled",
+          graft.functions.Guards.checkedMul(col("n"), col("c"),
+            "q191 seasonal n*c") - col("sc"))
       val worst = dev.groupBy("dow")
         .agg(max(abs(col("dev_scaled"))).as("max_abs_dev"))
       dev.join(broadcast(worst), "dow")
@@ -1616,26 +1632,30 @@ object AnalyticsQueries {
     // q115: the same derived edge list, then TWO unrolled iterations with
     // the identical decimal-exact inbound sums, dangling-mass terms, and
     // double literals (0.15/0.85 parsed, never computed)
+    // every CTE AS MATERIALIZED (r13, the q133 rule): DuckDB inlines
+    // CTEs, and each r$i is referenced by c/d/r of the next iteration,
+    // so the un-hinted chain re-evaluated the edge build per reference;
+    // exact DECIMAL sums, so materializing cannot move a bit
     "q115_pagerank" -> {
       def iter(i: Int, o: Int): String =
-        s"""c$o AS (SELECT e.dst, CAST(sum(CAST(r$i.r / deg.deg AS DECIMAL(28,12))) AS DOUBLE) AS in_sum
+        s"""c$o AS MATERIALIZED (SELECT e.dst, CAST(sum(CAST(r$i.r / deg.deg AS DECIMAL(28,12))) AS DOUBLE) AS in_sum
            |  FROM edges e JOIN deg ON e.src = deg.src JOIN r$i ON e.src = r$i.node
            |  GROUP BY e.dst),
-           |d$o AS (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(28,12))), 0) AS DOUBLE) AS dm
+           |d$o AS MATERIALIZED (SELECT CAST(coalesce(sum(CAST(r AS DECIMAL(28,12))), 0) AS DOUBLE) AS dm
            |  FROM r$i WHERE node NOT IN (SELECT src FROM deg)),
-           |r$o AS (SELECT n.node,
+           |r$o AS MATERIALIZED (SELECT n.node,
            |    CAST(0.15 AS DOUBLE) / nn.nn
            |      + CAST(0.85 AS DOUBLE) * (coalesce(c$o.in_sum, CAST(0 AS DOUBLE)) + d$o.dm / nn.nn) AS r
            |  FROM nodes n LEFT JOIN c$o ON n.node = c$o.dst, nn, d$o)""".stripMargin
-      s"""WITH ev AS (SELECT event_id, user_id, event_id // 1000 AS bucket FROM events),
-         |ed AS (SELECT user_id AS src,
+      s"""WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_id // 1000 AS bucket FROM events),
+         |ed AS MATERIALIZED (SELECT user_id AS src,
          |         lead(user_id) OVER (PARTITION BY bucket ORDER BY event_id) AS dst
          |       FROM ev),
-         |edges AS (SELECT src, dst FROM ed WHERE dst IS NOT NULL AND dst <> src),
-         |nodes AS (SELECT DISTINCT user_id AS node FROM events),
-         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         |nn AS (SELECT count(*) AS nn FROM nodes),
-         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.nn AS r FROM nodes, nn),
+         |edges AS MATERIALIZED (SELECT src, dst FROM ed WHERE dst IS NOT NULL AND dst <> src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*) AS nn FROM nodes),
+         |r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.nn AS r FROM nodes, nn),
          |${iter(0, 1)},
          |${iter(1, 2)}
          |SELECT node AS user_id, round(r, 8) AS rank FROM r2 ORDER BY user_id""".stripMargin

@@ -94,7 +94,8 @@ object JoinQueries {
     // n·c_ab·1e6 needs n·c_ab ≤ 9.2e12 (fine to ~3e6 baskets/brand
     // pair; past that, escalate the products to DECIMAL(38,0) — same
     // note as q161's ppm shares). The headroom is ENFORCED (r12,
-    // VERDICT r11 item 6): the numerator products ride
+    // VERDICT r11 item 6; denominator closed r13 per ADVICE r12): BOTH
+    // the numerator products AND the n_a·n_b denominator ride
     // Guards.checkedMul, so an out-of-bounds corpus raises a named
     // error in any SQL mode instead of relying on ANSI being on.
     "q173_brand_affinity" -> { (s, d) =>
@@ -118,12 +119,16 @@ object JoinQueries {
         .withColumn("lift_num", graft.functions.Guards.checkedMul(
           graft.functions.Guards.checkedMul(col("n_baskets"), col("n_ab"),
             "q173 lift numerator"), lit(1000000L), "q173 lift numerator"))
+        // ADVICE r12: the denominator wraps at the same corpus scale as
+        // the numerator — guard both, or "ENFORCED in any SQL mode" lies
+        .withColumn("lift_den", graft.functions.Guards.checkedMul(
+          col("n_a"), col("n_b"), "q173 lift denominator"))
         .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"),
           col("n_ab"),
           expr("n_ab * 1000000 div n_baskets").as("support_ppm"),
           expr("n_ab * 1000000 div n_a").as("conf_ab_ppm"),
           expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"),
-          expr("lift_num div (n_a * n_b)").as("lift_ppm"))
+          expr("lift_num div lift_den").as("lift_ppm"))
         .orderBy("brand_a", "brand_b")
     },
 

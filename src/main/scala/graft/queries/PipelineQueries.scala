@@ -78,8 +78,17 @@ object PipelineQueries {
       .join(uni.select(col("tok").as("tb"), col("n_tok").as("n_b")),
         element_at(split(col("bigram"), " "), 2) === col("tb"))
       .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
-        ((col("n_ab") * col("nt") * col("nt")).cast("double") /
-          (col("nb") * col("n_a") * col("n_b")).cast("double")).as("pmi_ratio"))
+        // both BIGINT product chains ride checkedMul (r13, the VERDICT
+        // r12 item-3 contract): the oracle needs no mirror — a firing
+        // guard crashes the query and reds the row, which is the point
+        (graft.functions.Guards.checkedMul(
+          graft.functions.Guards.checkedMul(col("n_ab"), col("nt"),
+            "q140 pmi numerator"), col("nt"), "q140 pmi numerator")
+          .cast("double") /
+          graft.functions.Guards.checkedMul(
+            graft.functions.Guards.checkedMul(col("nb"), col("n_a"),
+              "q140 pmi denominator"), col("n_b"), "q140 pmi denominator")
+            .cast("double")).as("pmi_ratio"))
   }
 
   /** q28's stopword lang-ID scores + argmax prediction, shared with the
@@ -2351,7 +2360,9 @@ object PipelineQueries {
     // frequent-bigram table (n_ab ≥ 3) joined twice to the vocabulary —
     // keyed equi-joins, totals on a 1-row broadcast; top-20 is a
     // TakeOrdered, never a global sort. (At true 100 TB token counts the
-    // BIGINT products upgrade to DECIMAL(38,0) — same plan.)
+    // BIGINT products upgrade to DECIMAL(38,0) — same plan; the BIGINT
+    // headroom is ENFORCED via Guards.checkedMul in the shared scorer,
+    // r13.)
     "q140_pmi_collocations" -> { (s, d) =>
       pmiScoredBigrams(s, d)
         .orderBy(col("pmi_ratio").desc, col("bigram").asc)
@@ -2741,22 +2752,29 @@ object PipelineQueries {
         |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     // q133: the 8 training rounds UNROLLED — each b_i picks the argmax
     // pair from the previous round's merged symbols, each w_i applies
-    // it with the same plain-replace semantics as the Spark loop
+    // it with the same plain-replace semantics as the Spark loop.
+    // Every CTE is AS MATERIALIZED (r13, VERDICT r12 item 1c): DuckDB
+    // inlines CTEs by default, and each w_i is referenced by BOTH
+    // p_{i+1} and w_{i+1} (plus b_i twice via scalar subqueries), so
+    // the un-hinted 8-round chain re-evaluated the prefix exponentially
+    // — ~2^8 redundant corpus passes, the measured long pole of the
+    // whole oracle gate (minutes). Materialized, each round runs once:
+    // 0.5 s at sf0.01, identical 8 rows.
     "q133_bpe_train" -> {
       def round(i: Int): String =
-        s"""p$i AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM (
+        s"""p$i AS MATERIALIZED (SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM (
            |  SELECT wf, unnest(list_transform(generate_series(1, len(cs) - 1),
            |      j -> cs[j] || ' ' || cs[j+1])) AS pair
            |  FROM (SELECT wf, string_split(seq, ' ') AS cs FROM w${i - 1})
            |  WHERE len(cs) >= 2) GROUP BY pair),
-           |b$i AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p$i
+           |b$i AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, n FROM p$i
            |  ORDER BY n DESC, pair LIMIT 1),
-           |w$i AS (SELECT w, wf,
+           |w$i AS MATERIALIZED (SELECT w, wf,
            |    replace(seq, (SELECT pair FROM b$i), (SELECT merged FROM b$i)) AS seq
            |  FROM w${i - 1})""".stripMargin
-      s"""WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
+      s"""WITH wd AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM (
          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
-         |w0 AS (SELECT w, wf, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq FROM wd),
+         |w0 AS MATERIALIZED (SELECT w, wf, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq FROM wd),
          |${(1 to 8).map(round).mkString(",\n")}
          |SELECT * FROM (
          |  ${(1 to 8).map(i =>

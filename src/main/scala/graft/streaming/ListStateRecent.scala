@@ -84,6 +84,23 @@ object ListStateRecent {
       .as[Long].head()
     ev.filter(col("event_id") <= cut).coalesce(1).write.parquet(s"$in/chunk0")
     ev.filter(col("event_id") > cut).coalesce(1).write.parquet(s"$in/chunk1")
+    // ordered-log pin (r13, VERDICT r12 item 4 / ADVICE r12): the file
+    // source triggers files oldest-mtime-first, and ListState is the one
+    // state primitive whose result is ORDER-dependent — so the chunk
+    // order must not rest on "chunk0 happened to be written seconds
+    // before chunk1". Stamp strictly increasing mtimes (60 s apart — far
+    // beyond any filesystem's timestamp granularity) on every file of
+    // each staged chunk, making batch 0 = low event_id range structural.
+    def pinMtime(dir: String, t: Long): Unit = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.forEach { f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(t))
+      } finally s.close()
+    }
+    val now = System.currentTimeMillis()
+    pinMtime(s"$in/chunk0", now - 120000L)
+    pinMtime(s"$in/chunk1", now - 60000L)
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",
@@ -114,8 +131,9 @@ object ListStateRecent {
       }
     }
     // chunk order: the file source triggers files in modification-time
-    // order and chunk0 is written (seconds) before chunk1, so batch 0
-    // is the low event_id range — the ordered-log arrival the ring
+    // order and the staged chunks carry EXPLICITLY pinned, strictly
+    // increasing mtimes (see pinMtime above), so batch 0 is the low
+    // event_id range by construction — the ordered-log arrival the ring
     // semantics need; the spec asserts the end state against a hand
     // truth independent of this listing detail
     spark.read.parquet(out)

@@ -83,6 +83,35 @@ class GuardsSpec extends SparkSpec {
     assert(got.exceptAll(raw).isEmpty && raw.exceptAll(got).isEmpty)
   }
 
+  test("the r13 guards (q173 den, q174, q175, q191, q140/q158) never fire on the fixture") {
+    // in-bounds transparency for the round-13 checkedMul sites: each
+    // guarded query must run to completion (a firing guard throws) and
+    // the cheapest site must match its raw pre-guard formulation
+    // bit-for-bit; the full value check is the oracle gate's job
+    for (q <- Seq("q173_brand_affinity", "q174_gini_concentration",
+        "q175_cusum_changepoint", "q191_seasonal_baseline",
+        "q140_pmi_collocations", "q158_related_terms"))
+      assert(graft.SparkEntry.queries(q)(spark, sf0001).count() > 0, q)
+    val got = graft.SparkEntry.queries("q191_seasonal_baseline")(spark, sf0001)
+    val daily = graft.Tables.events(spark, sf0001)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", expr("day % 7"))
+    val base = daily.groupBy("dow")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    val dev = daily.join(broadcast(base), "dow")
+      .withColumn("dev_scaled", col("n") * col("c") - col("sc"))
+    val worst = dev.groupBy("dow")
+      .agg(max(abs(col("dev_scaled"))).as("max_abs_dev"))
+    val raw = dev.join(broadcast(worst), "dow")
+      .select(col("day"), col("dow"), col("c"),
+        expr("sc div n").as("dow_mean_floor"), col("dev_scaled"),
+        when(abs(col("dev_scaled")) === col("max_abs_dev"), 1L)
+          .otherwise(0L).as("is_worst"))
+      .orderBy("day")
+    assert(got.exceptAll(raw).isEmpty && raw.exceptAll(got).isEmpty)
+  }
+
   // SparkException vs AnalysisException wrapping differs by codegen
   // path; rootMessage above walks causes so the assertions hold either
   // way. Keep a type probe so a future Spark that stops throwing
