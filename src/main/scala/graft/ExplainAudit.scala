@@ -53,7 +53,13 @@ object ExplainAudit {
         // joins + broadcast V, int8 broadcast scales/slice, hash-keyed
         // source-overlap join
         "q210_bigram_perplexity", "q211_int8_quant_recall",
-        "q214_source_overlap")
+        "q214_source_overlap",
+        // round-13 additions: broadcast decile cuts, bounded Zipf head
+        // heap, join-free fertility agg, broadcast Markov model + eval,
+        // per-shard curriculum window, integer RRF fusion
+        "q217_score_calibration", "q218_zipf_slope",
+        "q219_subword_fertility", "q220_cohens_kappa",
+        "q221_curriculum_plan", "q223_markov_eval", "q224_rrf_fusion")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

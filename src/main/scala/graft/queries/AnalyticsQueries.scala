@@ -1535,12 +1535,95 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("k")).cast("long").as("key_checksum"))
         .orderBy("diff_class")
+    },
+
+    // MARKOV NEXT-EVENT EVAL (q223, r13) — the OFFLINE EVAL face of
+    // q143's transition matrix (q143 trains the model; nothing before
+    // this measured whether it predicts): users split by parity (the
+    // q146/q167 held-out rule — never random), the train half's argmax
+    // next-event per source type (tie-break n DESC, dst ASC — the q164
+    // rule) scored against the test half's actual transitions, beside
+    // the GLOBAL-majority baseline every sequence-model eval must
+    // report (a model that can't beat "always predict the most common
+    // event" has learned nothing). Shapes: transitions via the q143
+    // keyed lag window per half; both models are |types|-row argmaxes
+    // broadcast onto the test pairs; accuracies in exact ppm. At
+    // 100 TB: two windowed passes + two tiny broadcasts — the eval
+    // costs what q143 costs.
+    "q223_markov_eval" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      def pairs(train: Boolean) = Tables.events(s, d)
+        .filter(if (train) col("user_id") % 2 === 0 else col("user_id") % 2 =!= 0)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("src_type"), col("next_type"))
+      val counts = pairs(train = true)
+        .groupBy("src_type", "next_type").agg(count(lit(1)).as("n"))
+      val rankW = Window.partitionBy("src_type")
+        .orderBy(col("n").desc, col("next_type").asc)
+      val model = counts.withColumn("r", row_number().over(rankW))
+        .filter(col("r") === 1)
+        .select(col("src_type"), col("next_type").as("predicted"))
+      val baseline = counts.groupBy("next_type")
+        .agg(sum(col("n")).as("n"))
+        .orderBy(col("n").desc, col("next_type").asc).limit(1)
+        .select(col("next_type").as("baseline_predicted"))
+      pairs(train = false)
+        .join(broadcast(model), "src_type")
+        .crossJoin(broadcast(baseline))
+        .groupBy("src_type", "predicted", "baseline_predicted")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(when(col("next_type") === col("baseline_predicted"), 1L)
+            .otherwise(0L)).as("n_baseline"))
+        .select(col("src_type"), col("predicted"), col("n_test"),
+          col("n_correct"), expr("n_correct * 1000000 div n_test").as("acc_ppm"),
+          col("baseline_predicted"), col("n_baseline"),
+          expr("n_baseline * 1000000 div n_test").as("baseline_acc_ppm"))
+        .orderBy("src_type")
     }
   )
 
   val oracles: Map[String, String] = Map(
     "q53_above_type_avg" -> AboveTypeAvgSql,
     "q131_grouping_sets" -> GroupingSetsSql,
+    // q223: the identical split, lag pairs, argmax tie-breaks, and ppm
+    "q223_markov_eval" ->
+      """WITH tr AS (SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS next_type
+        |  FROM events WHERE user_id % 2 = 0),
+        |trp AS (SELECT * FROM tr WHERE next_type IS NOT NULL),
+        |cnt AS (SELECT src_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM trp GROUP BY src_type, next_type),
+        |model AS (SELECT src_type, next_type AS predicted FROM (
+        |    SELECT src_type, next_type,
+        |      row_number() OVER (PARTITION BY src_type
+        |        ORDER BY n DESC, next_type ASC) AS r
+        |    FROM cnt) WHERE r = 1),
+        |base AS (SELECT next_type AS baseline_predicted FROM (
+        |    SELECT next_type, sum(n) AS n FROM cnt GROUP BY next_type
+        |    ORDER BY n DESC, next_type ASC LIMIT 1)),
+        |te AS (SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS next_type
+        |  FROM events WHERE user_id % 2 <> 0),
+        |tep AS (SELECT * FROM te WHERE next_type IS NOT NULL)
+        |SELECT t.src_type, m.predicted, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(count(*) FILTER (t.next_type = m.predicted) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(CAST(count(*) FILTER (t.next_type = m.predicted) AS BIGINT)
+        |    * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+        |  b.baseline_predicted,
+        |  CAST(count(*) FILTER (t.next_type = b.baseline_predicted) AS BIGINT)
+        |    AS n_baseline,
+        |  CAST(CAST(count(*) FILTER (t.next_type = b.baseline_predicted)
+        |    AS BIGINT) * 1000000 // count(*) AS BIGINT) AS baseline_acc_ppm
+        |FROM tep t JOIN model m USING (src_type), base b
+        |GROUP BY t.src_type, m.predicted, b.baseline_predicted
+        |ORDER BY t.src_type""".stripMargin,
     // q130: the FULL-log replay — the merge of snapshot+delta must
     // equal it (max_by deterministic: event_id is unique)
     "q130_cdc_merge" ->

@@ -819,6 +819,115 @@ object CurationQueries {
         .orderBy("tier", "kept")
     },
 
+    // SCORE CALIBRATION / RELIABILITY CURVE (q217, r13) — q202 asks
+    // whether the classifier and the LM tiering agree in aggregate;
+    // this asks the finer eval question a filter threshold actually
+    // needs: does a HIGHER classifier margin mean a HIGHER probability
+    // of being a good document? Margin deciles (9 exact-percentile cuts
+    // from one agg, broadcast — the q127 tier-cut shape), reference
+    // label = LM tier != 'tail' (the shared lmTiers chain, the q202
+    // no-drift rule), per-bin good-share in exact ppm. A calibrated
+    // signal shows good_ppm rising with the bin id; the flat spots are
+    // where a threshold buys nothing. Shapes: margin pass is q98's
+    // partial-agg'd scorer; the bin assignment is a map-only broadcast
+    // compare; the report is ≤ 10 rows. The margin is ONE IEEE division
+    // of exact integers and the cuts are percentile ≡ quantile_cont
+    // (the q46/q176 rule) — bin edges bit-equal across engines. On THIS
+    // fixture the curve slopes the WRONG way (good_ppm falls 800k→520k
+    // across bins): the hash classifier is mildly ANTI-correlated with
+    // the LM tiers on synthetic soup — the honest readout (q202 already
+    // shows the signals near-independent; q220 quantifies κ < 0), and
+    // precisely what a calibration eval exists to catch before anyone
+    // trusts a margin threshold.
+    "q217_score_calibration" -> { (s, d) =>
+      val scored = graft.Caches.scopedPersist(
+        graft.operators.TextCuration
+          .qualityScores(Tables.documents(s, d))
+          .select(col("doc_id"),
+            (col("score").cast("double") / col("n_tokens").cast("double"))
+              .as("margin")))
+      val cuts = scored.agg(expr(
+        "percentile(margin, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("cuts"))
+      val good = lmTiers(s, d).select(col("doc_id"),
+        when(col("tier") =!= "tail", 1L).otherwise(0L).as("good"))
+      scored.crossJoin(broadcast(cuts)).join(good, "doc_id")
+        .select(
+          size(filter(col("cuts"), c => col("margin") > c)).cast("long")
+            .as("bin"),
+          col("good"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("good")).as("n_good"))
+        .select(col("bin"), col("n"), col("n_good"),
+          expr("n_good * 1000000 div n").as("good_ppm"))
+        .orderBy("bin")
+    },
+
+    // COHEN'S KAPPA (q220, r13) — q202's cross-tab says how OFTEN the
+    // two quality signals agree; kappa says whether that agreement
+    // beats CHANCE (two signals that both keep 95% of docs agree 90%+
+    // of the time by luck alone — raw agreement flatters). Binarized:
+    // A = classifier keep (score > 0), B = LM tier != 'tail'. One
+    // doc-keyed join → four conditional counts in one 1-row agg, then
+    // κ = (N·agree − ΣaᵢbᵢI) / (N² − Σaᵢbᵢ) from the marginals — exact
+    // BIGINT products under Guards.checkedMul (headroom N ≲ 3e9; past
+    // that escalate to DECIMAL(38,0), the q161 rule), the final κ ONE
+    // IEEE division (raw double, never a rounded computed double — the
+    // q149 rule; κ can be negative, and integer div-toward-zero vs
+    // floor semantics diverge on negatives across engines, so the
+    // double form is the cross-engine-safe one).
+    "q220_cohens_kappa" -> { (s, d) =>
+      import graft.functions.Guards.checkedMul
+      val a = graft.operators.TextCuration
+        .qualityScores(Tables.documents(s, d))
+        .select(col("doc_id"),
+          when(col("score") > 0, 1L).otherwise(0L).as("a"))
+      val b = lmTiers(s, d).select(col("doc_id"),
+        when(col("tier") =!= "tail", 1L).otherwise(0L).as("b"))
+      a.join(b, "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"),
+          sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n00"))
+        .withColumn("chance", checkedMul(
+          col("n11") + col("n10"), col("n11") + col("n01"),
+          "q220 kappa a1*b1") + checkedMul(
+          col("n01") + col("n00"), col("n10") + col("n00"),
+          "q220 kappa a0*b0"))
+        .select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("(n11 + n00) * 1000000 div n_docs").as("agree_ppm"),
+          ((checkedMul(col("n_docs"), col("n11") + col("n00"),
+            "q220 kappa N*agree") - col("chance")).cast("double") /
+            (checkedMul(col("n_docs"), col("n_docs"), "q220 kappa N*N")
+              - col("chance")).cast("double")).as("kappa"))
+    },
+
+    // CURRICULUM ORDERING PLAN (q221, r13) — the export face of
+    // curriculum learning: each of the 8 loader shards reads its docs
+    // easy→hard (LM tier head → middle → tail — the shared lmTiers
+    // chain), ties broken by the q99 reproducible md5 shuffle key so
+    // the within-phase order is a deterministic shuffle, never arrival
+    // order. The position window is PER SHARD (partition count = loader
+    // workers, thousands at 100 TB — each window sorts one shard's
+    // slice, exactly the physical sort the shard write needs anyway,
+    // the q99 argument); phase is a broadcast-free map-side CASE.
+    "q221_curriculum_plan" -> { (s, d) =>
+      val key = graft.operators.TextCuration.shuffleKey(col("doc_id"))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("phase"), col("shuffle_key"), col("doc_id"))
+      lmTiers(s, d)
+        .select(col("doc_id"), col("tier"),
+          when(col("tier") === "head", 0L)
+            .when(col("tier") === "middle", 1L).otherwise(2L).as("phase"))
+        .withColumn("shuffle_key", key)
+        .withColumn("shard", col("shuffle_key") % 8)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "tier", "phase", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+
     // Per-domain document cap — the RefinedWeb/C4 anti-spam pass: no
     // single domain may contribute more than DomainCap docs, selection
     // within a domain by a reproducible md5 priority (not arrival order,
@@ -1183,6 +1292,62 @@ object CurationQueries {
          |SELECT tier, kept, n,
          |  CAST(n * 1000000 // n_docs AS BIGINT) AS share_ppm
          |FROM cells, nd ORDER BY tier, kept""".stripMargin,
+    // q217: both shared chains again; cuts via quantile_cont (≡ Spark
+    // percentile), bin = cuts strictly below the margin
+    "q217_score_calibration" ->
+      s"""WITH $LmTierCtes,
+         |$ClassifierCtes,
+         |sm AS (SELECT doc_id,
+         |    CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS margin
+         |  FROM w GROUP BY doc_id),
+         |cu AS (SELECT quantile_cont(margin,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts FROM sm),
+         |b AS (SELECT s.doc_id,
+         |    CAST(len(list_filter(cu.cuts, c -> s.margin > c)) AS BIGINT) AS bin
+         |  FROM sm s, cu),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN tier <> 'tail' THEN 1 ELSE 0 END AS good FROM tiers)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(good) AS BIGINT) AS n_good,
+         |  CAST(CAST(sum(good) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS good_ppm
+         |FROM b JOIN g USING (doc_id) GROUP BY bin ORDER BY bin""".stripMargin,
+    // q220: the identical integer marginal products, κ as the one
+    // double division over them
+    "q220_cohens_kappa" ->
+      s"""WITH $LmTierCtes,
+         |$ClassifierCtes,
+         |ab AS (SELECT t2.doc_id,
+         |    CASE WHEN c.score > 0 THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN t2.tier <> 'tail' THEN 1 ELSE 0 END AS b
+         |  FROM tiers t2 JOIN (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+         |    FROM w GROUP BY doc_id) c USING (doc_id)),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(*) FILTER (a = 1 AND b = 1) AS BIGINT) AS n11,
+         |    CAST(count(*) FILTER (a = 1 AND b = 0) AS BIGINT) AS n10,
+         |    CAST(count(*) FILTER (a = 0 AND b = 1) AS BIGINT) AS n01,
+         |    CAST(count(*) FILTER (a = 0 AND b = 0) AS BIGINT) AS n00
+         |  FROM ab)
+         |SELECT n_docs, n11, n10, n01, n00,
+         |  CAST((n11 + n00) * 1000000 // n_docs AS BIGINT) AS agree_ppm,
+         |  CAST(n_docs * (n11 + n00)
+         |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+         |    / CAST(n_docs * n_docs
+         |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+         |    AS kappa
+         |FROM m""".stripMargin,
+    // q221: the shared tier chain + the q99 md5 key, rank per shard
+    "q221_curriculum_plan" ->
+      s"""WITH $LmTierCtes,
+         |k AS (SELECT doc_id, tier,
+         |    CAST(CASE WHEN tier = 'head' THEN 0
+         |         WHEN tier = 'middle' THEN 1 ELSE 2 END AS BIGINT) AS phase,
+         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS shuffle_key
+         |  FROM tiers)
+         |SELECT doc_id, tier, phase, shuffle_key % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+         |    ORDER BY phase, shuffle_key, doc_id) AS BIGINT) AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin,
     "q99_shard_export" ->
       """WITH k AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))

@@ -58,6 +58,74 @@ object PipelineQueries {
 
   private def tokensCol: Column = TextOps.tokens(col("text"))
 
+  /** q111/q219's shared BPE encode of one word column: spaced symbols,
+    * then the fixed merge chain (plain `replace`, non-overlapping
+    * left-to-right in both engines). Factored so the tokenizer apply
+    * (q111) and the fertility eval (q219) can never drift. */
+  private def bpeEncCol(w: Column): Column =
+    BpeMerges.foldLeft(trim(regexp_replace(w, "(.)", "$1 "))) {
+      case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+    }
+
+  /** The oracle mirror of [[bpeEncCol]] over a SQL fragment naming the
+    * word (DuckDB's g-flag regexp_replace is the per-char spacing). */
+  private def bpeEncSql(w: String): String =
+    BpeMerges.foldLeft(s"""trim(regexp_replace($w, '(.)', '\\1 ', 'g'))""") {
+      case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+    }
+
+  /** q211/q224's shared int8-quantized ranking over the pinned 32-query
+    * audit slice: per-dim symmetric int8 codes against corpus max-|v|
+    * scales, INTEGER dots/norms (exact in BIGINT), the one cosine
+    * division floor-quantized to micro-units BEFORE ranking (the
+    * q149/q166 no-raw-double-rank-key rule). Returns
+    * (query_id, neighbor_id, rank ≤ 5). Shared so the recall eval and
+    * the RRF fusion can never drift. */
+  private[queries] def int8RankedTop5(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Caches.scopedPersist(
+      Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    val scales = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(max(abs(col("x"))).as("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)")
+        .as("sc"))
+    val qn = graft.Caches.scopedPersist(
+      e.crossJoin(broadcast(scales))
+        .select(col("vec_id"),
+          expr("""zip_with(v, sc, (x, s) -> CASE WHEN s = 0.0D THEN 0L
+                  ELSE CAST(floor(127.0D * x / s) AS BIGINT) END)""").as("q"))
+        .select(col("vec_id"), col("q"),
+          expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2")))
+    val qq = qn.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), col("q").as("qv2"),
+        col("n2").as("qn2"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    qn.crossJoin(broadcast(qq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(lit(1000000.0d)
+            * expr("aggregate(zip_with(q, qv2, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+              .cast("double")
+            / (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .cast("long").as("qcos"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** q218's shared OLS formula text over the exact bit-quantized sums —
+    * spliced into BOTH engines (the q138/q224 rule) so slope and r² are
+    * bit-equal by construction. Products stay tiny BIGINTs (n ≤ 1000,
+    * coords ≤ 63 bits' WIDTH, i.e. values ≤ 63). */
+  private[queries] val ZipfFitExprs: Seq[String] = Seq(
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)" +
+      " AS zipf_slope",
+    "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE) / " +
+      "(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))" +
+      " AS r2")
+
   /** q140's PMI-scored frequent bigrams, shared with q158's per-term
     * top-3 so the collocation scorer and its faces can never drift. */
   private def pmiScoredBigrams(s: SparkSession, d: String): DataFrame = {
@@ -335,6 +403,31 @@ object PipelineQueries {
        |           FROM cand)
        |SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q211/q224's shared int8-rank oracle chain — the mirror of
+    * [[int8RankedTop5]], i-prefixed (iv/isc/iscl/iqn/iqn2/iqq/iap) so it
+    * composes with [[IvfCte]]'s namespace in q224 without clashing on
+    * `v`/`n`. Ends at `iap(query_id, neighbor_id, rank ≤ 5)`. */
+  private[queries] val Int8RankCte: String =
+    """iv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |isc AS (SELECT g.i AS dim, max(abs(v[g.i])) AS s
+      |       FROM iv, (SELECT unnest(generate_series(1, 64)) AS i) g
+      |       GROUP BY g.i),
+      |iscl AS (SELECT list(s ORDER BY dim) AS sc FROM isc),
+      |iqn AS (SELECT vec_id,
+      |         list_transform(generate_series(1, 64),
+      |           i -> CASE WHEN sc[i] = 0.0 THEN 0
+      |                ELSE CAST(floor(127.0 * v[i] / sc[i]) AS BIGINT) END) AS q
+      |       FROM iv, iscl),
+      |iqn2 AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM iqn),
+      |iqq AS (SELECT vec_id AS query_id, q AS qv2, n2 AS qn2 FROM iqn2 WHERE vec_id < 32),
+      |iap AS (SELECT query_id, neighbor_id, CAST(r AS BIGINT) AS rank FROM (
+      |    SELECT iqq.query_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY iqq.query_id ORDER BY
+      |        CAST(floor(1000000.0 * CAST(list_dot_product(b.q, iqq.qv2) AS DOUBLE)
+      |          / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(iqq.qn2 AS DOUBLE)))) AS BIGINT) DESC,
+      |        b.vec_id) AS r
+      |    FROM iqn2 b, iqq WHERE b.vec_id <> iqq.query_id) WHERE r <= 5)""".stripMargin
 
   /** PQ replay appended to [[IvfCte]]'s namespace (pc/pa/pm prefixes so
     * nothing clashes with the coarse chain): per-subspace view of the
@@ -704,13 +797,9 @@ object PipelineQueries {
     // doc: the byte-exact encoded text, symbol count, and the
     // compression ratio vs raw characters.
     "q111_bpe_apply" -> { (s, d) =>
-      val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
-      val enc = BpeMerges.foldLeft(spaced) { case (acc, (from, to)) =>
-        call_function("replace", acc, lit(from), lit(to))
-      }
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(tokensCol).as(Seq("idx", "w")))
-        .select(col("doc_id"), col("idx"), enc.as("e"))
+        .select(col("doc_id"), col("idx"), bpeEncCol(col("w")).as("e"))
       toks.groupBy("doc_id")
         .agg(concat_ws(" ¦ ",
           transform(array_sort(collect_list(struct(col("idx"), col("e")))),
@@ -726,6 +815,70 @@ object PipelineQueries {
           col("n_symbols").cast("double") /
             (col("n_chars") - col("n_words") + 1).cast("double"))
         .orderBy("doc_id")
+    },
+
+    // ZIPF RANK-FREQUENCY SLOPE (q218, r13) — the corpus-health number
+    // beside q163's vocabulary-growth curve: natural text follows
+    // freq ∝ rank^s with s ≈ −1; a slope far off −1 (or a poor fit)
+    // flags boilerplate floods, template spam, or tokenizer damage
+    // before any training run pays for them. Fit over the TOP-1000
+    // head ranks (standard practice — the tail is where Zipf breaks by
+    // construction), selected by a bounded TakeOrdered heap, never a
+    // vocabulary-wide sort; the OLS runs in log-log space with BOTH
+    // coordinates quantized to integer log₂ bits (length(bin(x))−1 —
+    // the q127/q201 no-libm rule: the base cancels in the slope up to
+    // the quantization, and every Σ is an exact BIGINT), slope and r²
+    // from ONE formula text over the exact sums (the q138 rule). At
+    // 100 TB: one token-count pass (partial-agg'd), a 1000-row heap,
+    // a 1-row solve. On THIS fixture the eval does its job by failing
+    // the corpus: the synthetic soup has a 31-token vocabulary (smaller
+    // than the head cap) with near-uniform frequencies — slope ≈ −0.12,
+    // r² ≈ 0.02, i.e. "non-Zipfian template spam", which is exactly the
+    // verdict a curation gate should return here (the q154/q202
+    // honest-fixture rule; ZipfFertilitySpec plants a true power law
+    // and sees slope ≈ −1 to prove the instrument).
+    "q218_zipf_slope" -> { (s, d) =>
+      val head = Tables.documents(s, d)
+        .select(explode(tokensCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w").asc)
+        .limit(1000)
+      val ranked = head
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("f").desc, col("w").asc)).cast("long"))
+        .select((length(bin(col("r"))) - 1).cast("long").as("x"),
+          (length(bin(col("f"))) - 1).cast("long").as("y"))
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      m.selectExpr(Seq("n", "sx", "sy", "sxx", "syy", "sxy") ++
+        ZipfFitExprs: _*)
+    },
+
+    // SUBWORD FERTILITY (q219, r13) — the tokenizer-quality eval beside
+    // q111's apply face: average BPE pieces PER WORD by (source, lang)
+    // stratum. Fertility near 1 means the merge table fits the stratum;
+    // a stratum far above the corpus mean is the one paying extra
+    // sequence length for every training token — the number that
+    // decides whether a tokenizer is retrained before a run, reported
+    // per stratum exactly like the q162 mixing plan consumes it.
+    // Shapes: explode words → the SHARED bpeEncCol merge chain (the
+    // q111 no-drift rule) → pieces = one split-size per word → partial-
+    // agg'd (source, lang) sums; exact-ppm fertility. No doc-keyed
+    // reassembly shuffle — unlike q111 this never rebuilds texts, so
+    // the whole query is explode → map → one keyed agg at any scale.
+    "q219_subword_fertility" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), explode(tokensCol).as("w"))
+        .select(col("source"), col("lang"),
+          size(split(bpeEncCol(col("w")), " ")).cast("long").as("pieces"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"))
+        .select(col("source"), col("lang"), col("n_words"), col("n_pieces"),
+          expr("n_pieces * 1000000 div n_words").as("fertility_ppm"))
+        .orderBy("source", "lang")
     },
 
     // Distributed GRAM MATRIX (G = Σ x·xᵀ) — the linear-algebra
@@ -1080,47 +1233,51 @@ object PipelineQueries {
     // back; quantization is a map against that 64-element array; the
     // eval is audit-slice × corpus (the q32/q132 rule), never all-pairs.
     "q211_int8_quant_recall" -> { (s, d) =>
-      val e = graft.Caches.scopedPersist(
-        Tables.embeddings(s, d).select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v")))
-      val scales = e.select(posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(max(abs(col("x"))).as("s"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, s))), p -> p.s)")
-          .as("sc"))
-      val qn = graft.Caches.scopedPersist(
-        e.crossJoin(broadcast(scales))
-          .select(col("vec_id"),
-            expr("""zip_with(v, sc, (x, s) -> CASE WHEN s = 0.0D THEN 0L
-                    ELSE CAST(floor(127.0D * x / s) AS BIGINT) END)""").as("q"))
-          .select(col("vec_id"), col("q"),
-            expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2")))
-      val qq = qn.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("query_id"), col("q").as("qv2"),
-          col("n2").as("qn2"))
-      val rankW = Window.partitionBy("query_id")
-        .orderBy(col("qcos").desc, col("neighbor_id").asc)
-      val approx = qn.crossJoin(broadcast(qq))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          floor(lit(1000000.0d)
-              * expr("aggregate(zip_with(q, qv2, (x, y) -> x * y), 0L, (a, x) -> a + x)")
-                .cast("double")
-              / (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
-            .cast("long").as("qcos"))
-        .withColumn("r", row_number().over(rankW))
-        .filter(col("r") <= 5)
+      val approx = int8RankedTop5(s, d)
         .select(col("query_id"), col("neighbor_id"))
       val em = Tables.embeddings(s, d).select("vec_id", "embedding")
       val exact = Ann.bruteForceKnn(em, em.filter(col("vec_id") < 32), 5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      qq.select(col("query_id"))
+      em.filter(col("vec_id") < 32).select(col("vec_id").as("query_id"))
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0).as("recall"))
         .orderBy("query_id")
+    },
+
+    // RECIPROCAL-RANK-FUSION RETRIEVAL (q224, r13) — the rank-FUSION
+    // face of hybrid search (q128 is pipeline rerank: one system feeds
+    // the other; RRF treats systems as PEERS and sums 1/(60+rank) over
+    // their top lists — the standard ensemble in RAG stacks because it
+    // needs no score calibration across systems). Fused here: the IVF
+    // arm (q33's chain, shared index) and the int8 quantized arm
+    // (q211's SHARED int8RankedTop5 — the no-drift rule). Arithmetic
+    // is INTEGER end-to-end: ranks are ≤ 5, so the contribution table
+    // ⌊10⁶/(60+r)⌋ = {16393, 16129, 15873, 15625, 15384} is exact
+    // BIGINT floor division in both engines (the q215 literal-weight
+    // idea as a computed integer — no float score is ever compared).
+    // Scale: two audit-slice rankings + a ≤10-row-per-query fusion agg
+    // + a bounded window — the fusion layer costs nothing beyond its
+    // input rankings.
+    "q224_rrf_fusion" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 32)
+      val ivf = Ann.ivfKnnAssigned(graft.similarity.IvfIndex.assignments(s, d),
+          queries, graft.similarity.IvfIndex.codebook(s, d), k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+      val fused = ivf.unionByName(int8RankedTop5(s, d))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum(expr("1000000 div (60 + rank)")).as("rrf"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("neighbor_id").asc)
+      fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+        .filter(col("fused_rank") <= 3)
+        .select("query_id", "neighbor_id", "rrf", "fused_rank")
+        .orderBy("query_id", "fused_rank")
     },
 
     // RANKED-RETRIEVAL QUALITY: MRR + NDCG@5 (q215) — the graded
@@ -2786,10 +2943,7 @@ object PipelineQueries {
     // (non-regex) replace, so left-to-right non-overlapping semantics
     // agree byte-for-byte
     "q111_bpe_apply" -> {
-      val encSql = BpeMerges.foldLeft(
-        """trim(regexp_replace(w, '(.)', '\1 ', 'g'))""") {
-        case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
-      }
+      val encSql = bpeEncSql("w")
       s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents),
          |e AS (SELECT doc_id, n_chars, len(tk) AS n_words,
          |        array_to_string(list_transform(tk, w -> $encSql), ' ¦ ') AS enc_text
@@ -2801,6 +2955,40 @@ object PipelineQueries {
          |    / CAST(n_chars - n_words + 1 AS DOUBLE) AS compression
          |FROM e ORDER BY doc_id""".stripMargin
     },
+    // q218: the identical head selection, bit quantization, and the
+    // shared OLS formula text
+    "q218_zipf_slope" -> {
+      val fit = ZipfFitExprs.mkString(",\n  ")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |c AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM t GROUP BY w),
+         |h AS (SELECT w, f FROM c ORDER BY f DESC, w LIMIT 1000),
+         |rk AS (SELECT
+         |    CAST(length(bin(row_number() OVER (ORDER BY f DESC, w))) - 1
+         |      AS BIGINT) AS x,
+         |    CAST(length(bin(f)) - 1 AS BIGINT) AS y
+         |  FROM h),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM rk)
+         |SELECT n, sx, sy, sxx, syy, sxy,
+         |  $fit
+         |FROM m""".stripMargin
+    },
+    // q219: the SAME merge-chain text per word (bpeEncSql), stratum agg
+    "q219_subword_fertility" ->
+      s"""WITH t AS (SELECT source, lang,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |p AS (SELECT source, lang,
+         |    CAST(len(string_split(${bpeEncSql("w")}, ' ')) AS BIGINT) AS pieces
+         |  FROM t)
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(pieces) AS BIGINT) AS n_pieces,
+         |  CAST(CAST(sum(pieces) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM p GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // exact heavy hitters — the MG screen is a correctness no-op (a
     // guaranteed candidate superset), so the oracle is the plain
     // threshold over exact counts
@@ -2954,39 +3142,50 @@ object PipelineQueries {
     // integer dots/norms, micro-unit-floored cosine rank key, and the
     // q132 exact arm — identical op sequence, bit-equal doubles
     "q211_int8_quant_recall" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sc AS (SELECT g.i AS dim, max(abs(v[g.i])) AS s
-        |       FROM v, (SELECT unnest(generate_series(1, 64)) AS i) g
-        |       GROUP BY g.i),
-        |scl AS (SELECT list(s ORDER BY dim) AS sc FROM sc),
-        |qn AS (SELECT vec_id,
-        |         list_transform(generate_series(1, 64),
-        |           i -> CASE WHEN sc[i] = 0.0 THEN 0
-        |                ELSE CAST(floor(127.0 * v[i] / sc[i]) AS BIGINT) END) AS q
-        |       FROM v, scl),
-        |qn2 AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2 FROM qn),
-        |qq AS (SELECT vec_id AS query_id, q AS qv2, n2 AS qn2 FROM qn2 WHERE vec_id < 32),
-        |ap AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT qq.query_id, b.vec_id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY qq.query_id ORDER BY
-        |        CAST(floor(1000000.0 * CAST(list_dot_product(b.q, qq.qv2) AS DOUBLE)
-        |          / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(qq.qn2 AS DOUBLE)))) AS BIGINT) DESC,
-        |        b.vec_id) AS r
-        |    FROM qn2 b, qq WHERE b.vec_id <> qq.query_id) WHERE r <= 5),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
-        |q2 AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 32),
-        |ex AS (SELECT query_id, neighbor_id FROM (
-        |    SELECT q2.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY q2.vec_id
-        |        ORDER BY round(list_dot_product(q2.v, b.v) / (q2.nrm * b.nrm), 4) DESC,
-        |                 b.vec_id) AS r
-        |    FROM q2 JOIN n b ON b.vec_id <> q2.vec_id) WHERE r <= 5),
-        |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
-        |      FROM ex e JOIN ap a USING (query_id, neighbor_id)
-        |      GROUP BY e.query_id)
-        |SELECT qq.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
-        |FROM qq LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
+      s"""WITH $Int8RankCte,
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM iv),
+         |q2 AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 32),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q2.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q2.vec_id
+         |        ORDER BY round(list_dot_product(q2.v, b.v) / (q2.nrm * b.nrm), 4) DESC,
+         |                 b.vec_id) AS r
+         |    FROM q2 JOIN n b ON b.vec_id <> q2.vec_id) WHERE r <= 5),
+         |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |      FROM ex e JOIN iap a USING (query_id, neighbor_id)
+         |      GROUP BY e.query_id)
+         |SELECT iqq.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM iqq LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
+    // q224: IvfCte's coarse chain + the SHARED int8 chain + the exact
+    // integer 1e6 // (60 + rank) fusion
+    "q224_rrf_fusion" ->
+      s"""$IvfCte,
+         |$Int8RankCte,
+         |q AS (SELECT vec_id AS query_id, nv AS qv, nn AS qn FROM n WHERE vec_id < 32),
+         |pr AS (SELECT query_id, qv, qn, centroid_id AS cell FROM (
+         |    SELECT q.query_id, q.qv, q.qn, c2.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.qv, c2.cv) / (q.qn * c2.cn) DESC, c2.centroid_id) AS r
+         |    FROM q, c2) WHERE r <= 4),
+         |cand AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |           round(list_dot_product(pr.qv, a.nv) / (pr.qn * a.nn), 4) AS cos
+         |         FROM pr JOIN asg a USING (cell) WHERE a.vec_id <> pr.query_id),
+         |ivfr AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM cand) WHERE rank <= 5),
+         |fused AS (SELECT query_id, neighbor_id,
+         |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf
+         |  FROM (SELECT * FROM ivfr UNION ALL SELECT * FROM iap)
+         |  GROUP BY query_id, neighbor_id),
+         |top AS (SELECT query_id, neighbor_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS fused_rank
+         |  FROM fused)
+         |SELECT query_id, neighbor_id, rrf, fused_rank
+         |FROM top WHERE fused_rank <= 3
+         |ORDER BY query_id, fused_rank""".stripMargin,
     // q215: q132's two arms with the approx rank retained, the same
     // LITERAL DCG weights, exact BIGINT sums, integer divisions
     "q215_retrieval_ndcg" -> {

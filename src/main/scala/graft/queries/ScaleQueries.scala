@@ -44,6 +44,16 @@ object ScaleQueries {
         .orderBy("user_id", "purchase_id", "error_id")
     },
 
+    // LEFT OUTER stream-stream join (q222, r13): q71's interval join
+    // with the absent-match rows the inner form drops — a purchase with
+    // NO error in its window emits null-padded once the watermark
+    // proves the negative. See StreamStreamJoin.purchaseErrorLeftJoin
+    // for the finalization rule the oracle mirrors.
+    "q222_stream_stream_left_join" -> { (s, d) =>
+      graft.streaming.StreamStreamJoin.purchaseErrorLeftJoin(s, d)
+        .orderBy("user_id", "purchase_id", "error_id")
+    },
+
     // Bloom-screened incremental dedup: new docs of the ingest batch vs
     // the standing corpus. The bloom pre-screen is a correctness no-op
     // (see operators/BloomDedup.scala), so the oracle is the plain
@@ -302,6 +312,35 @@ object ScaleQueries {
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000
         |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
         |ORDER BY p.user_id, purchase_id, error_id""".stripMargin,
+    // q222: q71's matched pairs (horizon-free — inner results emit as
+    // they occur) UNION the null rows for FINALIZED unmatched purchases
+    // only (the q61/q65 rule): the closing watermark is the smaller
+    // stream maximum minus the 1 h delay (per-source watermarks take
+    // the min), and a purchase's negative is proven once that watermark
+    // passed p_ts + 6 h. NULLS FIRST matches Spark's asc default.
+    "q222_stream_stream_left_join" ->
+      """WITH wm AS (SELECT least(
+        |    max(epoch_us(ts)) FILTER (event_type = 'purchase'),
+        |    max(epoch_us(ts)) FILTER (event_type = 'error'))
+        |    - 3600000000 AS w FROM events),
+        |pairs AS (SELECT p.user_id, p.event_id AS purchase_id,
+        |    e.event_id AS error_id, epoch_us(e.ts) - epoch_us(p.ts) AS delta_us
+        |  FROM events p JOIN events e
+        |    ON p.user_id = e.user_id
+        |   AND epoch_us(e.ts) >= epoch_us(p.ts)
+        |   AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000
+        |  WHERE p.event_type = 'purchase' AND e.event_type = 'error'),
+        |nulls AS (SELECT p.user_id, p.event_id AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS error_id, CAST(NULL AS BIGINT) AS delta_us
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) + 21600000000 < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events e
+        |      WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |        AND epoch_us(e.ts) >= epoch_us(p.ts)
+        |        AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000))
+        |SELECT * FROM (SELECT * FROM pairs UNION ALL SELECT * FROM nulls)
+        |ORDER BY user_id, purchase_id, error_id NULLS FIRST""".stripMargin,
     "q72_bloom_incremental_dedup" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE d.doc_id % $IngestMod = 0

@@ -74,13 +74,46 @@ object StreamStreamJoin {
     EventStreams.drainToFiles(pairStreams(purchases, errors), "append")
   }
 
+  /** LEFT OUTER face of the same interval join (q222, r13) — the
+    * semantics inner join cannot express: purchases with NO error in
+    * their 6-hour window must still appear, null-padded. In a
+    * stream-stream join that null row can only emit once the engine
+    * KNOWS no match can arrive — i.e. when the watermark passes the end
+    * of the purchase's match window (p_ts + 6 h). Matched pairs emit
+    * immediately (same as q71); null rows emit in the final no-data
+    * micro-batch for every purchase whose window the closing watermark
+    * (max event ts − the 1 h delay) has passed. Purchases inside the
+    * last 7 h of the stream stay buffered forever — by DESIGN, not a
+    * bug: the stream cannot prove their negative yet. The oracle is
+    * therefore the batch left join RESTRICTED to finalized purchases
+    * for its null rows (the q61/q65 finalized-only rule); matched pairs
+    * are horizon-free.
+    *
+    * State shape is q71's: (user, 6 h bucket) equi-key, error side
+    * exploded under both candidate buckets (the right-side duplication
+    * cannot fabricate a left null row — null emission is keyed by the
+    * LEFT row's window alone). */
+  def purchaseErrorLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val purchases = EventStreams.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val errors = EventStreams.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+    EventStreams.drainToFiles(
+      pairStreams(purchases, errors, joinType = "left_outer"), "append")
+  }
+
   /** The join construction alone, over caller-supplied stream sides
     * (purchases: user_id/purchase_id/p_ts; errors: e_user_id/error_id/
     * e_ts) — the SAME code q71 runs, reusable by specs that need to feed
     * slice-controlled file sources to prove restart behavior
     * (StreamStreamRecoverySpec stops it mid-stream and restarts on the
     * checkpoint with new input on BOTH sides). */
-  def pairStreams(purchases0: DataFrame, errors0: DataFrame): DataFrame = {
+  def pairStreams(purchases0: DataFrame, errors0: DataFrame,
+                  joinType: String = "inner"): DataFrame = {
     val purchases = purchases0
       .withWatermark("p_ts", "1 hour")
       .withColumn("bkt", expr(s"unix_micros(p_ts) div $BucketUs"))
@@ -93,7 +126,8 @@ object StreamStreamJoin {
       col("user_id") === col("e_user_id") &&
         col("bkt") === col("e_bkt") &&
         col("e_ts") >= col("p_ts") &&
-        col("e_ts") <= col("p_ts") + expr("interval 6 hours"))
+        col("e_ts") <= col("p_ts") + expr("interval 6 hours"),
+      joinType)
       .select(col("user_id"), col("purchase_id"), col("error_id"),
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
   }

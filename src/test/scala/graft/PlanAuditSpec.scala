@@ -956,6 +956,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), "postings counts must map-side combine")
   }
 
+  test("q217: decile cuts broadcast onto a map-only bin assignment") {
+    val p = formatted("q217_score_calibration")
+    assert(p.contains("BroadcastExchange"),
+      "the 1-row cuts and the good-label join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q218: the head selection is a bounded TakeOrdered heap, never a vocabulary sort") {
+    val p = formatted("q218_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-1000 must run as a per-partition heap")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q219: fertility is explode -> map -> one partial-agg'd shuffle (no join, no window)") {
+    val p = formatted("q219_subword_fertility")
+    assert(p.contains("partial_count"), "stratum counts must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q220: the signal join is doc-keyed; the 2x2 collapses map-side") {
+    val p = formatted("q220_cohens_kappa")
+    assert(p.contains("partial_sum"), "cell counts must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q221: the curriculum window is per shard, after a map-only phase/key pass") {
+    val p = formatted("q221_curriculum_plan")
+    assert(p.contains("Window"), "per-shard position needs the window")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q223: both tiny models broadcast onto the test pairs; counts map-side combine") {
+    val p = formatted("q223_markov_eval")
+    assert(p.contains("BroadcastExchange"),
+      "the |types|-row model and 1-row baseline must broadcast")
+    assert(p.contains("partial_count"), "transition counts must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q224: the fusion layer adds no scan - rankings union and aggregate keyed") {
+    val p = formatted("q224_rrf_fusion")
+    assert(p.contains("partial_sum"), "rrf contributions must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
