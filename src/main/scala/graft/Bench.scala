@@ -313,6 +313,24 @@ object Bench {
         s"duplicate short query keys: ${entries.map(_._1).diff(entries.map(_._1).distinct)}")
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
+    // per-query {med,min,max} bands (VERDICT r13 item 5): the record used
+    // to carry one whole-run band, so a riser like r13's q205 (+38%)
+    // could not be machine-adjudicated as jitter vs regression — the
+    // per-query rep spread is exactly the missing denominator. Emitted as
+    // compact [med,min,max] arrays on the FULL line only (the tail-parsed
+    // compact line keeps its r10 size contract). A query with any failed
+    // rep reports med -1 (the crash rule above); its raw min/max stay
+    // visible for forensics.
+    def fmtBands(rs: Seq[(String, Seq[Double])]): String = {
+      val entries = rs.sortBy(_._1).map { case (k, ts) =>
+        val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+        val m = if (ts.exists(_ < 0)) -1.0 else median(ts)
+        short -> s"[${ms(m)},${ms(ts.min)},${ms(ts.max)}]"
+      }
+      require(entries.map(_._1).distinct.size == entries.size,
+        s"duplicate short query keys in bands: ${entries.map(_._1).diff(entries.map(_._1).distinct)}")
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }
     val ok = runs.filter(_._2.forall(_ >= 0))
     // ok-portion per FAMILY: if one family failed, the other's cached
     // build still benefited its queries and must stay charged — a
@@ -353,7 +371,7 @@ object Bench {
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
     // The driver persists only the LAST ~2000 chars of stdout. At 124
     // queries the full line above outgrew that window and BENCH_r10 went
     // on record with "parsed": null — no total at all (VERDICT r10 item

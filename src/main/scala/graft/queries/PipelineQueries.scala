@@ -118,13 +118,21 @@ object PipelineQueries {
   /** q218's shared OLS formula text over the exact bit-quantized sums —
     * spliced into BOTH engines (the q138/q224 rule) so slope and r² are
     * bit-equal by construction. Products stay tiny BIGINTs (n ≤ 1000,
-    * coords ≤ 63 bits' WIDTH, i.e. values ≤ 63). */
+    * coords ≤ 63 bits' WIDTH, i.e. values ≤ 63). Degenerate-variance
+    * guard (ADVICE r13): a corpus whose fitted frequencies all share one
+    * log₂ bit width (or a single-rank vocabulary) zeroes a denominator,
+    * where Spark's float division returns NaN/Infinity but DuckDB's
+    * behavior depends on its ieee_floating_point_ops setting — the CASE
+    * keeps the two engines bit-equal by answering NULL on BOTH (one
+    * shared text, one edit). */
   private[queries] val ZipfFitExprs: Seq[String] = Seq(
-    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)" +
-      " AS zipf_slope",
-    "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE) / " +
+    "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+      "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)" +
+      " END AS zipf_slope",
+    "CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL ELSE " +
+      "CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE) / " +
       "(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))" +
-      " AS r2")
+      " END AS r2")
 
   /** q140's PMI-scored frequent bigrams, shared with q158's per-term
     * top-3 so the collocation scorer and its faces can never drift. */

@@ -318,6 +318,13 @@ object ScaleQueries {
     // stream maximum minus the 1 h delay (per-source watermarks take
     // the min), and a purchase's negative is proven once that watermark
     // passed p_ts + 6 h. NULLS FIRST matches Spark's asc default.
+    // Boundary assumption (ADVICE r13): the horizon is STRICT
+    // (`p_ts + 6h < w`) — the empirically matched rule at all three SFs.
+    // If a purchase's window end ever EXACTLY equals the closing
+    // watermark (a microsecond tie — measure-zero on the generator's
+    // timestamps), Spark's state-eviction comparison could disagree by
+    // one null row; should a tie appear, nudge this horizon by 1 µs to
+    // match the observed eviction rather than loosening the spec.
     "q222_stream_stream_left_join" ->
       """WITH wm AS (SELECT least(
         |    max(epoch_us(ts)) FILTER (event_type = 'purchase'),

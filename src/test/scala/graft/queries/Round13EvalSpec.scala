@@ -7,8 +7,9 @@ import graft.{SparkEntry, SparkSpec, Tables}
 /** Oracle-independent brute forces for the round-13 additions: the
   * calibration curve (q217), Zipf slope (q218), subword fertility
   * (q219), Cohen's kappa (q220), curriculum plan (q221), left-outer
-  * stream-stream join (q222), MAD outliers (q223), and the Welch A/B
-  * test (q224) — plain Scala over collected rows so the DuckDB gate and
+  * stream-stream join (q222), the Markov next-event held-out eval
+  * (q223), and reciprocal-rank fusion (q224) — plain Scala over
+  * collected rows so the DuckDB gate and
   * these specs fail independently, plus a planted power-law corpus that
   * proves the Zipf instrument reads ≈ −1 when the law actually holds
   * (the fixture corpus is honestly non-Zipfian: slope ≈ −0.12).
@@ -59,6 +60,27 @@ class Round13EvalSpec extends SparkSpec {
       .selectExpr("zipf_slope", "r2").as[(Double, Double)].head()
     assert(got._1 > -1.3 && got._1 < -0.7, s"slope off the planted law: $got")
     assert(got._2 > 0.8, s"fit should be strong on the planted law: $got")
+  }
+
+  test("q218 answers NULL (not NaN/Inf) on degenerate-variance corpora (ADVICE r13 guard)") {
+    def dump(text: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-q218d-").toString
+      Seq((0L, text, "en", "web", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // single-rank vocabulary: the x-variance denominator is 0 → both NULL
+    val single = SparkEntry.queries("q218_zipf_slope")(spark, dump("w w w"))
+      .selectExpr("zipf_slope", "r2").collect().head
+    assert(single.isNullAt(0) && single.isNullAt(1),
+      s"single-rank corpus must NULL both fit stats: $single")
+    // two ranks, one shared frequency bit width: y-variance 0 → r2 NULL,
+    // slope still defined (and exactly flat)
+    val flat = SparkEntry.queries("q218_zipf_slope")(spark, dump("a a a b b b"))
+      .selectExpr("zipf_slope", "r2").collect().head
+    assert(!flat.isNullAt(0) && flat.getDouble(0) === 0.0, s"flat law: $flat")
+    assert(flat.isNullAt(1), s"zero y-variance must NULL r2: $flat")
   }
 
   test("q219 equals a plain-Scala merge-chain recount per stratum") {
