@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, Hash56}
+import graft.expressions.{DotProduct, Hash56, NfcNormalize}
 
 /** Registers graft's native expressions with the SQL layer.
   *
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash56"),
       new ExpressionInfo(classOf[Hash56].getName, "graft_hash56"),
       mkHash56))
+    e.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      GraftFunctions.mkNfc))
     // the native as-of join: whole-operator chain (logical plan +
     // optimizer rule + planner strategy + physical exec)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -46,11 +50,17 @@ object GraftFunctions {
     require(exprs.length == 1, s"graft_hash56 expects 1 argument, got ${exprs.length}")
     Hash56(exprs.head)
   }
+  private[extensions] val mkNfc: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"graft_nfc expects 1 argument, got ${exprs.length}")
+    NfcNormalize(exprs.head)
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", mkDot, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash56", mkHash56, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", mkNfc, "built-in")
   }
 }

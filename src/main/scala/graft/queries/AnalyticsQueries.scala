@@ -1330,6 +1330,19 @@ object AnalyticsQueries {
       graft.streaming.ListStateRecent.recentReplay(s, d)
     },
 
+    // STATE TTL ≡ BATCH CROSS-TAB (q228, r14) — the arbitrary-state
+    // API's TTL feature under oracle: q212's MapState profile with a
+    // per-entry TTLConfig and a forced inter-batch gap longer than the
+    // TTL, so every batch-1 entry is PROVABLY expired by batch 2 and
+    // each batch emits its own cross-tab. The sum over batches equals
+    // the one-shot truth iff expiry actually happened across the
+    // RocksDB round-trip — surviving state would double-count batch 1
+    // and red the row (see streaming/TtlStateExpiry for the
+    // determinism argument on a processing-time clock).
+    "q228_state_ttl" -> { (s, d) =>
+      graft.streaming.TtlStateExpiry.ttlReplay(s, d)
+    },
+
     // USER-GROWTH CURVE (q157) — cumulative distinct users by day, the
     // companion to q122's retention matrix. The naive form (a running
     // COUNT(DISTINCT) window) holds unbounded state; the scale-correct
@@ -2130,6 +2143,13 @@ object AnalyticsQueries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q212: the one-shot cross-tab — no batches, no state
     "q212_mapstate_profile" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    // q228: the same one-shot cross-tab as q212 — per-batch emissions
+    // sum back to the corpus total exactly when TTL expiry fired at the
+    // batch boundary (retained state would double-count batch 1)
+    "q228_state_ttl" ->
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,

@@ -40,6 +40,22 @@ object CurationQueries {
     * overlaps stay in the text. */
   private val SpanRemovalMinTokens = 8L
 
+  /** q226 chunk grain: consecutive (non-sliding) windows of this many
+    * tokens play the "line" of a C4/CCNet line-dedup pass — the fixture
+    * corpus is newline-free word soup, so the physical line separator is
+    * replaced by a fixed token width (the q69 chunking idea at dedup
+    * grain). 4 tokens is where the synthetic corpus actually repeats:
+    * at sf0.01, 47 distinct 4-token chunks occur in ≥ 3 docs (measured),
+    * so the drop branch fires on the real fixture, not just the planted
+    * spec. */
+  private val LineChunkTokens = 4
+
+  /** q226 drop threshold: a chunk occurring in at least this many
+    * DISTINCT docs is corpus-boilerplate and removed everywhere (the
+    * CCNet rule drops lines duplicated across the corpus; ≥ 3 keeps
+    * legitimate two-doc echoes). */
+  private val LineDupMinDocs = 3L
+
   /** q93's batch split: the "newly arrived" slice is a fixed residue
     * class so the batch stays ~10% of the corpus at EVERY scale factor
     * (an absolute id cutoff would shrink to nothing at sf0.1). Residue 5
@@ -350,6 +366,91 @@ object CurationQueries {
           TextCuration.piiCount(col("pii"), TextCuration.PiiIpv4).as("n_ip"),
           TextCuration.piiCount(col("pii"), TextCuration.PiiPhone).as("n_phone"),
           TextCuration.scrubPii(col("pii")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // LINE-LEVEL DEDUP (q226, r14) — the C4/CCNet corpus-frequent-line
+    // removal pass, the one standard curation operator q94 (intra-doc
+    // span excision) did not cover: a CHUNK occurring in ≥ LineDupMinDocs
+    // distinct docs is boilerplate (headers, nav bars, license blurbs)
+    // and is dropped from EVERY doc, with the survivors reassembled
+    // byte-exactly in chunk order. Chunks are consecutive 4-token
+    // windows (see LineChunkTokens — the fixture has no newlines), keyed
+    // by the 56-bit md5 (the q94 dup-hash rule: the frequency table is
+    // partial-agg'd over hashes, and both engines share any collision by
+    // construction). Shapes, at 100 TB: one explode pass → one hash-keyed
+    // distinct+count (never doc×doc), the drop is a hash-keyed left-anti
+    // join, and the reassembly is the q76/q94 array_sort(collect_list)
+    // — per-doc bounded. The boilerplate table above threshold is TINY
+    // by Zipf (frequent chunks are few), so the anti-join broadcast-sizes
+    // in a real deployment. Reassembly contract: the fixture text is
+    // single-space-joined tokens (FIXTURES.md), so a doc with n_dropped
+    // = 0 round-trips byte-identical (LineDedupSpec pins it, plus a
+    // planted boilerplate corpus firing the drop on every doc).
+    "q226_line_dedup" -> { (s, d) =>
+      import graft.expressions.Hash56
+      val K = LineChunkTokens
+      val ch = graft.Caches.scopedPersist(
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), col("tk"),
+            explode(expr(s"sequence(0, (size(tk) - 1) div $K)")).as("ci"))
+          .select(col("doc_id"), col("ci").cast("long").as("ci"),
+            array_join(slice(col("tk"), col("ci") * K + 1, lit(K)), " ")
+              .as("chunk"))
+          .withColumn("h", Hash56(col("chunk"))))
+      val boiler = ch.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= LineDupMinDocs).select("h")
+      val kept = ch.join(boiler, Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("ci"), col("chunk")))),
+              x => x.getField("chunk"))).as("clean_text"))
+      ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // UNICODE NORMALIZATION (q227, r14) — the NFC + casefold pass real
+    // pipelines run BEFORE any text hashing: without it, composed and
+    // decomposed spellings of the same glyph (é as U+00E9 vs e+U+0301)
+    // are different bytes, and every downstream exact-dedup / shingle /
+    // fingerprint silently splits duplicate groups. The fixture corpus
+    // is pure ASCII (where NFC is identity — honest but vacuous), so the
+    // operator is exercised the q95 way: each doc deterministically
+    // carries three planted spellings of the same prefix — composed,
+    // combining-mark decomposed, and uppercase — identically derived in
+    // both engines. normalize = lower(NFC(x)): Spark runs the native
+    // graft_nfc expression (java.text.Normalizer, codegen'd — see
+    // expressions/NfcNormalize), DuckDB its nfc_normalize; the gate
+    // hash-compares the normalized BYTES plus the dedup-group delta
+    // (3 raw forms → 1 normalized form per doc). Pure scalar map +
+    // per-doc agg — no shuffle beyond the doc key at any scale.
+    "q227_unicode_normalize" -> { (s, d) =>
+      import graft.expressions.NfcNormalize
+      val variants = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(
+          // composed U+00E9, decomposed e+U+0301, uppercase composed
+          // U+00C9 — escapes, not raw literals, so the three spellings
+          // stay visibly distinct in source
+          concat(lit("Caf\u00e9 menu: "), col("text")),
+          concat(lit("Cafe\u0301 menu: "), col("text")),
+          concat(lit("CAF\u00c9 MENU: "), col("text")))).as("raw"))
+      variants
+        .select(col("doc_id"), col("raw"),
+          lower(NfcNormalize(col("raw"))).as("norm"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("raw")).as("n_raw_forms"),
+          countDistinct(col("norm")).as("n_norm_forms"),
+          min(col("norm")).as("norm_text"))
+        .select(col("doc_id"), col("n_raw_forms"), col("n_norm_forms"),
+          (col("n_raw_forms") - col("n_norm_forms")).as("n_collapsed"),
+          col("norm_text"))
         .orderBy("doc_id")
     },
 
@@ -1261,6 +1362,45 @@ object CurationQueries {
          |    '$PiiIpv4', '<IP>', 'g'),
          |    '$PiiPhone', '<PHONE>', 'g') AS clean_text
          |FROM p ORDER BY doc_id""".stripMargin,
+    // q226: identical chunking (consecutive 4-token windows, 0-based
+    // chunk index), the same 56-bit md5 key, the same >= 3-distinct-docs
+    // drop rule, and an ORDER BY ci string_agg reassembly
+    "q226_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |ch AS (SELECT doc_id, CAST(u.i AS BIGINT) AS ci,
+         |    array_to_string(list_slice(tk,
+         |      CAST(u.i * $LineChunkTokens + 1 AS BIGINT),
+         |      CAST(u.i * $LineChunkTokens + $LineChunkTokens AS BIGINT)), ' ') AS chunk
+         |  FROM t, unnest(range(0, (len(tk) - 1) // $LineChunkTokens + 1)) u(i)),
+         |hh AS (SELECT doc_id, ci, chunk,
+         |    CAST(('0x' || substr(md5(chunk), 1, 14)) AS BIGINT) AS h FROM ch),
+         |boiler AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM hh)
+         |  GROUP BY h HAVING count(*) >= $LineDupMinDocs),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+         |  FROM hh WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id),
+         |base AS (SELECT doc_id, count(*) AS n_chunks FROM hh GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(b.n_chunks - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  coalesce(k.clean_text, '') AS clean_text
+         |FROM base b LEFT JOIN kept k USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+    // q227: the same three planted spellings (chr() so the SQL text
+    // carries no raw unicode), DuckDB's UAX #15 nfc_normalize + lower
+    // against Spark's graft_nfc + lower — the norm_text column is the
+    // cross-engine byte-equality proof
+    "q227_unicode_normalize" ->
+      """WITH v AS (SELECT doc_id, unnest([
+        |    'Caf' || chr(233) || ' menu: ' || text,
+        |    'Cafe' || chr(769) || ' menu: ' || text,
+        |    'CAF' || chr(201) || ' MENU: ' || text]) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, lower(nfc_normalize(raw)) AS norm FROM v)
+        |SELECT doc_id, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_forms,
+        |  CAST(count(DISTINCT norm) AS BIGINT) AS n_norm_forms,
+        |  CAST(count(DISTINCT raw) - count(DISTINCT norm) AS BIGINT) AS n_collapsed,
+        |  min(norm) AS norm_text
+        |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same hashed-bucket weight formula, token-for-token; the margin is
     // one IEEE division of identical integers in both engines
     "q98_quality_classifier" ->

@@ -54,6 +54,19 @@ object ScaleQueries {
         .orderBy("user_id", "purchase_id", "error_id")
     },
 
+    // FULL OUTER stream-stream join (q225, r14): watermark-proved null
+    // rows on BOTH sides — q222's purchase nulls plus the errors with no
+    // purchase in the preceding 6 h. Composed as two linear-state
+    // left-outer arms (FULL = LEFT ∪ right-anti-null) because a naive
+    // full_outer over the bucket-exploded side would double/fabricate
+    // right nulls — see StreamStreamJoin.purchaseErrorFullJoin for the
+    // decomposition argument. Spark's asc sort is NULLS FIRST on both
+    // null-padded key columns.
+    "q225_stream_stream_full_join" -> { (s, d) =>
+      graft.streaming.StreamStreamJoin.purchaseErrorFullJoin(s, d)
+        .orderBy("user_id", "purchase_id", "error_id")
+    },
+
     // Bloom-screened incremental dedup: new docs of the ingest batch vs
     // the standing corpus. The bloom pre-screen is a correctness no-op
     // (see operators/BloomDedup.scala), so the oracle is the plain
@@ -348,6 +361,46 @@ object ScaleQueries {
         |        AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000))
         |SELECT * FROM (SELECT * FROM pairs UNION ALL SELECT * FROM nulls)
         |ORDER BY user_id, purchase_id, error_id NULLS FIRST""".stripMargin,
+    // q225: the batch FULL OUTER twin, each side's null rows restricted
+    // to ITS finalized horizon (purchases: window end p_ts + 6 h passed
+    // by the closing watermark — q222's rule; errors: e_ts itself passed,
+    // since any matching purchase satisfies p_ts <= e_ts). Both horizons
+    // strict (the q222 boundary note applies symmetrically). Matched
+    // pairs are horizon-free. NULLS FIRST on both padded key columns
+    // matches Spark's asc default.
+    "q225_stream_stream_full_join" ->
+      """WITH wm AS (SELECT least(
+        |    max(epoch_us(ts)) FILTER (event_type = 'purchase'),
+        |    max(epoch_us(ts)) FILTER (event_type = 'error'))
+        |    - 3600000000 AS w FROM events),
+        |pairs AS (SELECT p.user_id, p.event_id AS purchase_id,
+        |    e.event_id AS error_id, epoch_us(e.ts) - epoch_us(p.ts) AS delta_us
+        |  FROM events p JOIN events e
+        |    ON p.user_id = e.user_id
+        |   AND epoch_us(e.ts) >= epoch_us(p.ts)
+        |   AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000
+        |  WHERE p.event_type = 'purchase' AND e.event_type = 'error'),
+        |p_nulls AS (SELECT p.user_id, p.event_id AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS error_id, CAST(NULL AS BIGINT) AS delta_us
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase'
+        |    AND epoch_us(p.ts) + 21600000000 < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events e
+        |      WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        |        AND epoch_us(e.ts) >= epoch_us(p.ts)
+        |        AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000)),
+        |e_nulls AS (SELECT e.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    e.event_id AS error_id, CAST(NULL AS BIGINT) AS delta_us
+        |  FROM events e, wm
+        |  WHERE e.event_type = 'error'
+        |    AND epoch_us(e.ts) < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM events p
+        |      WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |        AND epoch_us(e.ts) >= epoch_us(p.ts)
+        |        AND epoch_us(e.ts) <= epoch_us(p.ts) + 21600000000))
+        |SELECT * FROM (SELECT * FROM pairs
+        |  UNION ALL SELECT * FROM p_nulls UNION ALL SELECT * FROM e_nulls)
+        |ORDER BY user_id, purchase_id NULLS FIRST, error_id NULLS FIRST""".stripMargin,
     "q72_bloom_incremental_dedup" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE d.doc_id % $IngestMod = 0

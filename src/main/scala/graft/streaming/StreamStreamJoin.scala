@@ -106,6 +106,80 @@ object StreamStreamJoin {
       pairStreams(purchases, errors, joinType = "left_outer"), "append")
   }
 
+  /** FULL OUTER face of the interval join (q225, r14) — watermark-proved
+    * null emission on BOTH sides: purchases with no error in their 6 h
+    * window (q222's rows) AND errors with no purchase in the PRECEDING
+    * 6 h, each null-padded once the watermark proves its negative.
+    *
+    * Deliberately NOT `joinType = "full_outer"` on [[pairStreams]]: the
+    * bucket-exploded error side that makes the state scan linear is
+    * CORRECT for matched pairs and left nulls (each pair matches exactly
+    * once; left-null emission is keyed by the left row alone) but WRONG
+    * for right nulls — each error is buffered as TWO state rows, so a
+    * truly unmatched error would emit two identical null rows, and an
+    * error whose match landed under its OTHER bucket copy would emit a
+    * spurious null beside its real pair. A naive full_outer must
+    * therefore give up the explode and key state by user alone — which
+    * re-opens the quadratic per-user scan the r12 probe measured (82.5 s
+    * at 60×). Instead the full outer is composed from two LINEAR-state
+    * left-outer joins, the standard decomposition FULL = LEFT ∪ (right
+    * anti null-padded): the q222 arm (matched pairs + purchase nulls)
+    * plus a MIRRORED arm — errors as the LEFT side against purchases
+    * exploded under {bucket(p_ts), bucket(p_ts)+1} (a matching purchase
+    * has bucket(p_ts) ∈ {bucket(e_ts)−1, bucket(e_ts)}, so the error's
+    * own bucket equals exactly one exploded copy) — keeping ONLY its
+    * null rows. Each arm holds the SAME (user, 6 h bucket) equi-key
+    * state shape q71 probed linear; the price is two stream-stream
+    * queries instead of one, i.e. 2× linear instead of 1× quadratic.
+    *
+    * An error's negative is proven once the watermark passes e_ts (a
+    * matching purchase satisfies p_ts ≤ e_ts, so none can arrive after);
+    * errors inside the last hour of the stream stay buffered, exactly
+    * like q222's last-7 h purchases. */
+  def purchaseErrorFullJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def purchases() = EventStreams.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    def errors() = EventStreams.eventsStream(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user_id"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+    val leftArm = EventStreams.drainToFiles(
+      pairStreams(purchases(), errors(), joinType = "left_outer"), "append")
+    val rightNulls = EventStreams.drainToFiles(
+      errorNullArm(purchases(), errors()), "append")
+    leftArm.unionByName(rightNulls)
+  }
+
+  /** The mirrored arm of [[purchaseErrorFullJoin]]: errors LEFT OUTER
+    * joined to bucket-exploded purchases, reduced to its null rows —
+    * the "error with no purchase in the preceding 6 h" face. Null
+    * emission is keyed by the LEFT (error) row alone, so the purchase
+    * side's 2× state duplication cannot fabricate or double a null
+    * (the exact symmetric of q222's argument). Exposed for the
+    * Round14 spec, which feeds slice-controlled sides. */
+  def errorNullArm(purchases0: DataFrame, errors0: DataFrame): DataFrame = {
+    val errors = errors0
+      .withWatermark("e_ts", "1 hour")
+      .withColumn("e_bkt", expr(s"unix_micros(e_ts) div $BucketUs"))
+    val purchases = purchases0
+      .withWatermark("p_ts", "1 hour")
+      .withColumn("bkt", explode(array(
+        expr(s"unix_micros(p_ts) div $BucketUs"),
+        expr(s"unix_micros(p_ts) div $BucketUs + 1"))))
+    errors.join(purchases,
+      col("e_user_id") === col("user_id") &&
+        col("e_bkt") === col("bkt") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("interval 6 hours"),
+      "left_outer")
+      .filter(col("purchase_id").isNull)
+      .select(col("e_user_id").as("user_id"),
+        lit(null).cast("long").as("purchase_id"),
+        col("error_id"), lit(null).cast("long").as("delta_us"))
+  }
+
   /** The join construction alone, over caller-supplied stream sides
     * (purchases: user_id/purchase_id/p_ts; errors: e_user_id/error_id/
     * e_ts) — the SAME code q71 runs, reusable by specs that need to feed

@@ -1003,6 +1003,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q226: line dedup is hash-keyed — map-side combined counts, no cross product") {
+    val p = formatted("q226_line_dedup")
+    assert(p.contains("partial_count"), "the per-hash doc counts must map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the boilerplate drop must stay a hash-keyed anti-join")
+  }
+
+  test("q227: normalization is a pure scalar map + one doc-keyed agg — native NFC, no join") {
+    val p = formatted("q227_unicode_normalize")
+    assert(p.contains("graft_nfc"),
+      "the native NFC expression must appear in the plan (not a UDF)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), "no join belongs in a per-doc pass")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
