@@ -42,7 +42,8 @@ object ScaleProbe {
     // corpus-sized assignment competes for storage memory — build it only
     // when a probed query actually reads the index
     if (names.exists(n => n.startsWith("q33") || n.startsWith("q77")
-        || n.startsWith("q101") || n.startsWith("q106") || n.startsWith("q108")))
+        || n.startsWith("q101") || n.startsWith("q106") || n.startsWith("q108")
+        || n.startsWith("q215") || n.startsWith("q224")))
       similarity.IvfIndex.warm(spark, dir)
     if (names.exists(_.startsWith("q108"))) similarity.PqIndex.warm(spark, dir)
     // same stance for the z-ordered layout (one write job)

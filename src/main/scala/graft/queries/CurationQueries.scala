@@ -56,6 +56,16 @@ object CurationQueries {
     * legitimate two-doc echoes). */
   private val LineDupMinDocs = 3L
 
+  /** q99/q221 shard count. 8 is the GATE value (hardwired in both
+    * oracles — the env hook never runs under the driver); the override
+    * exists for the r14 probe ask: shard count scales with loader
+    * workers in a real export, so the q221 exponent is shown at a higher
+    * width too (SPARK_GRAFT_CURRICULUM_SHARDS=64 in the probe run).
+    * Lazy, so a typo'd value surfaces at first query use as a named
+    * NumberFormatException, not an object-init error. */
+  private[queries] lazy val curriculumShards: Long =
+    sys.env.get("SPARK_GRAFT_CURRICULUM_SHARDS").map(_.toLong).getOrElse(8L)
+
   /** q93's batch split: the "newly arrived" slice is a fixed residue
     * class so the batch stays ~10% of the corpus at EVERY scale factor
     * (an absolute id cutoff would shrink to nothing at sf0.1). Residue 5
@@ -490,7 +500,7 @@ object CurationQueries {
       val win = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
       Tables.documents(s, d)
         .select(col("doc_id"), key.as("shuffle_key"))
-        .withColumn("shard", col("shuffle_key") % 8)
+        .withColumn("shard", col("shuffle_key") % curriculumShards)
         .withColumn("pos", row_number().over(win).cast("long"))
         .select("doc_id", "shard", "shuffle_key", "pos")
         .orderBy("shard", "pos")
@@ -1023,7 +1033,7 @@ object CurationQueries {
           when(col("tier") === "head", 0L)
             .when(col("tier") === "middle", 1L).otherwise(2L).as("phase"))
         .withColumn("shuffle_key", key)
-        .withColumn("shard", col("shuffle_key") % 8)
+        .withColumn("shard", col("shuffle_key") % curriculumShards)
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("doc_id", "tier", "phase", "shard", "pos")
         .orderBy("shard", "pos")
