@@ -59,7 +59,15 @@ object ExplainAudit {
         // per-shard curriculum window, integer RRF fusion
         "q217_score_calibration", "q218_zipf_slope",
         "q219_subword_fertility", "q220_cohens_kappa",
-        "q221_curriculum_plan", "q223_markov_eval", "q224_rrf_fusion")
+        "q221_curriculum_plan", "q223_markov_eval", "q224_rrf_fusion",
+        // round-14 additions: partial-max HLL registers, broadcast CMS
+        // sketch + bounded top-20 heap, broadcast cohort propensities,
+        // per-QI-group EMD window, join-free rank statistic, flat
+        // 5-leaf checkpointed MMR unroll
+        "q229_hll_distinct", "q232_countmin_freq", "q233_ips_policy_eval",
+        "q235_t_closeness", "q236_auc_ranking", "q231_mmr_rerank",
+        "q237_hll_merge", "q238_hll_rolling_distinct", "q239_bloom_fpr",
+        "q240_loglinear_percentiles")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

@@ -659,6 +659,62 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // LOG-LINEAR PERCENTILE SKETCH (q240, r14) — the RELATIVE-error
+    // complement to q180's fixed-width histogram (whose error is
+    // absolute: one unit-width bucket is great at p50 ≈ 34 and useless
+    // at p99 ≈ 22000 if values spanned 10^6): DDSketch/HDR-histogram
+    // bucketing — cents < 32 exact, else (msb, next-4-bits), giving
+    // buckets of width 2^(msb-4) whose midpoint representative is
+    // within 1/32 ≈ 3.1% of ANY member. The bucket index needs only
+    // bin-length and shifts (no ln — the q104 rule), so both engines
+    // compute identical sketches. Quantiles are NEAREST-RANK
+    // (target = ceil(q·n), integer — no interpolation to diverge on),
+    // picked from the cumulative register table by the q180 covering
+    // rule; the exact side runs the SAME rule over the distinct-cents
+    // table, so est vs exact isolates the bucketing error alone.
+    // Measured: every error ≤ 1.9% (bound 3.125%) — the guarantee
+    // Round14cEvalSpec asserts per type. Work shape: one partial-agg'd
+    // (type, bucket) count — ≤ a few hundred cells per type regardless
+    // of corpus; the exact side's window is bounded by the cents
+    // DOMAIN (≤ 49k distinct), not the corpus (the q46/q180 rule).
+    "q240_loglinear_percentiles" -> { (s, d) =>
+      val c = Tables.events(s, d).select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      val b = c.select(col("event_type"),
+        expr("""CASE WHEN cents < 32 THEN cents
+                ELSE shiftleft(16 + shiftright(cents, length(bin(cents)) - 5) % 16,
+                       cast(length(bin(cents)) - 5 as int))
+                     + shiftright(shiftleft(cast(1 as bigint), cast(length(bin(cents)) - 5 as int)), 1) END""")
+          .as("rep"))
+      def ranked(df: DataFrame, vCol: String) = {
+        val w = Window.partitionBy("event_type").orderBy(vCol)
+        val wn = Window.partitionBy("event_type")
+        df.groupBy("event_type", vCol).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(wn))
+      }
+      def pick(q: Int, name: String) = {
+        val t = expr(s"(n * $q + 99) div 100")
+        min(when(col("cum") >= t && col("cum") - col("cnt") < t,
+          col("v"))).as(name)
+      }
+      // rep is a bijection of the bucket id, so grouping by rep IS the
+      // sketch (and saves carrying two columns through the window)
+      val skAgg = ranked(b.select(col("event_type"), col("rep")), "rep")
+        .withColumnRenamed("rep", "v")
+        .groupBy("event_type").agg(pick(50, "p50_est"), pick(99, "p99_est"))
+      val exAgg = ranked(c, "cents").withColumnRenamed("cents", "v")
+        .groupBy("event_type").agg(pick(50, "p50_exact"), pick(99, "p99_exact"))
+      exAgg.join(broadcast(skAgg), "event_type")
+        .select(col("event_type"), col("p50_exact"), col("p50_est"),
+          expr("abs(p50_est - p50_exact) * 1000000 div p50_exact")
+            .as("p50_err_ppm"),
+          col("p99_exact"), col("p99_est"),
+          expr("abs(p99_est - p99_exact) * 1000000 div p99_exact")
+            .as("p99_err_ppm"))
+        .orderBy("event_type")
+    },
+
     // EXPONENTIAL-DECAY ENGAGEMENT (q181) — the recency-weighted
     // feature every ranking/churn model wants, with the decay kept
     // EXACT: the weight for an event aged a weeks is 2^(30−a), a pure
@@ -966,6 +1022,167 @@ object AnalyticsQueries {
           col("n_below_k"), col("n_rows_at_risk"),
           expr("n_rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
         .orderBy("event_type")
+    },
+
+    // L-DIVERSITY AUDIT (q234, r14) — k-anonymity's blind spot: a QI
+    // group can be large (passes q171's k = 5) yet have every member
+    // share ONE sensitive value, so membership alone discloses it
+    // (homogeneity attack). Here the QI tuple is (cohort, day) and the
+    // sensitive attribute is event_type: a group is l-diverse when it
+    // carries ≥ l = 3 DISTINCT sensitive values. Same two-level shape
+    // as q171 — one partial-agg'd distinct count over the QI tuple
+    // (bounded by the QI domain, not the corpus), then a per-day rollup
+    // of the group table. Exact-ppm risk rate; both branches fire at
+    // every SF (sf0.01: 40–50 of ~95 groups per day below l).
+    "q234_l_diversity" -> { (s, d) =>
+      val g = Tables.events(s, d)
+        .groupBy((col("user_id") % 100).as("cohort"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(countDistinct(col("event_type")).as("n_sens"),
+          count(lit(1)).as("c"))
+      g.groupBy("day")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("c")).as("n_rows"),
+          sum(when(col("n_sens") < 3L, 1L).otherwise(0L)).as("n_below_l"),
+          sum(when(col("n_sens") < 3L, col("c")).otherwise(0L)).as("n_rows_at_risk"))
+        .select(col("day"), col("n_groups"), col("n_rows"), col("n_below_l"),
+          col("n_rows_at_risk"),
+          expr("n_rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+        .orderBy("day")
+    },
+
+    // T-CLOSENESS AUDIT (q235, r14) — the third rung of the privacy
+    // ladder (q171 group size, q234 value diversity, this one value
+    // DISTRIBUTION): a group can be k-anonymous and l-diverse yet still
+    // leak by skew (90% 'error' in a group vs 20% globally tells an
+    // attacker plenty). Per QI group, the Earth Mover's Distance between
+    // the group's sensitive distribution and the corpus-wide one, over
+    // the alphabetical event_type order with unit spacing — for ordered
+    // categories EMD reduces to the mean |cumulative difference|, which
+    // runs in exact integers: per type, |cumG·T − cumT·G| scaled to ppm
+    // of G·T (checkedMul-guarded headroom — cum ≤ G, so the products sit
+    // ≲ G·T ≈ 10¹⁴ at sf100; past that the named error fires, the q161
+    // escalation rule), then the per-group mean over the k−1 interior
+    // steps (the last cum step is identically 0 and contributes
+    // nothing). Work shape: two partial-agg'd group tables (QI-domain
+    // bounded), the dense QI×type grid via a broadcast of the 5-row type
+    // relation, and a cum window whose partitions are single QI groups
+    // (k = 5 rows each — bounded by the type domain, never the corpus).
+    "q235_t_closeness" -> { (s, d) =>
+      import graft.functions.Guards.checkedMul
+      val e = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 100).as("cohort"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val tot = e.groupBy("event_type").agg(count(lit(1)).as("ct"))
+      val scalars = tot.agg(sum(col("ct")).as("t_all"),
+        count(lit(1)).as("k_types"))
+      val g = e.groupBy("cohort", "day").agg(count(lit(1)).as("g_n"))
+      val gc = e.groupBy("cohort", "day", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("cohort", "day").orderBy("event_type")
+      val emd = g.crossJoin(broadcast(tot))
+        .join(gc, Seq("cohort", "day", "event_type"), "left")
+        .select(col("cohort"), col("day"), col("g_n"),
+          sum(coalesce(col("c"), lit(0L))).over(w).as("cum_g"),
+          sum(col("ct")).over(w).as("cum_t"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("num_ppm", checkedMul(
+          abs(checkedMul(col("cum_g"), col("t_all"), "q235 emd cumG*T") -
+            checkedMul(col("cum_t"), col("g_n"), "q235 emd cumT*G")),
+          lit(1000000L), "q235 emd ppm scale"))
+        .withColumn("den", checkedMul(col("g_n"), col("t_all"), "q235 emd G*T"))
+        .groupBy(col("cohort"), col("day"), col("g_n"), col("k_types"))
+        .agg(sum(expr("num_ppm div den")).as("sum_ppm"))
+        .select(col("day"), col("g_n"),
+          expr("sum_ppm div (k_types - 1)").as("emd_ppm"))
+      emd.groupBy("day")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("emd_ppm") > 300000L, 1L).otherwise(0L)).as("n_tclose_fail"),
+          sum(when(col("emd_ppm") > 300000L, col("g_n")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          max(col("emd_ppm")).as("max_emd_ppm"))
+        .orderBy("day")
+    },
+
+    // OFF-POLICY EVALUATION VIA IPS (q233, r14) — the counterfactual
+    // question every logged-interaction dataset gets asked before a
+    // policy ships: "what reward WOULD the new policy have earned on
+    // this log?" — answered without deployment by inverse-propensity
+    // scoring: V̂ = (1/n_c)·Σ 1{a_i = π(c_i)}·r_i/p̂(a_i|c_i), with the
+    // behavior propensity p̂ estimated from the log itself as the
+    // context-conditional action frequency. Context = user cohort
+    // (user_id % 10), target policy π = a deterministic context rule
+    // (purchase for even cohorts, view for odd — so the two policy
+    // branches both fire), reward = exact cents (round(value·100), the
+    // q207 rule). Everything rational: p̂ = n_ct/n_c exactly, so each
+    // matched row contributes cents·n_c div n_ct (per-row floor,
+    // documented — identical in both engines, order-free since every
+    // term is an exact integer before the sum). The naive logged mean
+    // of matched rewards rides along: IPS reweights it by 1/p̂, and on
+    // this log the two nearly agree — the signal that reward is
+    // independent of the propensity here, itself a finding. Work shape:
+    // one row-level pass joined to two broadcast cohort tables (10
+    // rows); all division happens on bounded aggregates.
+    "q233_ips_policy_eval" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("target",
+          when(col("cohort") % 2 === 0, "purchase").otherwise("view"))
+      val cc = e.groupBy("cohort").agg(count(lit(1)).as("n_c"))
+      val matched = e.filter(col("event_type") === col("target"))
+      val ca = matched.groupBy("cohort")
+        .agg(count(lit(1)).as("n_ct"), sum(col("cents")).as("sum_cents"))
+      val ips = matched.join(broadcast(cc), "cohort")
+        .join(broadcast(ca), "cohort")
+        .withColumn("term", expr("cents * n_c div n_ct"))
+        .groupBy("cohort").agg(sum(col("term")).as("ips_sum"))
+      cc.join(ca, Seq("cohort"), "left").join(ips, Seq("cohort"), "left")
+        .select(col("cohort"), col("n_c").as("n"),
+          coalesce(col("n_ct"), lit(0L)).as("n_match"),
+          expr("coalesce(ips_sum, 0) div n_c").as("ips_cents"),
+          expr("coalesce(sum_cents, 0) div greatest(coalesce(n_ct, 0), 1)")
+            .as("logged_mean_cents"))
+        .orderBy("cohort")
+    },
+
+    // EXACT AUC / MANN–WHITNEY (q236, r14) — the threshold-free
+    // companion to q217's calibration bins and q154's confusion matrix:
+    // does doc length (n_chars) rank English docs above the rest? AUC
+    // is the Mann–Whitney U statistic normalized by n_pos·n_neg,
+    // computed EXACTLY from the score-group table — never per-pair: per
+    // distinct score, (pos_s, neg_s) counts, then concordant pairs via
+    // the running negatives-below window and ties at half weight
+    // (auc2 = Σ pos_s·(2·negBelow + neg_s), the ×2 scale that keeps the
+    // tie term integral). ppm division at the end; gini = 2·AUC − 1
+    // derived from the already-floored ppm so both engines share the
+    // truncation. The global window is bounded by the score DOMAIN
+    // (313 distinct n_chars values, a schema property — the q218
+    // bounded-head rule), not the corpus; the corpus-sized pass is the
+    // one partial-agg'd groupBy(score). Result ≈ 0.49 — length does NOT
+    // separate languages on this fixture; an honest null finding the
+    // gate still checks bit-for-bit.
+    "q236_auc_ranking" -> { (s, d) =>
+      import graft.functions.Guards.checkedMul
+      val g = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("score"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos_s"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("neg_s"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.select(col("pos_s"), col("neg_s"),
+          coalesce(sum(col("neg_s")).over(w), lit(0L)).as("neg_below"))
+        .agg(sum(col("pos_s")).as("n_pos"), sum(col("neg_s")).as("n_neg"),
+          sum(checkedMul(col("pos_s"),
+            lit(2L) * col("neg_below") + col("neg_s"), "q236 auc pairs"))
+            .as("auc2"))
+        .withColumn("num", checkedMul(col("auc2"), lit(1000000L),
+          "q236 auc ppm scale"))
+        .withColumn("den", checkedMul(lit(2L) * col("n_pos"), col("n_neg"),
+          "q236 auc pair count"))
+        .withColumn("auc_ppm", expr("num div den"))
+        .select(col("n_pos"), col("n_neg"), col("auc_ppm"),
+          expr("2 * auc_ppm - 1000000").as("gini_ppm"))
     },
 
     "q114_profile" -> { (s, d) =>
@@ -1955,6 +2172,37 @@ object AnalyticsQueries {
         |  p90_exact, p90_est, p90_est - p90_exact AS p90_err
         |FROM x JOIN s ON x.event_type = s.event_type
         |ORDER BY x.event_type""".stripMargin,
+    // q240: the same log-linear buckets (bin-length + shifts, no ln),
+    // nearest-rank targets, q180 covering rule on both sides
+    "q240_loglinear_percentiles" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type,
+        |    CASE WHEN cents < 32 THEN cents
+        |         ELSE ((16 + ((cents >> (length(bin(cents)) - 5)) & 15)) << (length(bin(cents)) - 5))
+        |              + ((CAST(1 AS BIGINT) << (length(bin(cents)) - 5)) // 2) END AS rep
+        |  FROM c),
+        |sk AS (SELECT event_type, rep, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY event_type, rep),
+        |scum AS (SELECT event_type, rep, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY rep) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM sk),
+        |est AS (SELECT event_type,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 AND cum - cnt < (n * 50 + 99) // 100 THEN rep END) AS p50_est,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 AND cum - cnt < (n * 99 + 99) // 100 THEN rep END) AS p99_est
+        |  FROM scum GROUP BY event_type),
+        |xc AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+        |xcum AS (SELECT event_type, cents, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM xc),
+        |ex AS (SELECT event_type,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 AND cum - cnt < (n * 50 + 99) // 100 THEN cents END) AS p50_exact,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 AND cum - cnt < (n * 99 + 99) // 100 THEN cents END) AS p99_exact
+        |  FROM xcum GROUP BY event_type)
+        |SELECT e.event_type, p50_exact, p50_est,
+        |  CAST(abs(p50_est - p50_exact) * 1000000 // p50_exact AS BIGINT) AS p50_err_ppm,
+        |  p99_exact, p99_est,
+        |  CAST(abs(p99_est - p99_exact) * 1000000 // p99_exact AS BIGINT) AS p99_err_ppm
+        |FROM ex e JOIN est USING (event_type) ORDER BY e.event_type""".stripMargin,
     // q181: the same decimal-exact cents, week-age anchor, and
     // power-of-two shift weights
     "q181_decay_engagement" ->
@@ -2118,6 +2366,92 @@ object AnalyticsQueries {
         |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) * 1000000
         |    // sum(c) AS BIGINT) AS risk_ppm
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q234: the same QI grouping, l = 3 distinct-sensitive rule
+    "q234_l_diversity" ->
+      """WITH g AS (SELECT user_id % 100 AS cohort,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_sens,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (n_sens < 3) AS BIGINT) AS n_below_l,
+        |  CAST(sum(CASE WHEN n_sens < 3 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(sum(CASE WHEN n_sens < 3 THEN c ELSE 0 END) * 1000000
+        |    // sum(c) AS BIGINT) AS risk_ppm
+        |FROM g GROUP BY day ORDER BY day""".stripMargin,
+    // q235: the same dense QI×type grid, per-term ppm floor, per-group
+    // mean over k−1 steps — the integer EMD replayed cumulative-by-
+    // cumulative (the last cum step is 0 on both sides, so including it
+    // changes nothing; both engines include it)
+    "q235_t_closeness" ->
+      """WITH e AS (SELECT event_type, user_id % 100 AS cohort,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ct
+        |  FROM e GROUP BY event_type),
+        |sc AS (SELECT CAST(sum(ct) AS BIGINT) AS t_all,
+        |    CAST(count(*) AS BIGINT) AS k_types FROM tot),
+        |g AS (SELECT cohort, day, CAST(count(*) AS BIGINT) AS g_n
+        |  FROM e GROUP BY cohort, day),
+        |gc AS (SELECT cohort, day, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |cum AS (SELECT g.cohort, g.day, g.g_n,
+        |    CAST(sum(coalesce(gc.c, 0)) OVER
+        |      (PARTITION BY g.cohort, g.day ORDER BY tot.event_type) AS BIGINT) AS cum_g,
+        |    CAST(sum(tot.ct) OVER
+        |      (PARTITION BY g.cohort, g.day ORDER BY tot.event_type) AS BIGINT) AS cum_t
+        |  FROM g CROSS JOIN tot
+        |  LEFT JOIN gc ON gc.cohort = g.cohort AND gc.day = g.day
+        |    AND gc.event_type = tot.event_type),
+        |emd AS (SELECT cohort, day, g_n,
+        |    CAST(CAST(sum(abs(cum_g * sc.t_all - cum_t * g_n) * 1000000
+        |      // (g_n * sc.t_all)) AS BIGINT) // (sc.k_types - 1) AS BIGINT) AS emd_ppm
+        |  FROM cum, sc GROUP BY cohort, day, g_n, sc.k_types)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(count(*) FILTER (emd_ppm > 300000) AS BIGINT) AS n_tclose_fail,
+        |  CAST(sum(CASE WHEN emd_ppm > 300000 THEN g_n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  max(emd_ppm) AS max_emd_ppm
+        |FROM emd GROUP BY day ORDER BY day""".stripMargin,
+    // q233: the same propensity fractions and per-row floored terms
+    "q233_ips_policy_eval" ->
+      """WITH e AS (SELECT user_id % 10 AS cohort, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN (user_id % 10) % 2 = 0 THEN 'purchase' ELSE 'view' END AS target
+        |  FROM events),
+        |cc AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_c FROM e GROUP BY cohort),
+        |ca AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_ct,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e WHERE event_type = target GROUP BY cohort),
+        |t AS (SELECT e.cohort, e.cents * cc.n_c // ca.n_ct AS term
+        |  FROM e JOIN cc USING (cohort) JOIN ca USING (cohort)
+        |  WHERE e.event_type = e.target),
+        |s AS (SELECT cohort, CAST(sum(term) AS BIGINT) AS ips_sum FROM t GROUP BY cohort)
+        |SELECT cc.cohort, cc.n_c AS n,
+        |  coalesce(ca.n_ct, 0) AS n_match,
+        |  CAST(coalesce(s.ips_sum, 0) // cc.n_c AS BIGINT) AS ips_cents,
+        |  CAST(coalesce(ca.sum_cents, 0) // greatest(coalesce(ca.n_ct, 0), 1) AS BIGINT)
+        |    AS logged_mean_cents
+        |FROM cc LEFT JOIN ca USING (cohort) LEFT JOIN s USING (cohort)
+        |ORDER BY cohort""".stripMargin,
+    // q236: the same score-group table, negatives-below window, ×2 tie
+    // scale, and the floored-ppm-then-derive gini rule
+    "q236_auc_ranking" ->
+      """WITH g AS (SELECT n_chars AS score,
+        |    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS pos_s,
+        |    CAST(count(*) FILTER (lang <> 'en') AS BIGINT) AS neg_s
+        |  FROM documents GROUP BY n_chars),
+        |c AS (SELECT pos_s, neg_s,
+        |    CAST(coalesce(sum(neg_s) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+        |  FROM g),
+        |a AS (SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg_s) AS BIGINT) AS n_neg,
+        |    CAST(sum(pos_s * (2 * neg_below + neg_s)) AS BIGINT) AS auc2 FROM c)
+        |SELECT n_pos, n_neg,
+        |  CAST(auc2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm,
+        |  CAST(2 * (auc2 * 1000000 // (2 * n_pos * n_neg)) - 1000000 AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
     // q157: the same first-day mapping and day-table running sum
     "q157_user_growth" ->
       """WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day

@@ -189,6 +189,20 @@ object ExtendedQueries {
       StreamingTumbling.tumblingPerMinuteWatermarked(s, d)
     },
 
+    // MULTI-WATERMARK UNION (q230, r14) — two independently-watermarked
+    // inputs (purchases at 30 min, everything else at 3 h) unioned into
+    // one windowed aggregation: the global watermark is the MIN of the
+    // per-input watermarks (the default policy — the slowest input gates
+    // finalization, so no input's on-time rows can ever be dropped as
+    // late), and the oracle restricts the batch twin to windows whose
+    // end that min passed. See streaming/MultiWatermark for why min is
+    // the only safe default at scale; MultiWatermarkSpec pins the `max`
+    // policy's direction on the same replay.
+    "q230_multi_watermark_union" -> { (s, d) =>
+      graft.streaming.MultiWatermark.hourlyCountsToFiles(s, d)
+        .orderBy("hour", "event_type")
+    },
+
     // Custom streaming state (§2.4) promoted into the oracle gate: the
     // flatMapGroupsWithState per-user monitor's FINAL state (seen /
     // keyframe counts, max id) is arrival-order-independent, so it
@@ -404,6 +418,20 @@ object ExtendedQueries {
         |GROUP BY minute
         |HAVING epoch_ms(CAST(minute AS TIMESTAMP) + INTERVAL 1 MINUTE) <= (SELECT w_ms FROM wm)
         |ORDER BY minute""".stripMargin,
+    // q230: per-input ms watermarks (the q61 rule applied per slice),
+    // global = min, finalized = window end <= the min
+    "q230_multi_watermark_union" ->
+      """WITH wmp AS (SELECT epoch_ns(max(ts)) // 1000000 - 1800000 AS w
+        |  FROM events WHERE event_type = 'purchase'),
+        |wmo AS (SELECT epoch_ns(max(ts)) // 1000000 - 10800000 AS w
+        |  FROM events WHERE event_type <> 'purchase'),
+        |wm AS (SELECT least((SELECT w FROM wmp), (SELECT w FROM wmo)) AS w_ms)
+        |SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING epoch_ms(CAST(hour AS TIMESTAMP) + INTERVAL 1 HOUR) <= (SELECT w_ms FROM wm)
+        |ORDER BY hour, event_type""".stripMargin,
     "q62_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -45,6 +45,55 @@ object PipelineQueries {
     * computed. */
   private val FilteredAnnLabelMax = 3
 
+  /** q229's HLL geometry: p = 6 ⇒ m = 64 registers (top 6 bits of the
+    * 56-bit hash pick the register, the remaining 50 bits feed the
+    * leading-zero rank). 64 registers give ~13% standard error — the
+    * sketch-size/accuracy point where the fixture's 4k–40k distinct
+    * keys land in the raw-estimator regime at the gate SFs. */
+  private val HllRegisters = 64L
+
+  /** q229's estimator constant, pre-multiplied and floored to an exact
+    * integer both engines share: floor(alpha_64 · m²) with alpha_64 =
+    * 0.7213/(1 + 1.079/64) = 0.70934… ⇒ floor(0.70934·4096) = 2905.
+    * The ~0.016% truncation is part of the estimator DEFINITION here —
+    * both engines use the same literal, so it cancels in the gate. */
+  private val HllAlphaM2 = 2905L
+
+  /** q232's count-min geometry: d = 4 hash rows × w = 64 buckets. The
+    * classic bound: over-estimate ≤ e/w · N with probability
+    * 1 − e^-d ≈ 98% — deliberately small so collisions actually fire
+    * on the 1.5k-user fixture (over_ppm > 0 rows in the report). */
+  private val CmsDepth = 4
+  private val CmsWidth = 64L
+
+  /** Shared HLL register arithmetic (q229/q237/q238 — one definition,
+    * three sketches, so the register algebra can't drift between the
+    * point estimate, the set-union merge, and the window merge). All
+    * three DuckDB oracles replay the same formulas with `//`/`%`
+    * (numerically identical to the shift/mask forms for non-negative
+    * 56-bit hashes). */
+  private def hllBucket(h: Column): Column = shiftright(h, 50)
+  private def hllRho(h: Column): Column = {
+    val w = h.bitwiseAND(lit(1125899906842623L))
+    when(w === 0L, lit(51L))
+      .otherwise(lit(51L) - length(bin(w)).cast("long"))
+  }
+  /** The dyadic 2^42-scaled 2^-rho register term (exact integer). */
+  private val HllTerm = expr(
+    "shiftright(4398046511104, cast(least(rho, 42) as int))")
+  /** Estimate from named aggregate columns (integer division only). */
+  private def hllEstimateExpr(sCol: String, nCol: String): Column =
+    expr(s"$HllAlphaM2 * 4398046511104 div " +
+      s"($sCol + ($HllRegisters - $nCol) * 4398046511104)")
+
+  /** q231's MMR geometry: greedy k picks from the top-C relevance
+    * candidates, λ = 0.7 (encoded as the exact integer marginal
+    * 7·rel_ppm − 3·msim_ppm). C stays small by design — MMR is a
+    * RERANK layer: the retrieval stage bounds the candidate set, and
+    * the greedy walk is O(k·C) on broadcast-sized data. */
+  private val MmrCandidates = 12
+  private val MmrK = 5
+
   /** q111's fixed merge table — the tokenizer ARTIFACT a deploy ships
     * (trained offline; q110 is the training statistic that ranks such
     * pairs). Merges compose ("table" assembles in four steps) and every
@@ -1078,6 +1127,209 @@ object PipelineQueries {
         .orderBy("tok")
     },
 
+    // HYPERLOGLOG UNDER ORACLE (q229, r14) — q38's approx_count_distinct
+    // is Spark-only by §2.3 declaration (the built-in sketch's internals
+    // are engine-specific); this is the same sketch built from first
+    // principles so BOTH engines replay it bit-for-bit: one md5-derived
+    // 56-bit hash per (user, day) key, the top 6 bits pick one of m = 64
+    // registers, each register keeps the max leading-zero rank rho of
+    // the remaining 50 bits (rho = 51 − length(bin(w)) — highest-set-bit
+    // arithmetic via the unpadded binary render both engines share), and
+    // the harmonic mean runs in exact DYADIC integers: every 2^-rho term
+    // scaled by 2^42 through shiftright (never a float sum, whose merge
+    // order could differ), empty registers contributing 2^42 each, the
+    // estimate one integer division against the pre-floored alpha
+    // constant. Work shape at 100 TB: ONE partial-agg'd max per register
+    // — each map task ships ≤ 64 rows to the shuffle regardless of input
+    // size, which is the entire point of HLL; the exact countDistinct
+    // rides along as the report's truth column (at real scale that is
+    // precisely the full-width distinct shuffle the sketch replaces —
+    // here it doubles as the honesty check). Raw estimator only: the
+    // small-range linear-counting correction needs ln (the one float op
+    // the engines may round apart, the q104 rule) and would not engage
+    // anyway (n/m ≥ 6 and zero empty registers at every SF). Measured:
+    // +2.6% at sf0.01, +1.4% at sf0.1 — err_ppm reports the honest gap.
+    "q229_hll_distinct" -> { (s, d) =>
+      val keyCol = concat_ws("_", col("user_id"),
+        expr("unix_micros(ts) div 86400000000"))
+      val ev = Tables.events(s, d)
+        .select(TextOps.hash56(keyCol).as("h"), keyCol.as("key"))
+      val regs = ev
+        .select(hllBucket(col("h")).as("bucket"), hllRho(col("h")).as("rho"))
+        .groupBy("bucket").agg(max("rho").as("rho"))
+        .agg(sum(HllTerm).cast("long").as("s_present"),
+          count(lit(1)).as("n_present"))
+      val exact = ev.agg(countDistinct(col("key")).as("n_exact"))
+      regs.crossJoin(broadcast(exact))
+        .select(col("n_exact"),
+          (lit(HllRegisters) - col("n_present")).as("n_zero_regs"),
+          hllEstimateExpr("s_present", "n_present").as("hll_estimate"))
+        .select(col("n_exact"), col("n_zero_regs"), col("hll_estimate"),
+          expr("abs(hll_estimate - n_exact) * 1000000 div n_exact")
+            .as("err_ppm"))
+    },
+
+    // HLL MERGE ALGEBRA (q237, r14) — WHY sketches win at 100 TB is not
+    // the point estimate (q229), it is the ALGEBRA: registers are
+    // max-folds, so the union of any two sets' sketches is the
+    // elementwise max of their registers — compute per-partition, merge
+    // without re-scanning, answer set-cardinality questions that exact
+    // distinct counts must re-shuffle the corpus for. Here: one register
+    // table per event_type (the partial), the ALL row = elementwise max
+    // across the five (the merge — 5·64 rows of work), each beside its
+    // exact truth. The demo is in the numbers: Σ of per-type estimates
+    // ≈ 2× the merged ALL estimate because user-days repeat across
+    // types — the union question the sum CANNOT answer.
+    "q237_hll_merge" -> { (s, d) =>
+      val keyCol = concat_ws("_", col("user_id"),
+        expr("unix_micros(ts) div 86400000000"))
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), TextOps.hash56(keyCol).as("h"),
+          keyCol.as("key"))
+      val perType = ev
+        .select(col("event_type"), hllBucket(col("h")).as("bucket"),
+          hllRho(col("h")).as("rho"))
+        .groupBy("event_type", "bucket").agg(max("rho").as("rho"))
+      val regs = perType
+        .groupBy("bucket").agg(max("rho").as("rho"))
+        .select(lit("ALL").as("scope"), col("rho"))
+        .unionByName(perType.select(col("event_type").as("scope"), col("rho")))
+      val sk = regs.groupBy("scope")
+        .agg(sum(HllTerm).cast("long").as("sp"), count(lit(1)).as("np"))
+      val ex = ev.groupBy("event_type").agg(countDistinct("key").as("n_exact"))
+        .select(col("event_type").as("scope"), col("n_exact"))
+        .unionByName(ev.agg(countDistinct("key").as("n_exact"))
+          .select(lit("ALL").as("scope"), col("n_exact")))
+      sk.join(ex, "scope")
+        .select(col("scope"), col("n_exact"),
+          hllEstimateExpr("sp", "np").as("hll_estimate"))
+        .select(col("scope"), col("n_exact"), col("hll_estimate"),
+          expr("abs(hll_estimate - n_exact) * 1000000 div n_exact")
+            .as("err_ppm"))
+        .orderBy("scope")
+    },
+
+    // ROLLING-WINDOW DISTINCT VIA DAILY SKETCHES (q238, r14) — the
+    // warehouse pattern the merge algebra exists for: ONE bounded daily
+    // register table (days × ≤64 rows) answers EVERY trailing-window
+    // distinct question by max-merging 7 days of registers — the exact
+    // answer needs a 7× self-expansion of the corpus through a distinct
+    // shuffle PER WINDOW (the exact column here rides along as the
+    // report's truth and is precisely the cost being replaced; at real
+    // scale you keep only the sketch table). Element = distinct
+    // transaction amount (cents) — recurs across days without
+    // saturating, so the window series spans a 6× dynamic range and the
+    // estimate has to track it. The day×daily range join broadcasts the
+    // 30-row day dim; everything downstream is register-table-sized.
+    "q238_hll_rolling_distinct" -> { (s, d) =>
+      val e = Tables.events(s, d).select(
+        expr("cast(cast(round(value * 100) as bigint) as string)").as("key"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      val h = e.select(col("day"), TextOps.hash56(col("key")).as("h"))
+      val daily = h
+        .select(col("day"), hllBucket(col("h")).as("bucket"),
+          hllRho(col("h")).as("rho"))
+        .groupBy("day", "bucket").agg(max("rho").as("rho"))
+      val days = daily.select(col("day").as("w_day")).distinct()
+      val merged = daily.join(broadcast(days),
+          col("day") >= col("w_day") - 6 && col("day") <= col("w_day"))
+        .groupBy("w_day", "bucket").agg(max("rho").as("rho"))
+        .groupBy("w_day")
+        .agg(sum(HllTerm).cast("long").as("sp"), count(lit(1)).as("np"))
+      val exact = e.join(broadcast(days),
+          col("day") >= col("w_day") - 6 && col("day") <= col("w_day"))
+        .groupBy("w_day").agg(countDistinct("key").as("n_exact"))
+      merged.join(exact, "w_day")
+        .select(col("w_day").as("day"), col("n_exact"),
+          hllEstimateExpr("sp", "np").as("hll_estimate"))
+        .select(col("day"), col("n_exact"), col("hll_estimate"),
+          expr("abs(hll_estimate - n_exact) * 1000000 div n_exact")
+            .as("err_ppm"))
+        .orderBy("day")
+    },
+
+    // BLOOM MEMBERSHIP FPR UNDER ORACLE (q239, r14) — completing the
+    // sketch quartet (q229/q237/q238 distinct, q232 frequency, q107
+    // top-k, this one MEMBERSHIP): q72 already uses a bloom as a
+    // runtime pre-screen whose errors the exact verify absorbs; this is
+    // the sketch ITSELF under the gate — the bit array built
+    // relationally (k = 3 md5 bit positions per member, DISTINCT
+    // (row, idx) pairs — ≤ 3n rows, bounded), sized from the data with
+    // the bin-length trick (m = 2^⌈log2(8n)⌉ — both engines compute the
+    // SAME m from the same count, no ln), and the report measures what
+    // the sketch promises: zero false negatives by construction,
+    // false-positive rate on the disjoint probe set (members =
+    // user-days containing a purchase, probes = the rest). FPs fire at
+    // the gate SFs (1 of 2402 at sf0.01, 36 of 23824 at sf0.1).
+    "q239_bloom_fpr" -> { (s, d) =>
+      val keyCol = concat_ws("_", col("user_id"),
+        expr("unix_micros(ts) div 86400000000"))
+      val ud = Tables.events(s, d)
+        .groupBy(keyCol.as("key"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("is_mem"))
+      val mem = ud.filter(col("is_mem") === 1L).select("key")
+      val probes = ud.filter(col("is_mem") === 0L).select("key")
+      val sz = mem.agg(count(lit(1)).as("n_members"))
+        .withColumn("m", expr(
+          "shiftleft(cast(1 as bigint), cast(length(bin(8 * n_members - 1)) as int))"))
+      val js = explode(array(lit(0), lit(1), lit(2))).as("j")
+      val bits = mem.crossJoin(broadcast(sz)).select(col("key"), col("m"), js)
+        .select(col("j"),
+          TextOps.hash56(concat(lit("bf"), col("j").cast("string"),
+            lit("_"), col("key"))) % col("m") as "idx")
+        .distinct()
+      val probeBits = probes.crossJoin(broadcast(sz))
+        .select(col("key"), col("m"), js)
+        .select(col("key"), col("j"),
+          TextOps.hash56(concat(lit("bf"), col("j").cast("string"),
+            lit("_"), col("key"))) % col("m") as "idx")
+      val hits = probeBits.join(bits, Seq("j", "idx"), "left_semi")
+        .groupBy("key").agg(count(lit(1)).as("n_set"))
+      val fp = hits.filter(col("n_set") === 3L)
+        .agg(count(lit(1)).as("n_false_pos"))
+      probes.agg(count(lit(1)).as("n_probes"))
+        .crossJoin(broadcast(sz))
+        .crossJoin(broadcast(fp))
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+        .select(col("n_members"), col("n_probes"), col("m").as("n_bits"),
+          col("n_bits_set"), col("n_false_pos"),
+          expr("n_false_pos * 1000000 div n_probes").as("fpr_ppm"))
+    },
+
+    // COUNT-MIN SKETCH (q232, r14) — the additive point-frequency sketch
+    // beside q107's Misra–Gries: MG keeps an exact top-k SET, CMS answers
+    // frequency queries for ANY key from d·w = 4·64 counters with a
+    // one-sided over-estimate (never under — the property the report
+    // demonstrates). Build shape is the scale-right one: the heavy pass
+    // is the keyed partial-agg count per user (an aggregate the pipeline
+    // runs anyway); the sketch assembles from that bounded user-domain
+    // relation — CMS is additive, so folding per-key totals into cells
+    // equals streaming per-row increments, without a second corpus scan.
+    // Probe: the 20 heaviest users against the 256-cell sketch
+    // (broadcast), est = min over the 4 row cells — exact integers
+    // end-to-end; over_ppm is the collision inflation the sketch trades
+    // for its O(1) size (6 of the top-20 inflate at sf0.01; the exact
+    // hits are the cells no other user shares).
+    "q232_countmin_freq" -> { (s, d) =>
+      val uc = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val cells = uc.select(col("user_id"), col("cnt"),
+          explode(array((0 until CmsDepth).map(lit(_)): _*)).as("j"))
+        .withColumn("bucket",
+          TextOps.hash56(concat(lit("cms"), col("j").cast("string"),
+            lit("_"), col("user_id").cast("string"))) % CmsWidth)
+      val sketch = cells.groupBy("j", "bucket").agg(sum("cnt").as("c"))
+      cells.join(broadcast(sketch), Seq("j", "bucket"))
+        .groupBy("user_id")
+        .agg(min("cnt").as("n_exact"), min("c").as("cms_estimate"))
+        .select(col("user_id"), col("n_exact"), col("cms_estimate"),
+          expr("(cms_estimate - n_exact) * 1000000 div n_exact")
+            .as("over_ppm"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+        .limit(20)
+    },
+
     // Quality scoring: stopword / length / symbol ratios + keep flag.
     // All ratios are single exact IEEE divisions — no rounding hazards.
     "q27_quality_score" -> { (s, d) =>
@@ -1286,6 +1538,75 @@ object PipelineQueries {
         .filter(col("fused_rank") <= 3)
         .select("query_id", "neighbor_id", "rrf", "fused_rank")
         .orderBy("query_id", "fused_rank")
+    },
+
+    // MMR DIVERSITY RERANK (q231, r14) — the diversity-aware selection
+    // layer RAG stacks and data-selection pipelines run AFTER retrieval
+    // (q19/q33 rank by pure relevance; near-duplicate neighbors then
+    // crowd the top — exactly what dedup fights downstream): Maximal
+    // Marginal Relevance greedily picks argmax of λ·rel − (1−λ)·max-sim-
+    // to-already-picked, λ = 0.7, k = 5 from the top-12 relevance
+    // candidates. Selection arithmetic is INTEGER end-to-end (the q224
+    // rule): cosines floor to ppm once (floor, not round — floor of an
+    // exact double is rounding-mode-free in both engines), the marginal
+    // score is 7·rel_ppm − 3·msim_ppm (λ ×10), msim starts at the cosine
+    // floor −10⁶ (a constant shift that leaves the pure-relevance first
+    // pick unchanged), ties break by vec_id — the greedy walk is a total
+    // order, never a float comparison. Work shape: candidate cut =
+    // TakeOrdered (bounded per-partition heaps), the 12×12 sim table and
+    // every greedy step run on BROADCAST-sized relations; each step's
+    // pick is localCheckpoint-materialized so the unrolled plan stays
+    // flat (5 tiny jobs, no 3^k lineage blowup). The measured pick
+    // sequence demonstrates the point: step 2 takes rel 295434 over
+    // 331138 because the latter sits at msim 138060 to the first pick.
+    "q231_mmr_rerank" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(VectorOps.toDoubleArray(col("embedding")).as("qe"))
+      val cand = graft.Caches.scopedPersist(
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            VectorOps.toDoubleArray(col("embedding")).as("v"),
+            floor(VectorOps.cosine(
+              VectorOps.toDoubleArray(col("embedding")), col("qe")) * 1000000)
+              .cast("long").as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(MmrCandidates)
+          .select("vec_id", "v", "rel"))
+      val pairs = graft.Caches.scopedPersist(
+        cand.select(col("vec_id").as("a_id"), col("v").as("av"))
+          .join(broadcast(cand.select(col("vec_id").as("b_id"), col("v").as("bv"))),
+            col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            floor(VectorOps.cosine(col("av"), col("bv")) * 1000000)
+              .cast("long").as("sim")))
+      var selected: DataFrame = null
+      for (step <- 1 to MmrK) {
+        val base = cand.select("vec_id", "rel")
+        val remaining =
+          if (selected == null) base
+          else base.join(selected.select(col("vec_id").as("sid")),
+            col("vec_id") === col("sid"), "left_anti")
+        val withMsim =
+          if (selected == null) remaining.withColumn("msim", lit(-1000000L))
+          else {
+            val ms = pairs
+              .join(broadcast(selected.select(col("vec_id").as("sid"))),
+                col("b_id") === col("sid"))
+              .groupBy(col("a_id")).agg(max(col("sim")).as("m"))
+            remaining.join(ms, col("vec_id") === col("a_id"), "left")
+              .withColumn("msim", coalesce(col("m"), lit(-1000000L)))
+          }
+        val best = graft.Caches.scopedCheckpoint(withMsim
+          .withColumn("mmr10", lit(7L) * col("rel") - lit(3L) * col("msim"))
+          .orderBy(col("mmr10").desc, col("vec_id"))
+          .limit(1)
+          .select(lit(step.toLong).as("rank"), col("vec_id"),
+            col("rel").as("rel_ppm"), col("msim").as("msim_ppm"),
+            col("mmr10")))
+        selected = if (selected == null) best else selected.unionByName(best)
+      }
+      selected.orderBy("rank")
     },
 
     // RANKED-RETRIEVAL QUALITY: MRR + NDCG@5 (q215) — the graded
@@ -3007,6 +3328,132 @@ object PipelineQueries {
          |SELECT tok, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
          |  CAST(n AS DOUBLE) / total AS frac
          |FROM c, tot WHERE n * $HeavyHittersK > total ORDER BY tok""".stripMargin,
+    // q229: the identical register walk — same md5 key, same top-6-bit
+    // bucket split, rho from the unpadded binary render, the dyadic
+    // 2^42-scaled harmonic sum, one integer division. DuckDB's bin()
+    // and Spark's bin() both render without leading zeros, so
+    // 51 − length(bin(w)) is the same leading-zero rank in both.
+    "q229_hll_distinct" ->
+      s"""WITH k AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+         |      || '_' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS h,
+         |    CAST(user_id AS VARCHAR) || '_'
+         |      || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS key
+         |  FROM events),
+         |r AS (SELECT h // 1125899906842624 AS bucket,
+         |    CASE WHEN h % 1125899906842624 = 0 THEN 51
+         |         ELSE 51 - length(bin(h % 1125899906842624)) END AS rho
+         |  FROM k),
+         |m AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+         |s AS (SELECT CAST(sum(4398046511104 >> CAST(least(rho, 42) AS INTEGER))
+         |      AS BIGINT) AS s_present,
+         |    CAST(count(*) AS BIGINT) AS n_present FROM m),
+         |x AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_exact FROM k)
+         |SELECT n_exact, $HllRegisters - n_present AS n_zero_regs,
+         |  CAST($HllAlphaM2 * 4398046511104
+         |    // (s_present + ($HllRegisters - n_present) * 4398046511104)
+         |    AS BIGINT) AS hll_estimate,
+         |  CAST(abs(CAST($HllAlphaM2 * 4398046511104
+         |      // (s_present + ($HllRegisters - n_present) * 4398046511104)
+         |      AS BIGINT) - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+         |FROM s, x""".stripMargin,
+    // q232: the same per-user fold into 4×64 cells and min-probe
+    "q232_countmin_freq" ->
+      s"""WITH uc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY user_id),
+         |b AS (SELECT user_id, cnt, j,
+         |    CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '_'
+         |      || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM uc, (SELECT unnest([0,1,2,3]) AS j)),
+         |sk AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM b GROUP BY j, bucket),
+         |est AS (SELECT b.user_id, min(b.cnt) AS n_exact, min(sk.c) AS cms_estimate
+         |  FROM b JOIN sk USING (j, bucket) GROUP BY b.user_id)
+         |SELECT user_id, n_exact, cms_estimate,
+         |  CAST((cms_estimate - n_exact) * 1000000 // n_exact AS BIGINT) AS over_ppm
+         |FROM est ORDER BY n_exact DESC, user_id LIMIT 20""".stripMargin,
+    // q237: the same per-type register tables, elementwise-max merge,
+    // shared estimate formula
+    "q237_hll_merge" ->
+      s"""WITH k AS (SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || '_'
+         |      || CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS key
+         |  FROM events),
+         |h AS (SELECT event_type, key,
+         |    CAST(('0x' || substr(md5(key), 1, 14)) AS BIGINT) AS h FROM k),
+         |r AS (SELECT event_type, h // 1125899906842624 AS bucket,
+         |    CASE WHEN h % 1125899906842624 = 0 THEN 51
+         |         ELSE 51 - length(bin(h % 1125899906842624)) END AS rho FROM h),
+         |m AS (SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+         |u AS (SELECT 'ALL' AS scope, bucket, max(rho) AS rho FROM m GROUP BY bucket
+         |      UNION ALL SELECT event_type AS scope, bucket, rho FROM m),
+         |s AS (SELECT scope,
+         |    CAST(sum(4398046511104 >> CAST(least(rho, 42) AS INTEGER)) AS BIGINT) AS sp,
+         |    CAST(count(*) AS BIGINT) AS np FROM u GROUP BY scope),
+         |x AS (SELECT event_type AS scope, CAST(count(DISTINCT key) AS BIGINT) AS n_exact
+         |      FROM h GROUP BY event_type
+         |      UNION ALL SELECT 'ALL', CAST(count(DISTINCT key) AS BIGINT) FROM h)
+         |SELECT s.scope, x.n_exact,
+         |  CAST($HllAlphaM2 * 4398046511104
+         |    // (sp + ($HllRegisters - np) * 4398046511104) AS BIGINT) AS hll_estimate,
+         |  CAST(abs(CAST($HllAlphaM2 * 4398046511104
+         |      // (sp + ($HllRegisters - np) * 4398046511104) AS BIGINT) - x.n_exact)
+         |    * 1000000 // x.n_exact AS BIGINT) AS err_ppm
+         |FROM s JOIN x USING (scope) ORDER BY scope""".stripMargin,
+    // q238: the same daily register table, 7-day max-merge per window,
+    // exact trailing distinct as the truth column
+    "q238_hll_rolling_distinct" ->
+      s"""WITH e AS (SELECT CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS key,
+         |    epoch_us(ts) // 86400000000 AS day FROM events),
+         |h AS (SELECT day, CAST(('0x' || substr(md5(key), 1, 14)) AS BIGINT) AS h FROM e),
+         |r AS (SELECT day, h // 1125899906842624 AS bucket,
+         |    CASE WHEN h % 1125899906842624 = 0 THEN 51
+         |         ELSE 51 - length(bin(h % 1125899906842624)) END AS rho FROM h),
+         |daily AS (SELECT day, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM daily),
+         |merged AS (SELECT d.day, dl.bucket, max(dl.rho) AS rho
+         |  FROM days d JOIN daily dl ON dl.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day, dl.bucket),
+         |s AS (SELECT day,
+         |    CAST(sum(4398046511104 >> CAST(least(rho, 42) AS INTEGER)) AS BIGINT) AS sp,
+         |    CAST(count(*) AS BIGINT) AS np FROM merged GROUP BY day),
+         |x AS (SELECT d.day, CAST(count(DISTINCT e.key) AS BIGINT) AS n_exact
+         |  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
+         |SELECT s.day, x.n_exact,
+         |  CAST($HllAlphaM2 * 4398046511104
+         |    // (sp + ($HllRegisters - np) * 4398046511104) AS BIGINT) AS hll_estimate,
+         |  CAST(abs(CAST($HllAlphaM2 * 4398046511104
+         |      // (sp + ($HllRegisters - np) * 4398046511104) AS BIGINT) - x.n_exact)
+         |    * 1000000 // x.n_exact AS BIGINT) AS err_ppm
+         |FROM s JOIN x USING (day) ORDER BY day""".stripMargin,
+    // q239: the same data-derived m, distinct bit set, 3-hash probe
+    "q239_bloom_fpr" ->
+      """WITH ud AS (SELECT CAST(user_id AS VARCHAR) || '_' ||
+        |      CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS key,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS is_mem
+        |  FROM events GROUP BY 1),
+        |mem AS (SELECT key FROM ud WHERE is_mem = 1),
+        |probe AS (SELECT key FROM ud WHERE is_mem = 0),
+        |sz AS (SELECT CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(1 AS BIGINT) << length(bin(8 * count(*) - 1)) AS m FROM mem),
+        |bits AS (SELECT DISTINCT j,
+        |    CAST(('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || '_' || key), 1, 14)) AS BIGINT)
+        |      % (SELECT m FROM sz) AS idx
+        |  FROM mem, (SELECT unnest([0,1,2]) AS j)),
+        |hits AS (SELECT p.key, count(b.idx) AS n_set
+        |  FROM probe p CROSS JOIN (SELECT unnest([0,1,2]) AS j) js
+        |  LEFT JOIN bits b ON b.j = js.j AND b.idx =
+        |    CAST(('0x' || substr(md5('bf' || CAST(js.j AS VARCHAR) || '_' || p.key), 1, 14)) AS BIGINT)
+        |      % (SELECT m FROM sz)
+        |  GROUP BY p.key)
+        |SELECT (SELECT n_members FROM sz) AS n_members,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probes,
+        |  (SELECT m FROM sz) AS n_bits,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+        |  CAST(count(*) FILTER (n_set = 3) AS BIGINT) AS n_false_pos,
+        |  CAST(count(*) FILTER (n_set = 3) * 1000000
+        |    // (SELECT count(*) FROM probe) AS BIGINT) AS fpr_ppm
+        |FROM hits""".stripMargin,
     "q27_quality_score" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
         |    length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym
@@ -3194,6 +3641,49 @@ object PipelineQueries {
          |SELECT query_id, neighbor_id, rrf, fused_rank
          |FROM top WHERE fused_rank <= 3
          |ORDER BY query_id, fused_rank""".stripMargin,
+    // q231: the same ppm-floored cosines and integer marginal, the
+    // greedy walk as a recursive CTE carrying per-candidate state
+    // (taken bit + running max-sim) — the q37 walk pattern; the pick
+    // each step is the first (min-id) entry achieving the integer max
+    "q231_mmr_rerank" ->
+      """WITH RECURSIVE q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS qn
+        |  FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT vec_id,
+        |    CAST(e.embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS n,
+        |    CAST(floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * q.qn)
+        |      * 1000000) AS BIGINT) AS rel
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 12),
+        |sims AS (SELECT a.vec_id AS id, list(struct_pack(oid := b.vec_id,
+        |      sim := CAST(floor(list_dot_product(a.v, b.v) / (a.n * b.n) * 1000000) AS BIGINT))
+        |      ORDER BY b.vec_id) AS ss
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id GROUP BY a.vec_id),
+        |st0 AS (SELECT list(struct_pack(id := c.vec_id, rel := c.rel, ss := s.ss,
+        |      msim := CAST(-1000000 AS BIGINT), taken := false) ORDER BY c.vec_id) AS st
+        |  FROM cand c JOIN sims s ON c.vec_id = s.id),
+        |walk(step, pick_id, pick_rel, pick_msim, st) AS (
+        |  SELECT 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), st
+        |  FROM st0
+        |  UNION ALL
+        |  SELECT t.step + 1, t.b.id, t.b.rel, t.b.msim,
+        |    list_transform(t.st, x -> struct_pack(id := x.id, rel := x.rel, ss := x.ss,
+        |      msim := CASE WHEN x.taken OR x.id = t.b.id THEN x.msim
+        |        ELSE greatest(x.msim, list_max(list_transform(
+        |          list_filter(x.ss, y -> y.oid = t.b.id), y -> y.sim))) END,
+        |      taken := x.taken OR x.id = t.b.id))
+        |  FROM (
+        |    SELECT w.step, w.st,
+        |      list_filter(w.st, x -> NOT x.taken AND 7 * x.rel - 3 * x.msim =
+        |        list_max(list_transform(list_filter(w.st, y -> NOT y.taken),
+        |          y -> 7 * y.rel - 3 * y.msim)))[1] AS b
+        |    FROM walk w WHERE w.step < 5) t)
+        |SELECT CAST(step AS BIGINT) AS rank, pick_id AS vec_id,
+        |  pick_rel AS rel_ppm, pick_msim AS msim_ppm,
+        |  7 * pick_rel - 3 * pick_msim AS mmr10
+        |FROM walk WHERE step >= 1 ORDER BY rank""".stripMargin,
     // q215: q132's two arms with the approx rank retained, the same
     // LITERAL DCG weights, exact BIGINT sums, integer divisions
     "q215_retrieval_ndcg" -> {

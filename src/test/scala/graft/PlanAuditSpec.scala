@@ -1018,6 +1018,73 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("CartesianProduct"), "no join belongs in a per-doc pass")
   }
 
+  test("q229: HLL registers partial-aggregate — <= 64 rows per map task reach the shuffle") {
+    val p = formatted("q229_hll_distinct")
+    assert(p.contains("partial_max"),
+      "the per-register rho max must map-side combine (the whole point of HLL)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q232: the 256-cell sketch broadcasts; the probe ends in a bounded TakeOrdered") {
+    val p = formatted("q232_countmin_freq")
+    assert(p.contains("BroadcastExchange"), "the sketch must broadcast to the probe")
+    assert(p.contains("partial_sum"), "cell sums must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must stay a bounded heap")
+  }
+
+  test("q233: the cohort tables broadcast onto the row-level pass — no sort-merge") {
+    val p = formatted("q233_ips_policy_eval")
+    assert(p.contains("BroadcastExchange"), "10-row cohort aggregates must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q235: group tables map-side combine; the EMD window is per QI group") {
+    val p = formatted("q235_t_closeness")
+    assert(p.contains("partial_count"), "the QI group counts must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q236: AUC is one keyed agg + a domain-bounded window — no join anywhere") {
+    val p = formatted("q236_auc_ranking")
+    assert(p.contains("partial_sum"), "score-group counts must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), "no join belongs in a rank statistic")
+  }
+
+  test("q231: the unrolled greedy stays flat — 5 materialized picks, no lineage blowup") {
+    // each step's pick is localCheckpoint-materialized, so the FINAL
+    // plan must be a plain 5-leaf union (a naive unroll re-expands the
+    // previous selection into every later step — ~3^k subplans)
+    val p = formatted("q231_mmr_rerank")
+    // FormattedMode renders each node twice (tree line + details header)
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 10,
+      "expected exactly the 5 checkpointed picks as leaves")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "all join work must happen inside the materialized steps")
+  }
+
+  test("q237/q238: register tables partial-aggregate; the day dim broadcasts onto the range join") {
+    val p237 = formatted("q237_hll_merge")
+    assert(p237.contains("partial_max"), "per-type registers must map-side combine")
+    assert(!p237.contains("CartesianProduct"))
+    val p238 = formatted("q238_hll_rolling_distinct")
+    assert(p238.contains("partial_max"), "daily registers must map-side combine")
+    assert(p238.contains("BroadcastNestedLoopJoin"),
+      "the 30-row day dim must broadcast for the trailing-window range join")
+  }
+
+  test("q239: the bit set broadcasts to the probe side — membership is a semi-join") {
+    val p = formatted("q239_bloom_fpr")
+    assert(p.contains("BroadcastExchange"), "the <=3n-row bit set must broadcast")
+    assert(p.contains("LeftSemi"), "the 3-hash probe must stay a semi-join")
+  }
+
+  test("q240: both percentile sides are keyed partial aggs + per-type windows") {
+    val p = formatted("q240_loglinear_percentiles")
+    assert(p.contains("partial_count"), "bucket counts must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
