@@ -63,16 +63,19 @@ object StreamingHeavyHitters {
   }
 
   /** Fold ONE micro-batch of (doc_id, text) into the standing sketch,
-    * exactly-once under retry (version keyed by `batchId`). Package-
-    * visible so the spec drives it directly (the same contract as
-    * [[IncrementalNearDup.processBatch]]). */
-  private[streaming] def processBatch(batch: DataFrame, sketchDir: String,
-                                      batchId: Long): Unit = {
+    * exactly-once under retry (version keyed by `batchId`). Visible
+    * inside graft so the spec AND the q243 oracle-gated face drive it
+    * directly (the same contract as [[IncrementalNearDup.processBatch]]).
+    * `k` must be constant across a sketchDir's lifetime — the merge
+    * assumes both summaries share the width (q243 folds at q107's
+    * k = 32 into its own directory; the default stays [[K]]). */
+  private[graft] def processBatch(batch: DataFrame, sketchDir: String,
+                                  batchId: Long, k: Int = K): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val versions = committed(spark, sketchDir)
     if (versions.contains(batchId)) return // retry of a committed batch: no-op
-    val agg = new MisraGries(K)
+    val agg = new MisraGries(k)
     val mg = udaf(agg)
     val toks = batch.select(explode(split(col("text"), " ")).as("tok"))
     // distributed reduction to ONE summary row; collect is summary-sized

@@ -1085,6 +1085,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q242: three register tables, all partial-max — no corpus-sized join anywhere") {
+    val p = formatted("q242_hll_intersection")
+    assert(p.contains("partial_max"), "side registers must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the combine layer runs on broadcast 1-row estimates")
+  }
+
+  test("q243: the exact second pass is a broadcast semi-join over the streamed candidates") {
+    val p = formatted("q243_heavy_hitters_stream")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastExchange"),
+      "candidates must broadcast; the corpus is filtered, never joined wide")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
