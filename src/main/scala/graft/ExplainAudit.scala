@@ -68,7 +68,8 @@ object ExplainAudit {
         "q235_t_closeness", "q236_auc_ranking", "q231_mmr_rerank",
         "q237_hll_merge", "q238_hll_rolling_distinct", "q239_bloom_fpr",
         "q240_loglinear_percentiles",
-        "q242_hll_intersection", "q243_heavy_hitters_stream")
+        "q242_hll_intersection", "q243_heavy_hitters_stream",
+        "q244_partition_advisor")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

@@ -269,6 +269,60 @@ object ScaleQueries {
         .orderBy("layout")
     },
 
+    // PARTITION-LAYOUT ADVISOR (q244, r14) — the decision q82/q84
+    // presuppose: WHICH column should partition the table? Scored the
+    // way a storage owner actually scores it — against a workload: for
+    // each candidate partition column and each predicate in a
+    // five-predicate workload, the scan fraction is the predicate's
+    // exact selectivity IF it targets the partition column (directory
+    // pruning reads only matching partitions) and 10⁶ ppm otherwise
+    // (a predicate on a non-partition column prunes nothing at listing
+    // time — zone maps may still help, that is q197's separate number).
+    // The report ranks candidates by mean scan ppm; on this fixture the
+    // day column wins (time predicates are the workload's narrowest),
+    // which is why real event tables partition by date. Work: ONE
+    // corpus pass for the five selectivities (conditional partial
+    // sums), then a 15-row literal candidate×predicate grid.
+    "q244_partition_advisor" -> { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("user_id") % 100).as("cohort"))
+      val d0 = e.agg(min(col("day")).as("d0"))
+      val flags = e.crossJoin(broadcast(d0)).select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("m1"),
+        when(col("day").between(col("d0") + 10, col("d0") + 19), 1L)
+          .otherwise(0L).as("m2"),
+        when(col("cohort") < 10, 1L).otherwise(0L).as("m3"),
+        when(col("event_type").isin("error", "signup"), 1L).otherwise(0L).as("m4"),
+        when(col("day") === col("d0") + 5, 1L).otherwise(0L).as("m5"))
+      val sels = flags.agg(count(lit(1)).as("n"),
+          sum("m1").as("c1"), sum("m2").as("c2"), sum("m3").as("c3"),
+          sum("m4").as("c4"), sum("m5").as("c5"))
+        .selectExpr("c1 * 1000000 div n AS s1", "c2 * 1000000 div n AS s2",
+          "c3 * 1000000 div n AS s3", "c4 * 1000000 div n AS s4",
+          "c5 * 1000000 div n AS s5")
+      import s.implicits._
+      val grid = Seq(
+        ("w1", "event_type"), ("w2", "day"), ("w3", "cohort"),
+        ("w4", "event_type"), ("w5", "day"))
+        .toDF("pred", "pred_col")
+        .crossJoin(Seq("cohort", "day", "event_type").toDF("partition_col"))
+      grid.crossJoin(broadcast(sels))
+        .select(col("partition_col"),
+          when(col("pred_col") =!= col("partition_col"), lit(1000000L))
+            .otherwise(expr(
+              """CASE pred WHEN 'w1' THEN s1 WHEN 'w2' THEN s2
+                 WHEN 'w3' THEN s3 WHEN 'w4' THEN s4 ELSE s5 END"""))
+            .as("scan_ppm"))
+        .groupBy("partition_col")
+        .agg(sum(when(col("scan_ppm") < 1000000L, 1L).otherwise(0L))
+          .as("n_preds_pruned"),
+          sum(col("scan_ppm")).as("total_ppm"))
+        .select(col("partition_col"), col("n_preds_pruned"),
+          expr("total_ppm div 5").as("avg_scan_ppm"))
+        .orderBy("avg_scan_ppm", "partition_col")
+    },
+
     // JOIN-SIZE ESTIMATOR EVAL (q204) — the optimizer-observability
     // number behind q161's skew report and q134's salting decision:
     // how wrong is the textbook uniform-key estimate |A⋈A| ≈ n²/d
@@ -483,6 +537,36 @@ object ScaleQueries {
         |  n_skipped * 1000000 // n_files AS skip_ppm, rows_read, rows_matched
         |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u
         |ORDER BY layout""".stripMargin,
+    // q244: the same five exact selectivities and candidate×predicate grid
+    "q244_partition_advisor" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    user_id % 100 AS cohort FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN day BETWEEN (SELECT d0 FROM d0) + 10
+        |      AND (SELECT d0 FROM d0) + 19 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN cohort < 10 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN event_type IN ('error', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(sum(CASE WHEN day = (SELECT d0 FROM d0) + 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        |  FROM e),
+        |s AS (SELECT c1 * 1000000 // n AS s1, c2 * 1000000 // n AS s2,
+        |    c3 * 1000000 // n AS s3, c4 * 1000000 // n AS s4,
+        |    c5 * 1000000 // n AS s5 FROM sel),
+        |wl AS (SELECT * FROM (VALUES ('w1', 'event_type'), ('w2', 'day'),
+        |    ('w3', 'cohort'), ('w4', 'event_type'), ('w5', 'day')) t(pred, pred_col)),
+        |cand AS (SELECT * FROM (VALUES ('cohort'), ('day'), ('event_type')) c(partition_col)),
+        |g AS (SELECT partition_col,
+        |    CASE WHEN pred_col <> partition_col THEN 1000000
+        |         ELSE CASE pred WHEN 'w1' THEN s1 WHEN 'w2' THEN s2
+        |              WHEN 'w3' THEN s3 WHEN 'w4' THEN s4 ELSE s5 END
+        |    END AS scan_ppm
+        |  FROM cand CROSS JOIN wl CROSS JOIN s)
+        |SELECT partition_col,
+        |  CAST(count(*) FILTER (scan_ppm < 1000000) AS BIGINT) AS n_preds_pruned,
+        |  CAST(sum(scan_ppm) // 5 AS BIGINT) AS avg_scan_ppm
+        |FROM g GROUP BY partition_col
+        |ORDER BY avg_scan_ppm, partition_col""".stripMargin,
     // q204: the same count tables, Σc², n²/d estimate, and integer ppm
     "q204_joinsize_estimate" ->
       """WITH ce AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c

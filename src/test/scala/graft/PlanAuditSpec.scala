@@ -1098,6 +1098,14 @@ class PlanAuditSpec extends SparkSpec {
       "candidates must broadcast; the corpus is filtered, never joined wide")
   }
 
+  test("q244: one corpus pass of partial sums; the advisor grid is broadcast-sized") {
+    val p = formatted("q244_partition_advisor")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the five selectivities must map-side combine in one pass")
+    assert(!p.contains("SortMergeJoin"),
+      "the 15-row candidate×predicate grid must never shuffle-join")
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkEntry, SparkSpec, Tables}
 
-/** Directions for the streaming/derived sketch faces (q241–q243) the
-  * shared oracle texts can't express: the streaming register fold's
-  * CONSTANT state bound, batch≡stream row equality on both promoted
-  * faces, the inclusion-exclusion brute force, and the Misra–Gries
-  * containment guarantee on the streamed summary.
+/** Directions for the streaming/derived sketch faces (q241–q243) and
+  * the layout advisor (q244) that the shared oracle texts can't
+  * express: the streaming register fold's CONSTANT state bound,
+  * batch≡stream row equality on both promoted faces, the
+  * inclusion-exclusion brute force, the Misra–Gries containment
+  * guarantee on the streamed summary, and the advisor's brute ranking.
   */
 class Round14dEvalSpec extends SparkSpec {
   import spark.implicits._
@@ -55,6 +56,34 @@ class Round14dEvalSpec extends SparkSpec {
     assert(row.getAs[Long]("hll_int_estimate") === estInt)
     assert(row.getAs[Long]("err_ppm") ===
       math.abs(estInt - exactInt) * 1000000L / exactInt)
+  }
+
+  test("q244 equals the brute advisor and ranks the time column first") {
+    val rows = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "unix_micros(ts) div 86400000000 AS day",
+        "user_id % 100 AS cohort")
+      .as[(String, Long, Long)].collect()
+    val n = rows.length.toLong
+    val d0 = rows.map(_._2).min
+    val sels = Map(
+      "w1" -> ("event_type", rows.count(_._1 == "purchase")),
+      "w2" -> ("day", rows.count(r => r._2 >= d0 + 10 && r._2 <= d0 + 19)),
+      "w3" -> ("cohort", rows.count(_._3 < 10)),
+      "w4" -> ("event_type", rows.count(r => r._1 == "error" || r._1 == "signup")),
+      "w5" -> ("day", rows.count(_._2 == d0 + 5)))
+      .view.mapValues { case (c, m) => (c, m.toLong * 1000000L / n) }.toMap
+    val want = Seq("cohort", "day", "event_type").map { cand =>
+      val scans = sels.values.map { case (c, s) =>
+        if (c == cand) s else 1000000L }
+      (cand, scans.count(_ < 1000000L).toLong, scans.sum / 5L)
+    }.sortBy { case (c, _, avg) => (avg, c) }
+    val got = run("q244_partition_advisor")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.head._1 === "day",
+      "the workload's narrowest predicates target time — day must win")
+    assert(got.map(_._1).contains("cohort") && got.last._3 > got.head._3,
+      "the ranking must actually separate candidates")
   }
 
   test("q243 ≡ q107 exactly, and the streamed summary contains every true heavy hitter") {
