@@ -331,6 +331,41 @@ object Bench {
         s"duplicate short query keys in bands: ${entries.map(_._1).diff(entries.map(_._1).distinct)}")
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
+    // Cross-round riser adjudication (VERDICT r14 item 7): each median is
+    // compared against its own [min, max] band from the previous
+    // committed CLEAN record (tools/bench_bands.json — rewritten below by
+    // every untainted driver-SF run and committed with the round, because
+    // the driver's BENCH_rN.json persists only the tail of stdout and
+    // truncates the full band map). A query is suspect when its median
+    // falls outside the previous band by more than 20% AND 100 ms — the
+    // slack absorbs run-to-run host drift on sub-second queries (3-rep
+    // bands are narrow; strict containment would flag dozens of honest
+    // 10 ms wobbles), while a real riser like r13's q205 (+38%) or any
+    // plan regression clears both gates. Both directions flag: an
+    // unexplained FALL is a plan change to adjudicate too.
+    def shortName(k: String): String =
+      if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    val bandsPath = java.nio.file.Paths.get("tools/bench_bands.json")
+    val prevBands: Map[String, (Double, Double)] =
+      if (!java.nio.file.Files.exists(bandsPath)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(bandsPath), "UTF-8")
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else "\"(q[0-9]+)\":\\[([-0-9.]+),([-0-9.]+),([-0-9.]+)\\]".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(3).toDouble, m.group(4).toDouble))
+          .toMap
+      }
+    def isSuspect(m: Double, lo: Double, hi: Double): Boolean =
+      m >= 0 && (m > math.max(hi * 1.2, hi + 0.1) ||
+        m < math.min(lo / 1.2, lo - 0.1))
+    val suspects = runs.map { case (k, ts) => shortName(k) ->
+        (if (ts.exists(_ < 0)) -1.0 else median(ts)) }
+      .collect { case (short, m) if prevBands.get(short)
+        .exists { case (lo, hi) => isSuspect(m, lo, hi) } => short }
+      .sorted
+    if (suspects.nonEmpty)
+      System.err.println(s"[bench] ${suspects.size} median(s) outside the previous clean band: ${suspects.mkString(",")}")
     val ok = runs.filter(_._2.forall(_ >= 0))
     // ok-portion per FAMILY: if one family failed, the other's cached
     // build still benefited its queries and must stay charged — a
@@ -371,7 +406,11 @@ object Bench {
     // median_def records the even-rep definition change (midpoint of the
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // n_suspect is only meaningful against a baseline; baseline=false
+    // says "no previous clean bands for this sf" rather than "0 risers"
+    val suspectBaseline = prevBands.nonEmpty
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsJson,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
     // The driver persists only the LAST ~2000 chars of stdout. At 124
     // queries the full line above outgrew that window and BENCH_r10 went
     // on record with "parsed": null — no total at all (VERDICT r10 item
@@ -379,7 +418,21 @@ object Bench {
     // per-query map (≪ 2000 chars, forever): printed last, it is always
     // inside the tail the driver parses. The full line stays for humans
     // and per-query analysis.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
+    // refresh the committed adjudication baseline: only a CLEAN,
+    // zero-failure run at the driver's bench SF may become the next
+    // round's reference bands (a local sf0.001 iteration or a tainted
+    // window must not clobber the sf0.1 baseline)
+    if (!tainted && failed == 0 && sfDir.endsWith("sf0.1")) {
+      val bandsFile = s"""{"sf":"$sfDir","reps":$reps,"bands":${fmtBands(runs)}}"""
+      try {
+        java.nio.file.Files.createDirectories(bandsPath.getParent)
+        java.nio.file.Files.writeString(bandsPath, bandsFile + "\n")
+        System.err.println(s"[bench] clean run - wrote ${runs.size} baseline bands to $bandsPath")
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $bandsPath: ${e.getMessage}")
+      }
+    }
     // a rerun must rebuild (and re-time) the shared relations from
     // scratch or its shared_build would time a warm cache
     Caches.releaseShared()

@@ -26,6 +26,52 @@ object Packing {
   case class Packed(doc_id: Long, lang: String, n_chars: Long,
                     bin_id: Long)
 
+  case class SpanDoc(shard: Long, pos: Long, doc_id: Long, n_tokens: Long)
+  case class SpanPacked(shard: Long, context_id: Long, doc_id: Long,
+                        tok_start: Long, tok_end: Long, n_tokens: Long,
+                        n_trunc_tokens: Long)
+
+  /** The full training-export packing walk behind q245 (q78's bin
+    * assignment, completed to what a loader actually consumes): per
+    * shard, walk documents in export order (`pos`) and emit each one's
+    * (context_id, tok_start, tok_end) inside a fixed token `budget` —
+    * greedy-by-arrival, a new context when the document no longer fits.
+    * A document longer than the budget is TRUNCATED to it (the standard
+    * pretraining rule; `n_trunc_tokens` reports the loss so the export
+    * audit sees it), which also makes the rollover total: a clipped
+    * length can never exceed an empty context's capacity.
+    *
+    * Same scale shape as [[greedyPack]]: the fold is inherently
+    * sequential per shard (each span depends on every prior assignment —
+    * a window function cannot reference its own output, so there is no
+    * running-sum closed form), and exactly as parallel as the export
+    * itself — shards pack independently, one keyed shuffle, state is two
+    * longs per task. Shard count scales with loader workers at 100 TB
+    * (the q99/q221 rule), so per-task work is corpus/shards, never a
+    * driver loop. */
+  def packSpans(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("shard").cast("long"), col("pos").cast("long"),
+        col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .as[SpanDoc]
+      .groupByKey(_.shard)
+      .flatMapSortedGroups(col("pos").asc) { (_, it) =>
+        var ctx = 0L
+        var fill = 0L
+        it.map { d =>
+          val len = math.min(d.n_tokens, budget)
+          if (fill + len > budget) { ctx += 1; fill = 0L }
+          val start = fill
+          fill += len
+          SpanPacked(d.shard, ctx, d.doc_id, start, start + len, len,
+            d.n_tokens - len)
+        }
+      }
+      .toDF()
+  }
+
   /** Assign each document a `bin_id` per lang: running greedy first-fit
     * over ascending `doc_id`, opening a new bin when `fill + n_chars`
     * would exceed `capacity` (an oversized first document still lands in

@@ -705,12 +705,16 @@ object AnalyticsQueries {
         .groupBy("event_type").agg(pick(50, "p50_est"), pick(99, "p99_est"))
       val exAgg = ranked(c, "cents").withColumnRenamed("cents", "v")
         .groupBy("event_type").agg(pick(50, "p50_exact"), pick(99, "p99_exact"))
+      // greatest(·,1): cents = round(value·100) can legitimately be 0,
+      // and a 0 exact percentile would split the engines (Spark div →
+      // NULL, DuckDB // → error); the guard is mirrored verbatim in the
+      // oracle so the edge stays defined and symmetric (r15, ADVICE r14)
       exAgg.join(broadcast(skAgg), "event_type")
         .select(col("event_type"), col("p50_exact"), col("p50_est"),
-          expr("abs(p50_est - p50_exact) * 1000000 div p50_exact")
+          expr("abs(p50_est - p50_exact) * 1000000 div greatest(p50_exact, 1)")
             .as("p50_err_ppm"),
           col("p99_exact"), col("p99_est"),
-          expr("abs(p99_est - p99_exact) * 1000000 div p99_exact")
+          expr("abs(p99_est - p99_exact) * 1000000 div greatest(p99_exact, 1)")
             .as("p99_err_ppm"))
         .orderBy("event_type")
     },
@@ -1060,9 +1064,14 @@ object AnalyticsQueries {
     // the alphabetical event_type order with unit spacing — for ordered
     // categories EMD reduces to the mean |cumulative difference|, which
     // runs in exact integers: per type, |cumG·T − cumT·G| scaled to ppm
-    // of G·T (checkedMul-guarded headroom — cum ≤ G, so the products sit
-    // ≲ G·T ≈ 10¹⁴ at sf100; past that the named error fires, the q161
-    // escalation rule), then the per-group mean over the k−1 interior
+    // of G·T. Headroom (r15, ADVICE r14): the binding product is the
+    // ×10⁶ ppm scale over |cumG·T − cumT·G| (worst case ≈ G·T), so the
+    // checkedMul guard fires once G·T exceeds ~9.2×10¹² — NOT the
+    // ≈10¹⁴ edge of the raw cum products; past it the named error
+    // escalates (the q161 rule) and the fix is dividing by den BEFORE
+    // the ppm scale on both faces (DuckDB overflows at the same point,
+    // just with its own error surface). Then the per-group mean over
+    // the k−1 interior
     // steps (the last cum step is identically 0 and contributes
     // nothing). Work shape: two partial-agg'd group tables (QI-domain
     // bounded), the dense QI×type grid via a broadcast of the 5-row type
@@ -2199,9 +2208,9 @@ object AnalyticsQueries {
         |    min(CASE WHEN cum >= (n * 99 + 99) // 100 AND cum - cnt < (n * 99 + 99) // 100 THEN cents END) AS p99_exact
         |  FROM xcum GROUP BY event_type)
         |SELECT e.event_type, p50_exact, p50_est,
-        |  CAST(abs(p50_est - p50_exact) * 1000000 // p50_exact AS BIGINT) AS p50_err_ppm,
+        |  CAST(abs(p50_est - p50_exact) * 1000000 // greatest(p50_exact, 1) AS BIGINT) AS p50_err_ppm,
         |  p99_exact, p99_est,
-        |  CAST(abs(p99_est - p99_exact) * 1000000 // p99_exact AS BIGINT) AS p99_err_ppm
+        |  CAST(abs(p99_est - p99_exact) * 1000000 // greatest(p99_exact, 1) AS BIGINT) AS p99_err_ppm
         |FROM ex e JOIN est USING (event_type) ORDER BY e.event_type""".stripMargin,
     // q181: the same decimal-exact cents, week-age anchor, and
     // power-of-two shift weights

@@ -1408,7 +1408,12 @@ object PipelineQueries {
           (col("est_a") + col("est_b") - col("est_u")).as("hll_int_estimate"))
         .select(col("n_exact_a"), col("n_exact_b"), col("n_exact_int"),
           col("hll_int_estimate"),
-          expr("abs(hll_int_estimate - n_exact_int) * 1000000 div n_exact_int")
+          // greatest(·,1): on a fixture where no user-day carries both
+          // sides the exact intersection is 0, and Spark's div would
+          // yield NULL where DuckDB's // errors — the guard (mirrored
+          // verbatim in the oracle) keeps the edge defined and
+          // engine-symmetric (r15, ADVICE r14)
+          expr("abs(hll_int_estimate - n_exact_int) * 1000000 div greatest(n_exact_int, 1)")
             .as("err_ppm"))
     },
 
@@ -3621,7 +3626,7 @@ object PipelineQueries {
          |SELECT n_exact_a, n_exact_b, n_exact_int,
          |  est_a + est_b - est_u AS hll_int_estimate,
          |  CAST(abs(est_a + est_b - est_u - n_exact_int) * 1000000
-         |    // n_exact_int AS BIGINT) AS err_ppm
+         |    // greatest(n_exact_int, 1) AS BIGINT) AS err_ppm
          |FROM x, est""".stripMargin,
     "q27_quality_score" ->
       """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk,

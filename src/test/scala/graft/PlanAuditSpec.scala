@@ -1055,10 +1055,24 @@ class PlanAuditSpec extends SparkSpec {
     // each step's pick is localCheckpoint-materialized, so the FINAL
     // plan must be a plain 5-leaf union (a naive unroll re-expands the
     // previous selection into every later step — ~3^k subplans)
-    val p = formatted("q231_mmr_rerank")
-    // FormattedMode renders each node twice (tree line + details header)
-    assert("Scan ExistingRDD".r.findAllIn(p).size === 10,
-      "expected exactly the 5 checkpointed picks as leaves")
+    // structural leaf count, not a formatted-string match — FormattedMode's
+    // node rendering is a Spark-version detail (r15, ADVICE r14)
+    val qe = try SparkEntry.queries("q231_mmr_rerank")(spark, sf0001)
+      .queryExecution
+    finally Caches.releaseScoped()
+    def realLeaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        realLeaves(a.executedPlan)
+      case l if l.children.isEmpty => Seq(l)
+      case n => n.children.flatMap(realLeaves)
+    }
+    val leaves = realLeaves(qe.executedPlan)
+    assert(leaves.size === 5,
+      s"expected exactly the 5 checkpointed picks as leaves, got ${leaves.map(_.nodeName)}")
+    assert(leaves.forall(_.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]),
+      "every leaf must be a materialized checkpoint, not a re-expanded subplan")
+    val p = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct") && !p.contains("Join"),
       "all join work must happen inside the materialized steps")
   }
@@ -1104,6 +1118,16 @@ class PlanAuditSpec extends SparkSpec {
       "the five selectivities must map-side combine in one pass")
     assert(!p.contains("SortMergeJoin"),
       "the 15-row candidate×predicate grid must never shuffle-join")
+  }
+
+  test("q245: the packing fold is one keyed shuffle — sequential per shard, no join anywhere") {
+    val p = formatted("q245_sequence_packing")
+    assert(p.contains("FlatMapGroupsInPandas") === false)
+    assert(p.contains("MapGroups"),
+      "the greedy walk must run as the keyed flatMapSortedGroups fold")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "packing is a fold plus windows — no join belongs in the plan")
   }
 
   test("q141: the bloom probe screens the fact side inside the plan") {

@@ -15,6 +15,20 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q38: Spark's HLL++ estimate sits inside the published 3·rsd envelope") {
+    // the Spark-only exemption's MEASURED bound (r15, VERDICT r14 #6):
+    // the algorithm is oracled via q229/q241; this pins the LIBRARY
+    // implementation to its published accuracy (rsd = 0.05 default →
+    // 3σ = 150 000 ppm) at the gate fixture's cardinality
+    val r = SparkEntry.queries("q38_approx_distinct")(spark, sf0001).collect()
+    try {
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getAs[Boolean]("within_3rsd"),
+        s"HLL++ err_ppm=${row.getAs[Long]("err_ppm")} exceeds 150000")
+    } finally Caches.releaseScoped()
+  }
+
   test("every query matches its committed golden hash at sf0.001") {
     val props = new java.util.Properties()
     val f = new java.io.File("src/test/resources/goldens.properties")

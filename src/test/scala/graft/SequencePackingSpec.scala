@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** q245's packing walk under planted lengths: bin boundaries, the
+  * truncation rule, per-shard independence — the cases the fixture
+  * corpus (max doc ≈ 100 tokens < the 512 budget) cannot fire — plus
+  * the loader-contract invariants on the real gate query.
+  */
+class SequencePackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted lengths pin every bin boundary, the truncation rule, and shard independence") {
+    // budget 100. shard 0 walks [60, 30, 20, 100, 150]:
+    //   60 → ctx0@0; 30 → ctx0@60 (fill 90); 20 overflows → ctx1@0;
+    //   100 overflows → ctx2@0 (exactly full); 150 truncates to 100 and
+    //   overflows → ctx3@0 with 50 lost.
+    // shard 1 walks [100, 1]: exactly-full first context, then rollover —
+    // and its ids interleave shard 0's, proving the walk keys on shard.
+    val docs = Seq(
+      (0L, 1L, 10L, 60L), (0L, 2L, 11L, 30L), (0L, 3L, 12L, 20L),
+      (0L, 4L, 13L, 100L), (0L, 5L, 14L, 150L),
+      (1L, 1L, 20L, 100L), (1L, 2L, 21L, 1L))
+      .toDF("shard", "pos", "doc_id", "n_tokens")
+    val got = Packing.packSpans(docs, budget = 100L)
+      .select("shard", "doc_id", "context_id", "tok_start", "tok_end",
+        "n_tokens", "n_trunc_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    val expected = Seq(
+      (0L, 10L, 0L, 0L, 60L, 60L, 0L),
+      (0L, 11L, 0L, 60L, 90L, 30L, 0L),
+      (0L, 12L, 1L, 0L, 20L, 20L, 0L),
+      (0L, 13L, 2L, 0L, 100L, 100L, 0L),
+      (0L, 14L, 3L, 0L, 100L, 100L, 50L),
+      (1L, 20L, 0L, 0L, 100L, 100L, 0L),
+      (1L, 21L, 1L, 0L, 1L, 1L, 0L))
+    assert(got.toSeq === expected)
+  }
+
+  test("q245 loader contract at sf0.001: budget respected, spans abut, every doc packed once") {
+    val r = try SparkEntry.queries("q245_sequence_packing")(spark, sf0001)
+      .collect()
+    finally Caches.releaseScoped()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(r.length.toLong === nDocs, "every doc packs exactly once")
+    assert(r.map(_.getAs[Long]("doc_id")).distinct.length.toLong === nDocs)
+    // per-row: span arithmetic and the budget ceiling
+    r.foreach { row =>
+      assert(row.getAs[Long]("tok_end") ===
+        row.getAs[Long]("tok_start") + row.getAs[Long]("n_tokens"))
+      assert(row.getAs[Long]("tok_end") <= 512L)
+      assert(row.getAs[Long]("context_fill") <= 512L)
+      assert(row.getAs[Long]("waste_tokens") === 512L - row.getAs[Long]("context_fill"))
+      assert(row.getAs[Long]("n_trunc_tokens") === 0L,
+        "fixture docs are all shorter than the budget")
+    }
+    // per-context: positions are 1..n in tok_start order and spans abut
+    // (greedy leaves no intra-context gap — waste is only at the tail)
+    r.groupBy(row => (row.getAs[Long]("shard"), row.getAs[Long]("context_id")))
+      .foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("position"))
+        assert(sorted.map(_.getAs[Long]("position")).toSeq ===
+          (1L to sorted.length.toLong).toSeq)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getAs[Long]("tok_start") === a.getAs[Long]("tok_end"))
+          case _ =>
+        }
+        assert(sorted.map(_.getAs[Long]("n_tokens")).sum ===
+          sorted.head.getAs[Long]("context_fill"))
+      }
+    // the walk actually rolls over on the fixture (several docs/context,
+    // more than one context/shard) — not a vacuous single-bin pass
+    val perShard = r.groupBy(_.getAs[Long]("shard"))
+      .map { case (_, rows) => rows.map(_.getAs[Long]("context_id")).max }
+    assert(perShard.forall(_ >= 1L), "every shard should need >= 2 contexts")
+  }
+}
