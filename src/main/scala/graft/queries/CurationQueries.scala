@@ -32,11 +32,46 @@ object CurationQueries {
   /** q78 packing capacity (chars; n_chars plays the token count). */
   private val PackCapacity = 1000L
 
-  /** q245 context token budget. 512 packs ~9 of the fixture's ~54-token
-    * docs per context, so rollover waste is visible at every SF; a real
-    * export's 2k–8k budget changes only this constant. Hardwired in the
-    * oracle (the curriculumShards stance). */
-  private val PackTokenBudget = 512L
+  /** q245/q247 context token budget. 512 packs ~9 of the fixture's
+    * ~54-token docs per context, so rollover waste is visible at every
+    * SF; a real export's 2k–8k budget changes only this constant.
+    * Hardwired in the oracle (the curriculumShards stance). */
+  private[graft] val PackTokenBudget = 512L
+
+  /** The q245/q247 packing input: every doc with its q26 token count in
+    * q99's export order — (shard, pos, doc_id, n_tokens). Shared by the
+    * batch fold and the streamed replay so the arrival order cannot
+    * drift between faces. */
+  private[graft] def packStaged(s: SparkSession, d: String): DataFrame = {
+    val key = graft.operators.TextCuration.shuffleKey(col("doc_id"))
+    val win = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), key.as("shuffle_key"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", col("shuffle_key") % curriculumShards)
+      .withColumn("pos", row_number().over(win).cast("long"))
+      .select("shard", "pos", "doc_id", "n_tokens")
+  }
+
+  /** The q245/q247 report layer over packed spans: loader positions and
+    * the per-context fill/waste audit (one (shard, context) window —
+    * context count is corpus/budget-bounded). Shared so the two faces'
+    * output is definitionally the same function of their spans. */
+  private[graft] def packReport(packed: DataFrame): DataFrame = {
+    val B = PackTokenBudget
+    val wc = Window.partitionBy("shard", "context_id")
+    packed
+      .withColumn("position", row_number().over(
+        Window.partitionBy("shard", "context_id")
+          .orderBy("tok_start", "doc_id")).cast("long"))
+      .withColumn("context_fill", sum(col("n_tokens")).over(wc))
+      .select(col("shard"), col("context_id"), col("position"),
+        col("doc_id"), col("tok_start"), col("tok_end"), col("n_tokens"),
+        col("n_trunc_tokens"), col("context_fill"),
+        (lit(B) - col("context_fill")).as("waste_tokens"),
+        expr(s"context_fill * 1000000 div $B").as("fill_ppm"))
+      .orderBy("shard", "context_id", "position")
+  }
 
   /** q94 excision threshold: a merged duplicated-token interval is
     * removed only when it spans at least this many tokens — the Lee et
@@ -153,6 +188,43 @@ object CurationQueries {
           .when(col("avg_bits") <= col("t2"), "middle")
           .otherwise("tail").as("tier"))
   }
+
+  /** The q245/q247 shared oracle: the identical greedy walk as a
+    * recursive CTE over q99's rn order — one text, two faces (the
+    * q241/q243 promotion rule). */
+  private[queries] val SequencePackingSql: String =
+    s"""WITH RECURSIVE k AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS shuffle_key,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
+         |  FROM documents),
+         |d AS (SELECT doc_id, raw, least(raw, $PackTokenBudget) AS len,
+         |    shuffle_key % 8 AS shard,
+         |    row_number() OVER (PARTITION BY shuffle_key % 8
+         |      ORDER BY shuffle_key, doc_id) AS rn
+         |  FROM k),
+         |walk(shard, rn, doc_id, raw, len, ctx, tok_start, fill) AS (
+         |  SELECT shard, rn, doc_id, raw, len,
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), len
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id, d.raw, d.len,
+         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN w.ctx + 1 ELSE w.ctx END,
+         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN CAST(0 AS BIGINT) ELSE w.fill END,
+         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN d.len ELSE w.fill + d.len END
+         |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1),
+         |f AS (SELECT shard, ctx AS context_id, doc_id, tok_start,
+         |    tok_start + len AS tok_end, len AS n_tokens,
+         |    raw - len AS n_trunc_tokens,
+         |    CAST(row_number() OVER (PARTITION BY shard, ctx
+         |      ORDER BY tok_start, doc_id) AS BIGINT) AS position,
+         |    CAST(sum(len) OVER (PARTITION BY shard, ctx) AS BIGINT) AS context_fill
+         |  FROM walk)
+         |SELECT shard, context_id, position, doc_id, tok_start, tok_end,
+         |  n_tokens, n_trunc_tokens, context_fill,
+         |  $PackTokenBudget - context_fill AS waste_tokens,
+         |  CAST(context_fill * 1000000 // $PackTokenBudget AS BIGINT) AS fill_ppm
+         |FROM f ORDER BY shard, context_id, position""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Duplicated-span fraction (the Lee et al. "fraction of tokens
@@ -540,28 +612,25 @@ object CurationQueries {
     // recursive CTE over q99's rn order — depth = docs/shard, shards
     // advance in parallel (the q37/q78 walk pattern).
     "q245_sequence_packing" -> { (s, d) =>
-      val B = PackTokenBudget
-      val key = graft.operators.TextCuration.shuffleKey(col("doc_id"))
-      val win = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), key.as("shuffle_key"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("shard", col("shuffle_key") % curriculumShards)
-        .withColumn("pos", row_number().over(win).cast("long"))
-      val packed = Packing.packSpans(
-        staged.select("shard", "pos", "doc_id", "n_tokens"), B)
-      val wc = Window.partitionBy("shard", "context_id")
-      packed
-        .withColumn("position", row_number().over(
-          Window.partitionBy("shard", "context_id")
-            .orderBy("tok_start", "doc_id")).cast("long"))
-        .withColumn("context_fill", sum(col("n_tokens")).over(wc))
-        .select(col("shard"), col("context_id"), col("position"),
-          col("doc_id"), col("tok_start"), col("tok_end"), col("n_tokens"),
-          col("n_trunc_tokens"), col("context_fill"),
-          (lit(B) - col("context_fill")).as("waste_tokens"),
-          expr(s"context_fill * 1000000 div $B").as("fill_ppm"))
-        .orderBy("shard", "context_id", "position")
+      packReport(Packing.packSpans(packStaged(s, d), PackTokenBudget))
+    },
+
+    // STREAMED SEQUENCE PACKING (q247, r15) — q245's walk ON the
+    // unbounded ingest (the q241/q243 promotion rule): a pipeline that
+    // packs as documents ARRIVE holds exactly one (context, fill) pair
+    // of ValueState per shard — state O(shards), constant in stream
+    // length, the deploy shape of a continuous export. The corpus
+    // replays as two real micro-batches split by a pos threshold (each
+    // batch a per-shard PREFIX of the export order — the only split
+    // under which streamed packing is well-defined), through the
+    // RocksDB ValueState engine; a context OPEN at the batch seam keeps
+    // filling in the next batch, which is exactly what the shared
+    // oracle text discriminates (a fill or context counter lost across
+    // the RocksDB round-trip re-bases every later span in that shard).
+    // Report = the SAME packReport over the drained spans, so both
+    // faces share q245's oracle text VERBATIM.
+    "q247_packing_stream" -> { (s, d) =>
+      packReport(graft.streaming.StreamingPacking.packReplay(s, d))
     },
 
     // INCREMENTAL LINE DEDUP (q246, r15) — q226's boilerplate pass as a
@@ -1601,39 +1670,11 @@ object CurationQueries {
     // q245: the identical greedy walk as a recursive CTE over q99's rn
     // order — one walk row per (shard, rn), depth = docs/shard, shards
     // advance in parallel (the q37/q78 pattern); fill/waste windows on top
-    "q245_sequence_packing" ->
-      s"""WITH RECURSIVE k AS (SELECT doc_id,
-         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
-         |      AS BIGINT) AS shuffle_key,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
-         |  FROM documents),
-         |d AS (SELECT doc_id, raw, least(raw, $PackTokenBudget) AS len,
-         |    shuffle_key % 8 AS shard,
-         |    row_number() OVER (PARTITION BY shuffle_key % 8
-         |      ORDER BY shuffle_key, doc_id) AS rn
-         |  FROM k),
-         |walk(shard, rn, doc_id, raw, len, ctx, tok_start, fill) AS (
-         |  SELECT shard, rn, doc_id, raw, len,
-         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), len
-         |  FROM d WHERE rn = 1
-         |  UNION ALL
-         |  SELECT d.shard, d.rn, d.doc_id, d.raw, d.len,
-         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN w.ctx + 1 ELSE w.ctx END,
-         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN CAST(0 AS BIGINT) ELSE w.fill END,
-         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN d.len ELSE w.fill + d.len END
-         |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1),
-         |f AS (SELECT shard, ctx AS context_id, doc_id, tok_start,
-         |    tok_start + len AS tok_end, len AS n_tokens,
-         |    raw - len AS n_trunc_tokens,
-         |    CAST(row_number() OVER (PARTITION BY shard, ctx
-         |      ORDER BY tok_start, doc_id) AS BIGINT) AS position,
-         |    CAST(sum(len) OVER (PARTITION BY shard, ctx) AS BIGINT) AS context_fill
-         |  FROM walk)
-         |SELECT shard, context_id, position, doc_id, tok_start, tok_end,
-         |  n_tokens, n_trunc_tokens, context_fill,
-         |  $PackTokenBudget - context_fill AS waste_tokens,
-         |  CAST(context_fill * 1000000 // $PackTokenBudget AS BIGINT) AS fill_ppm
-         |FROM f ORDER BY shard, context_id, position""".stripMargin,
+    "q245_sequence_packing" -> SequencePackingSql,
+    // q247: the streamed fold's report ≡ the batch walk's (state carried
+    // across the batch seam is the whole claim) — ONE oracle text, two
+    // faces (the q241/q243 promotion rule)
+    "q247_packing_stream" -> SequencePackingSql,
     // q246: the q226 chunk relation plus a batch key (q170's doc_id-range
     // width), then the prior-batch boilerplate rule as a cumulative
     // window — a chunk is dropped from a doc iff its distinct-doc count

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streamed sequence packing (q247, r15) — q245's greedy walk ON the
+  * unbounded ingest: a pipeline that packs documents into fixed-token
+  * contexts AS THEY ARRIVE, holding exactly one (context, fill) pair of
+  * [[ValueState]] per shard. That state bound is the point: O(shards),
+  * constant in stream length — the deploy shape of a continuous
+  * training-data export, where the batch q245 is the nightly job and
+  * this is the always-on one.
+  *
+  * Correctness hinges on one seam property the shared oracle text
+  * discriminates: a context left OPEN at a micro-batch boundary must
+  * keep filling from its carried (ctx, fill) in the next batch — a pair
+  * lost or re-based across the RocksDB round-trip shifts every later
+  * span and context id in that shard, breaking the hash match against
+  * q245's recursive-CTE walk (both faces share ONE oracle text
+  * verbatim, the q241/q243 promotion rule).
+  *
+  * Ordering contract: the walk is only defined over the export order
+  * (shard, pos), so each micro-batch must deliver a per-shard PREFIX of
+  * the remaining stream — the replay splits by a pos threshold. Rows
+  * WITHIN a batch arrive unordered from the shuffle; the processor
+  * sorts its (shard, batch) slice by pos before folding — bounded by
+  * the batch's per-shard width, the same per-group bound as the batch
+  * fold's sorted-group iterator.
+  */
+object StreamingPacking {
+
+  final case class DocIn(shard: Long, pos: Long, doc_id: Long, n_tokens: Long)
+  final case class SpanOut(shard: Long, context_id: Long, doc_id: Long,
+                           tok_start: Long, tok_end: Long, n_tokens: Long,
+                           n_trunc_tokens: Long)
+  final case class PackState(ctx: Long, fill: Long)
+
+  /** One ValueState slot named "pack": the open context's (id, fill).
+    * Identical arithmetic to [[graft.operators.Packing.packSpans]] —
+    * truncate to budget, roll over when the doc no longer fits. */
+  class PackProcessor(budget: Long)
+      extends StatefulProcessor[Long, DocIn, SpanOut] {
+    @transient private var st: ValueState[PackState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PackState]("pack",
+        Encoders.product[PackState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocIn],
+        timerValues: TimerValues): Iterator[SpanOut] = {
+      var s = if (st.exists()) st.get() else PackState(0L, 0L)
+      val out = rows.toSeq.sortBy(_.pos).map { d =>
+        val len = math.min(d.n_tokens, budget)
+        if (s.fill + len > budget) s = PackState(s.ctx + 1, 0L)
+        val span = SpanOut(d.shard, s.ctx, d.doc_id, s.fill, s.fill + len,
+          len, d.n_tokens - len)
+        s = PackState(s.ctx, s.fill + len)
+        span
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Apply the packing processor to a (possibly streaming) typed source.
+    * Shared by the gate face and the spec so the wiring cannot drift. */
+  def packed(spark: SparkSession, docs: Dataset[DocIn],
+             budget: Long): DataFrame = {
+    import spark.implicits._
+    docs.groupByKey(_.shard)
+      .transformWithState(new PackProcessor(budget), TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Replay a staged (shard, pos, doc_id, n_tokens) relation as TWO real
+    * micro-batches (split by a pos threshold — each batch a per-shard
+    * prefix of the export order) through the RocksDB ValueState engine;
+    * returns the drained spans. Parametrized so StreamingPackingSpec can
+    * drive planted lengths across the seam. */
+  def replayTwoBatches(spark: SparkSession, staged: DataFrame,
+                       budget: Long): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-packstream-")
+    graft.TempDirs.cleanupOnExit(root)
+    val in = s"$root/in"; val ck = s"$root/ck"; val out = s"$root/out"
+    val mid = staged.agg(max("pos")).head.getLong(0) / 2
+    staged.filter(col("pos") <= mid).coalesce(1).write.parquet(s"$in/chunk0")
+    staged.filter(col("pos") > mid).coalesce(1).write.parquet(s"$in/chunk1")
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", lt),
+      org.apache.spark.sql.types.StructField("pos", lt),
+      org.apache.spark.sql.types.StructField("doc_id", lt),
+      org.apache.spark.sql.types.StructField("n_tokens", lt)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*").as[DocIn]
+    val prev = spark.conf.getOption(ProviderKey)
+    try {
+      spark.conf.set(ProviderKey, RocksDbProvider)
+      val q = packed(spark, src, budget).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+    spark.read.parquet(out)
+  }
+
+  /** q247: q245's staged relation (same helper — the arrival order
+    * cannot drift between faces) through [[replayTwoBatches]] at the
+    * gate budget. */
+  def packReplay(spark: SparkSession, sfDir: String): DataFrame =
+    replayTwoBatches(spark,
+      graft.queries.CurationQueries.packStaged(spark, sfDir),
+      graft.queries.CurationQueries.PackTokenBudget)
+}
