@@ -189,10 +189,11 @@ object CurationQueries {
           .otherwise("tail").as("tier"))
   }
 
-  /** The q245/q247 shared oracle: the identical greedy walk as a
-    * recursive CTE over q99's rn order — one text, two faces (the
-    * q241/q243 promotion rule). */
-  private[queries] val SequencePackingSql: String =
+  /** The q245/q247/q249 shared walk prefix: q99's export order as a
+    * ranked relation (`d`) and the greedy packing walk as a recursive
+    * CTE over it (`walk`) — one definition, three consumers (the q138
+    * one-text rule applied to a CTE chain). */
+  private[queries] val PackWalkCte: String =
     s"""WITH RECURSIVE k AS (SELECT doc_id,
          |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
          |      AS BIGINT) AS shuffle_key,
@@ -212,7 +213,13 @@ object CurationQueries {
          |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN w.ctx + 1 ELSE w.ctx END,
          |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN CAST(0 AS BIGINT) ELSE w.fill END,
          |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN d.len ELSE w.fill + d.len END
-         |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1),
+         |  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1)""".stripMargin
+
+  /** The q245/q247 shared oracle: the identical greedy walk as a
+    * recursive CTE over q99's rn order — one text, two faces (the
+    * q241/q243 promotion rule). */
+  private[queries] val SequencePackingSql: String =
+    s"""$PackWalkCte,
          |f AS (SELECT shard, ctx AS context_id, doc_id, tok_start,
          |    tok_start + len AS tok_end, len AS n_tokens,
          |    raw - len AS n_trunc_tokens,
@@ -631,6 +638,87 @@ object CurationQueries {
     // faces share q245's oracle text VERBATIM.
     "q247_packing_stream" -> { (s, d) =>
       packReport(graft.streaming.StreamingPacking.packReplay(s, d))
+    },
+
+    // SPLIT PACKING (q248, r15) — the OTHER standard packing policy
+    // (GPT-2/3-style concat-and-chunk): the shard's documents
+    // concatenate into one token stream cut every 512 tokens, so a doc
+    // MAY span contexts — zero waste except each shard's tail, at the
+    // price of cross-boundary fragments the attention mask must handle.
+    // Where q245's greedy walk is inherently sequential, THIS policy is
+    // a closed form: a doc's global offset is a plain prefix sum (one
+    // per-shard window), its touched contexts are
+    // sequence(start div B, (end−1) div B), and the fragment geometry
+    // is min/max arithmetic per (doc, context) row — pure codegen'd
+    // window + explode, no fold, no recursion, trivially 100 TB-shaped
+    // (one keyed shuffle for the window; the explode emits ≤
+    // ceil(len/B)+1 rows per doc). is_head/is_tail flags mark the
+    // fragments a loader masks across.
+    "q248_packing_split" -> { (s, d) =>
+      val B = PackTokenBudget
+      val w = Window.partitionBy("shard").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = packStaged(s, d)
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("end_off", col("start_off") + col("n_tokens"))
+      off
+        .select(col("shard"), col("doc_id"),
+          col("n_tokens").as("n_doc_tokens"), col("start_off"), col("end_off"),
+          explode(expr(s"sequence(start_off div $B, (end_off - 1) div $B)"))
+            .as("context_id"))
+        .select(col("shard"), col("context_id"), col("doc_id"),
+          col("n_doc_tokens"),
+          greatest(col("start_off") - col("context_id") * B, lit(0L))
+            .as("tok_start"),
+          least(col("end_off") - col("context_id") * B, lit(B)).as("tok_end"),
+          (col("start_off") >= col("context_id") * B).cast("long").as("is_head"),
+          (col("end_off") <= (col("context_id") + 1) * B).cast("long")
+            .as("is_tail"))
+        .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+        .withColumn("position", row_number().over(
+          Window.partitionBy("shard", "context_id")
+            .orderBy("tok_start", "doc_id")).cast("long"))
+        .select("shard", "context_id", "position", "doc_id", "n_doc_tokens",
+          "tok_start", "tok_end", "n_tokens", "is_head", "is_tail")
+        .orderBy("shard", "context_id", "position")
+    },
+
+    // PACKING-POLICY PLANNER (q249, r15) — the report an export owner
+    // reads before picking a policy: per shard, the contexts each
+    // policy emits against the information-theoretic floor
+    // ceil(total/B) — split packing SITS on the floor by construction
+    // (its cost is fragments: docs crossing a context boundary, which
+    // the attention mask must sever), greedy pays extra contexts as
+    // rollover waste but never fragments. Both sides derive from the
+    // SAME builders the gate queries use (the q245 walk and q248's
+    // prefix sums), aggregated per shard — so the planner is
+    // definitionally consistent with the exports it plans. All exact
+    // integers; waste in ppm of the greedy footprint.
+    "q249_packing_policy" -> { (s, d) =>
+      val B = PackTokenBudget
+      val greedy = Packing.packSpans(packStaged(s, d), B)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          (max(col("context_id")) + 1L).as("n_ctx_greedy"))
+      val w = Window.partitionBy("shard").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frag = packStaged(s, d)
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("shard"),
+          (expr(s"start_off div $B") =!=
+            expr(s"(start_off + n_tokens - 1) div $B")).cast("long").as("f"))
+        .groupBy("shard").agg(sum(col("f")).as("n_frag_docs"))
+      greedy.join(frag, "shard")
+        .select(col("shard"), col("n_docs"), col("total_tokens"),
+          expr(s"(total_tokens + $B - 1) div $B").as("n_ctx_floor"),
+          col("n_ctx_greedy"),
+          (col("n_ctx_greedy") - expr(s"(total_tokens + $B - 1) div $B"))
+            .as("n_ctx_extra"),
+          expr(s"(n_ctx_greedy * $B - total_tokens) * 1000000 div (n_ctx_greedy * $B)")
+            .as("greedy_waste_ppm"),
+          col("n_frag_docs"),
+          expr("n_frag_docs * 1000000 div n_docs").as("split_frag_ppm"))
+        .orderBy("shard")
     },
 
     // INCREMENTAL LINE DEDUP (q246, r15) — q226's boilerplate pass as a
@@ -1675,6 +1763,71 @@ object CurationQueries {
     // across the batch seam is the whole claim) — ONE oracle text, two
     // faces (the q241/q243 promotion rule)
     "q247_packing_stream" -> SequencePackingSql,
+    // q248: the same prefix-sum offsets and context range, closed-form —
+    // unnest(range) plays Spark's sequence-explode; fragment geometry is
+    // identical min/max arithmetic
+    "q248_packing_split" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS shuffle_key,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
+         |  FROM documents),
+         |st AS (SELECT doc_id, least(raw, $PackTokenBudget) AS n_doc_tokens,
+         |    shuffle_key % 8 AS shard,
+         |    row_number() OVER (PARTITION BY shuffle_key % 8
+         |      ORDER BY shuffle_key, doc_id) AS pos
+         |  FROM k),
+         |o AS (SELECT shard, doc_id, n_doc_tokens,
+         |    CAST(coalesce(sum(n_doc_tokens) OVER (PARTITION BY shard ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM st),
+         |x AS (SELECT shard, doc_id, n_doc_tokens, start_off,
+         |    start_off + n_doc_tokens AS end_off,
+         |    CAST(u.c AS BIGINT) AS context_id
+         |  FROM o, unnest(range(start_off // $PackTokenBudget,
+         |    (start_off + n_doc_tokens - 1) // $PackTokenBudget + 1)) u(c)),
+         |g AS (SELECT shard, context_id, doc_id, n_doc_tokens,
+         |    greatest(start_off - context_id * $PackTokenBudget, 0) AS tok_start,
+         |    least(end_off - context_id * $PackTokenBudget, $PackTokenBudget) AS tok_end,
+         |    CAST(start_off >= context_id * $PackTokenBudget AS BIGINT) AS is_head,
+         |    CAST(end_off <= (context_id + 1) * $PackTokenBudget AS BIGINT) AS is_tail
+         |  FROM x)
+         |SELECT shard, context_id,
+         |  CAST(row_number() OVER (PARTITION BY shard, context_id
+         |    ORDER BY tok_start, doc_id) AS BIGINT) AS position,
+         |  doc_id, n_doc_tokens, tok_start, tok_end,
+         |  tok_end - tok_start AS n_tokens, is_head, is_tail
+         |FROM g ORDER BY shard, context_id, position""".stripMargin,
+    // q249: greedy side from the SHARED walk CTE, split side from the
+    // same prefix sums — the planner aggregates what the gate queries emit
+    "q249_packing_policy" ->
+      s"""$PackWalkCte,
+         |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len) AS BIGINT) AS total_tokens,
+         |    max(ctx) + 1 AS n_ctx_greedy
+         |  FROM walk GROUP BY shard),
+         |o AS (SELECT shard,
+         |    CAST(coalesce(sum(len) OVER (PARTITION BY shard ORDER BY rn
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off, len
+         |  FROM d),
+         |fr AS (SELECT shard, CAST(count(*) FILTER (
+         |      start_off // $PackTokenBudget
+         |        <> (start_off + len - 1) // $PackTokenBudget) AS BIGINT)
+         |      AS n_frag_docs
+         |  FROM o GROUP BY shard)
+         |SELECT g.shard, g.n_docs, g.total_tokens,
+         |  (g.total_tokens + $PackTokenBudget - 1) // $PackTokenBudget AS n_ctx_floor,
+         |  g.n_ctx_greedy,
+         |  g.n_ctx_greedy
+         |    - (g.total_tokens + $PackTokenBudget - 1) // $PackTokenBudget AS n_ctx_extra,
+         |  CAST((g.n_ctx_greedy * $PackTokenBudget - g.total_tokens) * 1000000
+         |    // (g.n_ctx_greedy * $PackTokenBudget) AS BIGINT) AS greedy_waste_ppm,
+         |  fr.n_frag_docs,
+         |  CAST(fr.n_frag_docs * 1000000 // g.n_docs AS BIGINT) AS split_frag_ppm
+         |FROM g JOIN fr ON g.shard = fr.shard
+         |ORDER BY g.shard""".stripMargin,
     // q246: the q226 chunk relation plus a batch key (q170's doc_id-range
     // width), then the prior-batch boilerplate rule as a cumulative
     // window — a chunk is dropped from a doc iff its distinct-doc count

@@ -1130,6 +1130,21 @@ class PlanAuditSpec extends SparkSpec {
       "packing is a fold plus windows — no join belongs in the plan")
   }
 
+  test("q248: split packing is closed-form — window + explode, no fold, no join") {
+    val p = formatted("q248_packing_split")
+    assert(!p.contains("MapGroups"),
+      "the split policy must NOT pay the sequential fold — it is a prefix sum")
+    assert(p.contains("Generate"), "the context range must explode in-plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q249: the planner is two keyed aggregates over the packing builders — one join, no cartesian") {
+    val p = formatted("q249_packing_policy")
+    assert(p.contains("MapGroups"), "the greedy side runs the real q245 fold")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution

@@ -79,4 +79,65 @@ class SequencePackingSpec extends SparkSpec {
       .map { case (_, rows) => rows.map(_.getAs[Long]("context_id")).max }
     assert(perShard.forall(_ >= 1L), "every shard should need >= 2 contexts")
   }
+
+  test("q248 split packing: zero waste except the tail, fragments reassemble, flags mark the mask points") {
+    val r = try SparkEntry.queries("q248_packing_split")(spark, sf0001)
+      .collect()
+    finally Caches.releaseScoped()
+    val B = 512L
+    // per context: every context except each shard's LAST is exactly
+    // full — the policy's defining property (waste only at the tail)
+    r.groupBy(row => row.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val lastCtx = rows.map(_.getAs[Long]("context_id")).max
+      rows.groupBy(_.getAs[Long]("context_id")).foreach { case (ctx, cr) =>
+        val fill = cr.map(_.getAs[Long]("n_tokens")).sum
+        if (ctx < lastCtx) assert(fill === B, s"ctx $ctx not full: $fill")
+        else assert(fill <= B)
+      }
+    }
+    // per doc: fragments cover the doc exactly once, interior cut points
+    // sit on context boundaries (is_head=0 -> starts at 0; is_tail=0 ->
+    // ends at B), and the fixture actually fragments (non-vacuous)
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, frags) =>
+      assert(frags.map(_.getAs[Long]("n_tokens")).sum ===
+        frags.head.getAs[Long]("n_doc_tokens"))
+      frags.foreach { f =>
+        if (f.getAs[Long]("is_head") === 0L) assert(f.getAs[Long]("tok_start") === 0L)
+        if (f.getAs[Long]("is_tail") === 0L) assert(f.getAs[Long]("tok_end") === B)
+      }
+      val ctxs = frags.map(_.getAs[Long]("context_id")).sorted
+      assert(ctxs.zip(ctxs.tail).forall { case (a, b) => b === a + 1 },
+        "a doc's fragments must occupy consecutive contexts")
+    }
+    assert(byDoc.exists(_._2.length > 1),
+      "the fixture must actually fragment some doc across a boundary")
+  }
+
+  test("q249 planner agrees with the two packing faces it plans") {
+    val q = SparkEntry.queries
+    val plan = try q("q249_packing_policy")(spark, sf0001).collect()
+      finally Caches.releaseScoped()
+    val greedy = try q("q245_sequence_packing")(spark, sf0001).collect()
+      finally Caches.releaseScoped()
+    val split = try q("q248_packing_split")(spark, sf0001).collect()
+      finally Caches.releaseScoped()
+    val gCtx = greedy.groupBy(_.getAs[Long]("shard"))
+      .map { case (s, r) => s -> (r.map(_.getAs[Long]("context_id")).max + 1) }
+    val sCtx = split.groupBy(_.getAs[Long]("shard"))
+      .map { case (s, r) => s -> (r.map(_.getAs[Long]("context_id")).max + 1) }
+    val sFrag = split.groupBy(_.getAs[Long]("shard"))
+      .map { case (s, r) => s ->
+        r.groupBy(_.getAs[Long]("doc_id")).count(_._2.length > 1).toLong }
+    plan.foreach { p =>
+      val s = p.getAs[Long]("shard")
+      assert(p.getAs[Long]("n_ctx_greedy") === gCtx(s),
+        s"shard $s: planner greedy count must equal q245's contexts")
+      assert(p.getAs[Long]("n_ctx_floor") === sCtx(s),
+        s"shard $s: split packing must sit on the ceil(total/B) floor")
+      assert(p.getAs[Long]("n_frag_docs") === sFrag(s),
+        s"shard $s: planner fragments must equal q248's multi-row docs")
+      assert(p.getAs[Long]("n_ctx_extra") >= 0L)
+    }
+  }
 }
