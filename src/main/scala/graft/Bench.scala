@@ -331,18 +331,22 @@ object Bench {
         s"duplicate short query keys in bands: ${entries.map(_._1).diff(entries.map(_._1).distinct)}")
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
-    // Cross-round riser adjudication (VERDICT r14 item 7): each median is
-    // compared against its own [min, max] band from the previous
-    // committed CLEAN record (tools/bench_bands.json — rewritten below by
-    // every untainted driver-SF run and committed with the round, because
-    // the driver's BENCH_rN.json persists only the tail of stdout and
-    // truncates the full band map). A query is suspect when its median
-    // falls outside the previous band by more than 20% AND 100 ms — the
-    // slack absorbs run-to-run host drift on sub-second queries (3-rep
-    // bands are narrow; strict containment would flag dozens of honest
-    // 10 ms wobbles), while a real riser like r13's q205 (+38%) or any
-    // plan regression clears both gates. Both directions flag: an
-    // unexplained FALL is a plan change to adjudicate too.
+    // Cross-round riser adjudication (VERDICT r14 item 7): each query's
+    // current [min, max] rep band is compared against its band from the
+    // previous committed CLEAN record (tools/bench_bands.json — rewritten
+    // below by every untainted driver-SF run and committed with the
+    // round, because the driver's BENCH_rN.json persists only the tail
+    // of stdout and truncates the full band map). The rule is the
+    // r13/r14 verdicts' manual adjudication, mechanized: a delta "sits
+    // inside its own rep spread" iff the two bands OVERLAP — so a query
+    // is suspect only when its bands are DISJOINT beyond a 20%+100 ms
+    // slack (current min above the old max, or current max below the
+    // old min). A median-only rule flagged 9/249 honest micro-batch
+    // queries across two same-day clean runs in a 17%-drifted host
+    // window; band disjointness flags none of those (jitter widens the
+    // band, it doesn't move it wholesale) while a real plan regression
+    // shifts the WHOLE band and still fires. Both directions flag: an
+    // unexplained fall is a plan change to adjudicate too.
     def shortName(k: String): String =
       if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
     val bandsPath = java.nio.file.Paths.get("tools/bench_bands.json")
@@ -356,14 +360,14 @@ object Bench {
           .map(m => m.group(1) -> (m.group(3).toDouble, m.group(4).toDouble))
           .toMap
       }
-    def isSuspect(m: Double, lo: Double, hi: Double): Boolean =
-      m >= 0 && (m > math.max(hi * 1.2, hi + 0.1) ||
-        m < math.min(lo / 1.2, lo - 0.1))
-    val suspects = runs.map { case (k, ts) => shortName(k) ->
-        (if (ts.exists(_ < 0)) -1.0 else median(ts)) }
-      .collect { case (short, m) if prevBands.get(short)
-        .exists { case (lo, hi) => isSuspect(m, lo, hi) } => short }
-      .sorted
+    def isSuspect(curMin: Double, curMax: Double, lo: Double, hi: Double): Boolean =
+      curMin >= 0 && (curMin > math.max(hi * 1.2, hi + 0.1) ||
+        curMax < math.min(lo / 1.2, lo - 0.1))
+    val suspects = runs.collect { case (k, ts) if !ts.exists(_ < 0) &&
+        prevBands.get(shortName(k))
+          .exists { case (lo, hi) => isSuspect(ts.min, ts.max, lo, hi) } =>
+      shortName(k)
+    }.sorted
     if (suspects.nonEmpty)
       System.err.println(s"[bench] ${suspects.size} median(s) outside the previous clean band: ${suspects.mkString(",")}")
     val ok = runs.filter(_._2.forall(_ >= 0))
