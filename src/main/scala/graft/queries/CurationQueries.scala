@@ -189,6 +189,11 @@ object CurationQueries {
           .otherwise("tail").as("tier"))
   }
 
+  /** q250 inference batch size: 16 sequences padded to the batch max —
+    * the serving-side grain (training contexts are q245/q247/q248's
+    * token budget instead). Hardwired in the oracle. */
+  private val InferBatchDocs = 16L
+
   /** The q245/q247/q249 shared walk prefix: q99's export order as a
     * ranked relation (`d`) and the greedy packing walk as a recursive
     * CTE over it (`walk`) — one definition, three consumers (the q138
@@ -752,6 +757,49 @@ object CurationQueries {
       graft.streaming.StreamingLineDedup.report(s, dir)
         .select("doc_id", "batch", "n_chunks", "n_dropped", "clean_text")
         .orderBy("doc_id")
+    },
+
+    // LENGTH-BUCKETED BATCH PADDING (q250, r15) — the INFERENCE/eval
+    // side of the packing family: serving and eval harnesses don't
+    // concat-pack, they PAD every sequence in a fixed-size batch to the
+    // batch max, so the cost lever is batch COMPOSITION. Per shard, the
+    // padding bill for batches of 16 under the two standard policies:
+    // arrival order (streamy, no buffering) vs length-sorted (the
+    // dynamic-batching trick). Sorted is PROVABLY optimal among
+    // equal-size batchings — consecutive blocks of the sorted order
+    // select the smallest possible set of block maxima (the every-16th
+    // order statistics; any other partition's i-th largest block max
+    // dominates them) — so the spec asserts sorted ≤ arrival per shard
+    // and the report quantifies what the reorder buys (fixture: ~40%
+    // of the padding bill). Closed-form end to end: two windows, two
+    // keyed aggs — no fold, no join beyond the 8-row report combine.
+    "q250_length_batching" -> { (s, d) =>
+      val n = InferBatchDocs
+      val staged = packStaged(s, d)
+      def pad(df: DataFrame, b: String, out: String) =
+        df.groupBy(col("shard"), col(b))
+          .agg(count(lit(1)).as("bn"), max("n_tokens").as("bmax"),
+            sum("n_tokens").as("bsum"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_batches"), sum(col("bn")).as("n_docs"),
+            sum(col("bsum")).as("total_tokens"),
+            sum(expr("bmax * bn - bsum")).as(out))
+      val arr = pad(staged.withColumn("abatch", expr(s"(pos - 1) div $n")),
+        "abatch", "arrival_pad_tokens")
+      val ws = Window.partitionBy("shard")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      val srt = pad(staged
+          .withColumn("srank", row_number().over(ws).cast("long"))
+          .withColumn("sbatch", expr(s"(srank - 1) div $n")),
+        "sbatch", "sorted_pad_tokens")
+        .select("shard", "sorted_pad_tokens")
+      arr.join(srt, "shard")
+        .select(col("shard"), col("n_docs"), col("n_batches"),
+          col("total_tokens"), col("arrival_pad_tokens"),
+          col("sorted_pad_tokens"),
+          expr("""(arrival_pad_tokens - sorted_pad_tokens) * 1000000
+                  div greatest(arrival_pad_tokens, 1)""").as("pad_saved_ppm"))
+        .orderBy("shard")
     },
 
     // HYBRID dedup policy — the decision layer a production pipeline
@@ -1828,6 +1876,39 @@ object CurationQueries {
          |  CAST(fr.n_frag_docs * 1000000 // g.n_docs AS BIGINT) AS split_frag_ppm
          |FROM g JOIN fr ON g.shard = fr.shard
          |ORDER BY g.shard""".stripMargin,
+    // q250: the same export-order staging, the same two batch keys
+    // (arrival pos vs length-desc rank), identical padding arithmetic
+    "q250_length_batching" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS shuffle_key,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
+         |  FROM documents),
+         |st AS (SELECT doc_id, least(raw, $PackTokenBudget) AS n_tokens,
+         |    shuffle_key % 8 AS shard,
+         |    row_number() OVER (PARTITION BY shuffle_key % 8
+         |      ORDER BY shuffle_key, doc_id) AS pos,
+         |    row_number() OVER (PARTITION BY shuffle_key % 8
+         |      ORDER BY least(raw, $PackTokenBudget) DESC, doc_id) AS srank
+         |  FROM k),
+         |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(bn) AS BIGINT) AS n_docs,
+         |    CAST(sum(bsum) AS BIGINT) AS total_tokens,
+         |    CAST(sum(bmax * bn - bsum) AS BIGINT) AS arrival_pad_tokens
+         |  FROM (SELECT shard, (pos - 1) // $InferBatchDocs AS b,
+         |      count(*) AS bn, max(n_tokens) AS bmax, sum(n_tokens) AS bsum
+         |    FROM st GROUP BY 1, 2) GROUP BY shard),
+         |s AS (SELECT shard,
+         |    CAST(sum(bmax * bn - bsum) AS BIGINT) AS sorted_pad_tokens
+         |  FROM (SELECT shard, (srank - 1) // $InferBatchDocs AS b,
+         |      count(*) AS bn, max(n_tokens) AS bmax, sum(n_tokens) AS bsum
+         |    FROM st GROUP BY 1, 2) GROUP BY shard)
+         |SELECT a.shard, n_docs, n_batches, total_tokens, arrival_pad_tokens,
+         |  sorted_pad_tokens,
+         |  CAST((arrival_pad_tokens - sorted_pad_tokens) * 1000000
+         |    // greatest(arrival_pad_tokens, 1) AS BIGINT) AS pad_saved_ppm
+         |FROM a JOIN s ON a.shard = s.shard
+         |ORDER BY a.shard""".stripMargin,
     // q246: the q226 chunk relation plus a batch key (q170's doc_id-range
     // width), then the prior-batch boilerplate rule as a cumulative
     // window — a chunk is dropped from a doc iff its distinct-doc count

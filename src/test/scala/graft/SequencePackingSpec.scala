@@ -114,6 +114,25 @@ class SequencePackingSpec extends SparkSpec {
       "the fixture must actually fragment some doc across a boundary")
   }
 
+  test("q250: length-sorted batching never pads more than arrival order, and both conserve the corpus") {
+    val r = try SparkEntry.queries("q250_length_batching")(spark, sf0001)
+      .collect()
+    finally Caches.releaseScoped()
+    assert(r.nonEmpty)
+    r.foreach { p =>
+      // the optimality direction the comment proves: consecutive blocks
+      // of the sorted order select the minimal set of batch maxima
+      assert(p.getAs[Long]("sorted_pad_tokens") <= p.getAs[Long]("arrival_pad_tokens"),
+        s"shard ${p.getAs[Long]("shard")}: sorted batching must not pad more")
+      assert(p.getAs[Long]("n_batches") ===
+        (p.getAs[Long]("n_docs") + 15L) / 16L, "batches = ceil(docs/16)")
+      assert(p.getAs[Long]("arrival_pad_tokens") >= 0L &&
+        p.getAs[Long]("total_tokens") > 0L)
+    }
+    // the reorder must actually buy something on the fixture (non-vacuous)
+    assert(r.exists(p => p.getAs[Long]("pad_saved_ppm") > 0L))
+  }
+
   test("q249 planner agrees with the two packing faces it plans") {
     val q = SparkEntry.queries
     val plan = try q("q249_packing_policy")(spark, sf0001).collect()
