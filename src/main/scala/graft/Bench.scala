@@ -302,10 +302,15 @@ object Bench {
     // JSON, the exact parse failure this line exists to avoid
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // ONE short-key mapping for the queries map, the bands map, and the
+    // suspect reader — the bands FILE is written and re-read with these
+    // keys, so a second definition drifting would silently disable the
+    // prevBands lookups (r15 review: this was inlined three times)
+    def shortName(k: String): String =
+      if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
     def fmt(m: Map[String, Double]): String = {
       val entries = m.toSeq.sortBy(_._1).map { case (k, v) =>
-        val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
-        short -> ms(v)
+        shortName(k) -> ms(v)
       }
       // duplicate qNN prefixes would collapse silently under json.loads
       // (last key wins) — a query's committed timing must never vanish
@@ -323,9 +328,8 @@ object Bench {
     // visible for forensics.
     def fmtBands(rs: Seq[(String, Seq[Double])]): String = {
       val entries = rs.sortBy(_._1).map { case (k, ts) =>
-        val short = if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
         val m = if (ts.exists(_ < 0)) -1.0 else median(ts)
-        short -> s"[${ms(m)},${ms(ts.min)},${ms(ts.max)}]"
+        shortName(k) -> s"[${ms(m)},${ms(ts.min)},${ms(ts.max)}]"
       }
       require(entries.map(_._1).distinct.size == entries.size,
         s"duplicate short query keys in bands: ${entries.map(_._1).diff(entries.map(_._1).distinct)}")
@@ -347,14 +351,23 @@ object Bench {
     // band, it doesn't move it wholesale) while a real plan regression
     // shifts the WHOLE band and still fires. Both directions flag: an
     // unexplained fall is a plan change to adjudicate too.
-    def shortName(k: String): String =
-      if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    //
+    // The slack is whichever is LARGER of +20% and +100 ms on the old
+    // band edge (multiplicative for seconds-scale queries, the absolute
+    // floor for the 50 ms ones whose 20% is measurement granularity).
+    // Matching is by the sf directory's BASENAME (sf0.1), not the
+    // absolute path — the committed baseline must survive a different
+    // data root or a trailing slash (r15 review).
+    val sfName = new java.io.File(sfDir).getName
     val bandsPath = java.nio.file.Paths.get("tools/bench_bands.json")
     val prevBands: Map[String, (Double, Double)] =
       if (!java.nio.file.Files.exists(bandsPath)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(bandsPath), "UTF-8")
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        val sfRe = "\"sf\":\"([^\"]*)\"".r
+        val sfOk = sfRe.findFirstMatchIn(txt)
+          .exists(m => new java.io.File(m.group(1)).getName == sfName)
+        if (!sfOk) Map.empty
         else "\"(q[0-9]+)\":\\[([-0-9.]+),([-0-9.]+),([-0-9.]+)\\]".r
           .findAllMatchIn(txt)
           .map(m => m.group(1) -> (m.group(3).toDouble, m.group(4).toDouble))
@@ -369,7 +382,7 @@ object Bench {
       shortName(k)
     }.sorted
     if (suspects.nonEmpty)
-      System.err.println(s"[bench] ${suspects.size} median(s) outside the previous clean band: ${suspects.mkString(",")}")
+      System.err.println(s"[bench] ${suspects.size} query band(s) disjoint from the previous clean record's: ${suspects.mkString(",")}")
     val ok = runs.filter(_._2.forall(_ >= 0))
     // ok-portion per FAMILY: if one family failed, the other's cached
     // build still benefited its queries and must stay charged — a
@@ -424,10 +437,15 @@ object Bench {
     // and per-query analysis.
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
     // refresh the committed adjudication baseline: only a CLEAN,
-    // zero-failure run at the driver's bench SF may become the next
-    // round's reference bands (a local sf0.001 iteration or a tainted
-    // window must not clobber the sf0.1 baseline)
-    if (!tainted && failed == 0 && sfDir.endsWith("sf0.1")) {
+    // zero-failure, ZERO-SUSPECT run at the driver's bench SF may become
+    // the next round's reference bands. A local sf0.001 iteration or a
+    // tainted window must not clobber the sf0.1 baseline — and a run
+    // that itself flags disjoint bands must not either, or a real
+    // regression would self-ratchet into the baseline and every later
+    // run would adjudicate against the regressed numbers (r15 review);
+    // a flagged-but-adjudicated-benign drift is refreshed by DELETING
+    // the file and re-running clean, a deliberate human act.
+    if (!tainted && failed == 0 && suspects.isEmpty && sfName == "sf0.1") {
       val bandsFile = s"""{"sf":"$sfDir","reps":$reps,"bands":${fmtBands(runs)}}"""
       try {
         java.nio.file.Files.createDirectories(bandsPath.getParent)

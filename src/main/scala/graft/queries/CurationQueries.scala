@@ -658,7 +658,11 @@ object CurationQueries {
     // window + explode, no fold, no recursion, trivially 100 TB-shaped
     // (one keyed shuffle for the window; the explode emits ≤
     // ceil(len/B)+1 rows per doc). is_head/is_tail flags mark the
-    // fragments a loader masks across.
+    // fragments a loader masks across. NO truncation anywhere — a doc
+    // longer than the budget simply spans more contexts; that is the
+    // policy's defining advantage over q245's clamp, and both faces use
+    // the raw length (r15 review: the oracle briefly clamped — an
+    // engine/oracle divergence latent on this ≤100-token fixture).
     "q248_packing_split" -> { (s, d) =>
       val B = PackTokenBudget
       val w = Window.partitionBy("shard").orderBy("pos")
@@ -701,17 +705,26 @@ object CurationQueries {
     // integers; waste in ppm of the greedy footprint.
     "q249_packing_policy" -> { (s, d) =>
       val B = PackTokenBudget
-      val greedy = Packing.packSpans(packStaged(s, d), B)
+      // one persisted staging feeds both policy branches (r15 review:
+      // the tokenize + rank-window staging ran once per branch)
+      val staged = graft.Caches.scopedPersist(packStaged(s, d))
+      val greedy = Packing.packSpans(staged, B)
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
           (max(col("context_id")) + 1L).as("n_ctx_greedy"))
+      // the planner compares policies over the SAME token mass the
+      // training export ships — budget-TRUNCATED lengths (q245's clamp;
+      // the oracle's walk relation d carries exactly these) — so the
+      // split side clamps here too (r15 review: it briefly used raw
+      // lengths, inconsistent with its own greedy column and oracle)
       val w = Window.partitionBy("shard").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val frag = packStaged(s, d)
-        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      val frag = staged
+        .withColumn("len", least(col("n_tokens"), lit(B)))
+        .withColumn("start_off", coalesce(sum(col("len")).over(w), lit(0L)))
         .select(col("shard"),
           (expr(s"start_off div $B") =!=
-            expr(s"(start_off + n_tokens - 1) div $B")).cast("long").as("f"))
+            expr(s"(start_off + len - 1) div $B")).cast("long").as("f"))
         .groupBy("shard").agg(sum(col("f")).as("n_frag_docs"))
       greedy.join(frag, "shard")
         .select(col("shard"), col("n_docs"), col("total_tokens"),
@@ -775,7 +788,12 @@ object CurationQueries {
     // keyed aggs — no fold, no join beyond the 8-row report combine.
     "q250_length_batching" -> { (s, d) =>
       val n = InferBatchDocs
-      val staged = packStaged(s, d)
+      // lengths clamp at the context budget — a sequence longer than the
+      // model window is truncated by serving before it is ever batched,
+      // so the padding bill is over clamped lengths on BOTH faces (r15
+      // review); one persisted staging feeds both policy branches
+      val staged = graft.Caches.scopedPersist(packStaged(s, d)
+        .withColumn("n_tokens", least(col("n_tokens"), lit(PackTokenBudget))))
       def pad(df: DataFrame, b: String, out: String) =
         df.groupBy(col("shard"), col(b))
           .agg(count(lit(1)).as("bn"), max("n_tokens").as("bmax"),
@@ -1820,7 +1838,7 @@ object CurationQueries {
          |      AS BIGINT) AS shuffle_key,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
          |  FROM documents),
-         |st AS (SELECT doc_id, least(raw, $PackTokenBudget) AS n_doc_tokens,
+         |st AS (SELECT doc_id, raw AS n_doc_tokens,
          |    shuffle_key % 8 AS shard,
          |    row_number() OVER (PARTITION BY shuffle_key % 8
          |      ORDER BY shuffle_key, doc_id) AS pos

@@ -92,6 +92,18 @@ object StreamingPacking {
     val mid = staged.agg(max("pos")).head.getLong(0) / 2
     staged.filter(col("pos") <= mid).coalesce(1).write.parquet(s"$in/chunk0")
     staged.filter(col("pos") > mid).coalesce(1).write.parquet(s"$in/chunk1")
+    // FileStreamSource orders batches by file MTIME with OS-dependent
+    // listing order breaking ties — and both chunks are written within
+    // the same millisecond often enough to tie. Packing is the one
+    // replay where batch order changes the RESULT (every context id in
+    // a shard re-bases), so the prefix order is pinned explicitly:
+    // chunk0 strictly older than chunk1 (r15 review).
+    Seq("chunk0", "chunk1").zipWithIndex.foreach { case (c, i) =>
+      val dir = new java.io.File(s"$in/$c")
+      val t = dir.lastModified() - (1 - i) * 60000L
+      dir.listFiles().foreach(f => f.setLastModified(t))
+      dir.setLastModified(t)
+    }
     val lt = org.apache.spark.sql.types.LongType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("shard", lt),
