@@ -360,29 +360,52 @@ object Bench {
     // data root or a trailing slash (r15 review).
     val sfName = new java.io.File(sfDir).getName
     val bandsPath = java.nio.file.Paths.get("tools/bench_bands.json")
-    val prevBands: Map[String, (Double, Double)] =
-      if (!java.nio.file.Files.exists(bandsPath)) Map.empty
+    val (prevBands: Map[String, (Double, Double)], prevBandsReps: Int) =
+      if (!java.nio.file.Files.exists(bandsPath)) (Map.empty[String, (Double, Double)], 0)
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(bandsPath), "UTF-8")
         val sfRe = "\"sf\":\"([^\"]*)\"".r
         val sfOk = sfRe.findFirstMatchIn(txt)
           .exists(m => new java.io.File(m.group(1)).getName == sfName)
-        if (!sfOk) Map.empty
-        else "\"(q[0-9]+)\":\\[([-0-9.]+),([-0-9.]+),([-0-9.]+)\\]".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> (m.group(3).toDouble, m.group(4).toDouble))
-          .toMap
+        if (!sfOk) (Map.empty[String, (Double, Double)], 0)
+        else {
+          val bands = "\"(q[0-9]+)\":\\[([-0-9.]+),([-0-9.]+),([-0-9.]+)\\]".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> (m.group(3).toDouble, m.group(4).toDouble))
+            .toMap
+          val bReps = "\"reps\":([0-9]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt).getOrElse(1)
+          (bands, bReps)
+        }
       }
+    // symmetric ±20% (or ±100 ms, whichever is larger) on the old band
+    // edge — the low side was lo/1.2 = −16.7% until r16 (ADVICE r15 #5)
     def isSuspect(curMin: Double, curMax: Double, lo: Double, hi: Double): Boolean =
       curMin >= 0 && (curMin > math.max(hi * 1.2, hi + 0.1) ||
-        curMax < math.min(lo / 1.2, lo - 0.1))
-    val suspects = runs.collect { case (k, ts) if !ts.exists(_ < 0) &&
+        curMax < math.min(lo * 0.8, lo - 0.1))
+    val allRisers = runs.collect { case (k, ts) if !ts.exists(_ < 0) &&
         prevBands.get(shortName(k))
           .exists { case (lo, hi) => isSuspect(ts.min, ts.max, lo, hi) } =>
       shortName(k)
     }.sorted
+    // Per-query adjudication (VERDICT r15 next-round #4): q205 was
+    // hand-adjudicated benign in r13, r14, AND r15 — its whole band
+    // moves with the host window (event-time-timer session replay: two
+    // RocksDB micro-batches + the no-data final batch; file-system-bound
+    // setup, not plan-bound), its code had zero diff lines in each of
+    // those rounds, and its 30× kappa-twin probe is flat (exponent
+    // 0.24). An adjudicated riser still goes ON THE RECORD — named in
+    // its own compact-line field with the band that fired — it just no
+    // longer taints n_suspect or blocks the bands refresh, so the
+    // record explains itself without human diffing. Any OTHER query
+    // drifting, or q205 regressing in a way a reader disputes, is
+    // still visible in the same place.
+    val AdjudicatedVariance = Set("q205")
+    val (adjudicated, suspects) = allRisers.partition(AdjudicatedVariance.contains)
     if (suspects.nonEmpty)
       System.err.println(s"[bench] ${suspects.size} query band(s) disjoint from the previous clean record's: ${suspects.mkString(",")}")
+    if (adjudicated.nonEmpty)
+      System.err.println(s"[bench] ${adjudicated.size} adjudicated-variance band(s) fired (benign, on record): ${adjudicated.mkString(",")}")
     val ok = runs.filter(_._2.forall(_ >= 0))
     // ok-portion per FAMILY: if one family failed, the other's cached
     // build still benefited its queries and must stay charged — a
@@ -424,10 +447,17 @@ object Bench {
     // two middle reps since r4; rounds 1-3 used the upper-middle element)
     // so historical even-rep numbers aren't compared as like-for-like.
     val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // adjudicated risers: name + the fired band vs the baseline band, so
+    // the record is self-explanatory ("q205":[curMin,curMax,baseLo,baseHi])
+    val adjudicatedJson = adjudicated.map { k =>
+      val ts = runs.collectFirst { case (n, t) if shortName(n) == k => t }.get
+      val (lo, hi) = prevBands(k)
+      s""""$k":[${ms(ts.min)},${ms(ts.max)},${ms(lo)},${ms(hi)}]"""
+    }.mkString("{", ",", "}")
     // n_suspect is only meaningful against a baseline; baseline=false
     // says "no previous clean bands for this sf" rather than "0 risers"
     val suspectBaseline = prevBands.nonEmpty
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsJson,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsJson,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
     // The driver persists only the LAST ~2000 chars of stdout. At 124
     // queries the full line above outgrew that window and BENCH_r10 went
     // on record with "parsed": null — no total at all (VERDICT r10 item
@@ -435,7 +465,15 @@ object Bench {
     // per-query map (≪ 2000 chars, forever): printed last, it is always
     // inside the tail the driver parses. The full line stays for humans
     // and per-query analysis.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
+    // suspects ride the compact line too, CAPPED at 20 names (VERDICT
+    // r15 item 1 of the hygiene list): BENCH_r15 went on record with
+    // n_suspect: 11 but the names sat before the per-query map on the
+    // full line and the driver's 2000-char tail truncated them away — a
+    // tainted record must be adjudicable from the committed tail alone.
+    // 20 capped names ≈ 140 chars, safely inside the tail window even
+    // on a hot host; n_suspect still carries the true count.
+    val suspectsCompact = suspects.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsCompact,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
     // refresh the committed adjudication baseline: only a CLEAN,
     // zero-failure, ZERO-SUSPECT run at the driver's bench SF may become
     // the next round's reference bands. A local sf0.001 iteration or a
@@ -445,7 +483,12 @@ object Bench {
     // run would adjudicate against the regressed numbers (r15 review);
     // a flagged-but-adjudicated-benign drift is refreshed by DELETING
     // the file and re-running clean, a deliberate human act.
-    if (!tainted && failed == 0 && suspects.isEmpty && sfName == "sf0.1") {
+    // ...and only a run whose rep count matches-or-exceeds the committed
+    // baseline's may overwrite it (ADVICE r15 #5): a reps=1 run writes
+    // degenerate min==max bands that make the next honest run's
+    // disjointness check far more likely to false-positive.
+    if (!tainted && failed == 0 && suspects.isEmpty && sfName == "sf0.1" &&
+        (prevBands.isEmpty || reps >= prevBandsReps)) {
       val bandsFile = s"""{"sf":"$sfDir","reps":$reps,"bands":${fmtBands(runs)}}"""
       try {
         java.nio.file.Files.createDirectories(bandsPath.getParent)

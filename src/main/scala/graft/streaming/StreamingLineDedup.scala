@@ -48,7 +48,8 @@ object StreamingLineDedup {
   def processBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val versions = VersionedState.committed(spark, stateDir)
-    if (versions.contains(batchId)) return // retry of a committed batch: no-op
+    if (VersionedState.isCommitted(spark, stateDir, batchId, versions))
+      return // retry of a committed batch (explicit or compacted): no-op
     val ch = graft.Caches.scopedPersist(
       graft.queries.CurationQueries.lineChunks(batch))
     val standing = versions.lastOption match {
@@ -79,10 +80,23 @@ object StreamingLineDedup {
   }
 
   /** The append-only cleaned ledger: every committed batch's output,
-    * one row per document ever ingested. */
+    * one row per document ever ingested. Enumerates the ledger dirs
+    * themselves and validates each against the exactly-once record
+    * (explicit marker OR ≤ the compacted high-water mark, r16) — an
+    * orphan `out/b{id}` from a crash between the ledger write and the
+    * commit marker stays invisible, exactly as before compaction. */
   def report(spark: SparkSession, stateDir: String): DataFrame = {
-    val vs = VersionedState.committed(spark, stateDir)
-    require(vs.nonEmpty, s"no committed batch under $stateDir")
-    spark.read.parquet(vs.map(v => s"$stateDir/out/b$v"): _*)
+    val markers = VersionedState.committed(spark, stateDir)
+    val f = VersionedState.fs(spark, stateDir)
+    val outDir = new org.apache.hadoop.fs.Path(s"$stateDir/out")
+    val ids =
+      if (!f.exists(outDir)) Seq.empty[Long]
+      else f.listStatus(outDir).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("b"))
+        .map(_.drop(1).toLong)
+        .filter(id => VersionedState.isCommitted(spark, stateDir, id, markers))
+        .sorted
+    require(ids.nonEmpty, s"no committed batch under $stateDir")
+    spark.read.parquet(ids.map(v => s"$stateDir/out/b$v"): _*)
   }
 }

@@ -35,6 +35,9 @@ object StreamingPacking {
                            tok_start: Long, tok_end: Long, n_tokens: Long,
                            n_trunc_tokens: Long)
   final case class PackState(ctx: Long, fill: Long)
+  final case class FragOut(shard: Long, context_id: Long, doc_id: Long,
+                           n_doc_tokens: Long, tok_start: Long, tok_end: Long,
+                           is_head: Long, is_tail: Long)
 
   /** One ValueState slot named "pack": the open context's (id, fill).
     * Identical arithmetic to [[graft.operators.Packing.packSpans]] —
@@ -74,6 +77,58 @@ object StreamingPacking {
       .toDF()
   }
 
+  /** Streamed SPLIT packing (q251, r16 — VERDICT r15 item 3): q248's
+    * concat-and-chunk policy on the unbounded ingest. Where the greedy
+    * walk carries a (ctx, fill) pair, split packing's entire state is
+    * ONE long per shard — the shard's global token offset — because
+    * every fragment is pure arithmetic on that offset (the same closed
+    * form q248 computes as a prefix-sum window). The seam property the
+    * shared oracle discriminates is sharper than q247's: an open
+    * FRAGMENT crosses the batch boundary — the first post-seam doc
+    * starts mid-context at the carried offset, so an offset lost,
+    * re-based to 0, or rounded up to the next context boundary shifts
+    * that doc's tok_start/context_id and every fragment after it.
+    * Identical arithmetic to the q248 window+explode: contexts
+    * start/B ..= (end−1)/B, geometry by min/max, zero-token docs ship
+    * nothing (the ADVICE r15 #3 guard, mirrored on all three faces). */
+  class SplitProcessor(budget: Long)
+      extends StatefulProcessor[Long, DocIn, FragOut] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("off", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocIn],
+        timerValues: TimerValues): Iterator[FragOut] = {
+      var off = if (st.exists()) st.get() else 0L
+      val out = rows.toSeq.sortBy(_.pos).flatMap { d =>
+        val start = off
+        val end = start + d.n_tokens
+        off = end
+        if (d.n_tokens <= 0L) Seq.empty[FragOut]
+        else ((start / budget) to ((end - 1) / budget)).map { c =>
+          FragOut(d.shard, c, d.doc_id, d.n_tokens,
+            math.max(start - c * budget, 0L),
+            math.min(end - c * budget, budget),
+            if (start >= c * budget) 1L else 0L,
+            if (end <= (c + 1) * budget) 1L else 0L)
+        }
+      }
+      st.update(off)
+      out.iterator
+    }
+  }
+
+  /** Apply the split processor to a (possibly streaming) typed source. */
+  def splitPacked(spark: SparkSession, docs: Dataset[DocIn],
+                  budget: Long): DataFrame = {
+    import spark.implicits._
+    docs.groupByKey(_.shard)
+      .transformWithState(new SplitProcessor(budget), TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -84,7 +139,20 @@ object StreamingPacking {
     * returns the drained spans. Parametrized so StreamingPackingSpec can
     * drive planted lengths across the seam. */
   def replayTwoBatches(spark: SparkSession, staged: DataFrame,
-                       budget: Long): DataFrame = {
+                       budget: Long): DataFrame =
+    replayTwoBatchesWith(spark, staged, src => packed(spark, src, budget))
+
+  /** q251's face of the same replay: split packing over the identical
+    * two-batch prefix stream. */
+  def replaySplitTwoBatches(spark: SparkSession, staged: DataFrame,
+                            budget: Long): DataFrame =
+    replayTwoBatchesWith(spark, staged, src => splitPacked(spark, src, budget))
+
+  /** The shared two-batch replay harness: stage the relation as two
+    * mtime-pinned parquet chunks, drive them through `transform` under
+    * the RocksDB provider, drain via foreachBatch, return the union. */
+  private def replayTwoBatchesWith(spark: SparkSession, staged: DataFrame,
+      transform: Dataset[DocIn] => DataFrame): DataFrame = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-packstream-")
     graft.TempDirs.cleanupOnExit(root)
@@ -115,7 +183,7 @@ object StreamingPacking {
     val prev = spark.conf.getOption(ProviderKey)
     try {
       spark.conf.set(ProviderKey, RocksDbProvider)
-      val q = packed(spark, src, budget).writeStream
+      val q = transform(src).writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ck)
         .foreachBatch { (b: DataFrame, _: Long) =>
@@ -138,6 +206,13 @@ object StreamingPacking {
     * gate budget. */
   def packReplay(spark: SparkSession, sfDir: String): DataFrame =
     replayTwoBatches(spark,
+      graft.queries.CurationQueries.packStaged(spark, sfDir),
+      graft.queries.CurationQueries.PackTokenBudget)
+
+  /** q251: the same staged relation and the same two-batch prefix
+    * stream, through the split processor at the gate budget. */
+  def splitReplay(spark: SparkSession, sfDir: String): DataFrame =
+    replaySplitTwoBatches(spark,
       graft.queries.CurationQueries.packStaged(spark, sfDir),
       graft.queries.CurationQueries.PackTokenBudget)
 }

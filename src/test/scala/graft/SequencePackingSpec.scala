@@ -152,11 +152,59 @@ class SequencePackingSpec extends SparkSpec {
       val s = p.getAs[Long]("shard")
       assert(p.getAs[Long]("n_ctx_greedy") === gCtx(s),
         s"shard $s: planner greedy count must equal q245's contexts")
+      // r16 (ADVICE r15 #2): the floor is computed over the RAW mass —
+      // the mass q248 actually ships — so this equality holds on ANY
+      // corpus, not just a ≤budget fixture
       assert(p.getAs[Long]("n_ctx_floor") === sCtx(s),
         s"shard $s: split packing must sit on the ceil(total/B) floor")
       assert(p.getAs[Long]("n_frag_docs") === sFrag(s),
         s"shard $s: planner fragments must equal q248's multi-row docs")
       assert(p.getAs[Long]("n_ctx_extra") >= 0L)
+      // both masses ride the report; truncation can only shrink
+      assert(p.getAs[Long]("total_tokens_packed") <= p.getAs[Long]("total_tokens"))
+      assert(p.getAs[Long]("total_tokens_packed") === greedy
+        .filter(_.getAs[Long]("shard") == s).map(_.getAs[Long]("n_tokens")).sum,
+        s"shard $s: packed mass must equal q245's span mass")
     }
+  }
+
+  test("q252 training-export funnel: stage counters tile, every branch fires, packing is consistent") {
+    val r = try SparkEntry.queries("q252_training_export")(spark, sf0001).collect()
+      finally Caches.releaseScoped()
+    assert(r.length > 0)
+    val B = graft.queries.CurationQueries.PackTokenBudget
+    r.foreach { p =>
+      // the funnel tiles: input = quality-dropped + dup-dropped + exported
+      assert(p.getAs[Long]("n_input") ===
+        p.getAs[Long]("n_quality_dropped") + p.getAs[Long]("n_dup_dropped") +
+          p.getAs[Long]("n_exported"),
+        s"shard ${p.getAs[Long]("shard")}: funnel stages must tile")
+      // the planted q95 suffix carries exactly one email+ip+phone per doc
+      assert(p.getAs[Long]("n_pii_hits") === 3L * p.getAs[Long]("n_exported"),
+        "every exported doc must surface exactly 3 PII hits")
+      // packing consistency: contexts cover the packed mass at >= 1 ctx
+      // per budget and waste is the exact complement of fill
+      val ctx = p.getAs[Long]("n_contexts")
+      val tok = p.getAs[Long]("total_tokens")
+      assert(ctx >= (tok + B - 1) / B, "contexts can't beat the floor")
+      assert(p.getAs[Long]("waste_ppm") ===
+        (ctx * B - tok) * 1000000L / math.max(ctx * B, 1L))
+    }
+    // non-vacuity: both drop branches fire somewhere at the gate SF
+    assert(r.exists(_.getAs[Long]("n_quality_dropped") > 0L),
+      "quality branch must fire")
+    assert(r.exists(_.getAs[Long]("n_dup_dropped") > 0L),
+      "dedup branch must fire")
+    assert(r.exists(_.getAs[Long]("n_exported") > 0L))
+  }
+
+  test("q251 streamed split report is byte-identical to q248's batch report") {
+    val q = SparkEntry.queries
+    val batch = try GoldenHash.hashDf(q("q248_packing_split")(spark, sf0001))
+      finally Caches.releaseScoped()
+    val streamed = try GoldenHash.hashDf(q("q251_split_stream")(spark, sf0001))
+      finally Caches.releaseScoped()
+    assert(streamed === batch,
+      "the two split faces must hash identically (one oracle text, one golden)")
   }
 }

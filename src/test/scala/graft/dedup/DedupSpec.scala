@@ -37,31 +37,34 @@ class DedupSpec extends SparkSpec {
     assert(ham(1L, 2L) < ham(1L, 3L))
   }
 
-  test("MLlib MinHashLSH and the relational LSH pipeline agree pair-for-pair") {
+  test("q18 gates MLlib-vs-relational pair-set agreement (sym diff = 0)") {
     import graft.SparkEntry
-    // q18 runs on the bounded even-doc slice (even ids < 2000 — see its
-    // query doc); bucket membership is pair-local, so the full-corpus
-    // relational pair set restricted to the same slice is exactly the
-    // sliced-corpus answer. (At sf0.001 every doc_id < 2000, so the
-    // bound is vacuous here; it exists for large-corpus cost.)
-    val mllib = SparkEntry.queries("q18_neardup_minhash")(spark, sf0001)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val allPairs = SparkEntry.queries("q31_ngram_jaccard")(spark, sf0001)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val relational = allPairs.filter { case (a, b) =>
-      a % 2 == 0 && b % 2 == 0 && a < 2000 && b < 2000 }
-    // NOT exact equality: q18 runs only 2 OR-amplified hash tables, so a
-    // true pair is missed with prob ≈ (1−j)² (~4% at j = 0.8) — on the
-    // current seeded corpus the sets happen to coincide, but a fixture
-    // regeneration could legitimately drop a pair from the MLlib side.
-    // The stable invariants are (a) soundness: every MLlib pair passes
-    // the same exact-Jaccard filter the relational path applies, so it
-    // must be a subset; (b) recall ≥ 0.9 against the oracle-checked set.
-    assert(mllib.subsetOf(relational),
-      s"MLlib found pairs the relational verify rejects: ${mllib -- relational}")
-    assert(relational.nonEmpty &&
-      mllib.size >= math.ceil(relational.size * 0.9).toInt,
-      s"MLlib recall ${mllib.size}/${relational.size} under the 0.9 floor")
+    // Since round 16 q18's OUTPUT is the agreement row (VERDICT r15 item
+    // 1): both symmetric-difference legs between the MLlib pair set and
+    // the oracle-checked q30/q31 relational set restricted to q18's
+    // even-doc slice (bucket membership is pair-local, so the restriction
+    // is exact; at sf0.001 every doc_id < 2000, the bound exists for
+    // large-corpus cost). This spec recomputes the EXPECTED row
+    // independently from the oracled q31 surface — the same derivation
+    // the DuckDB oracle runs — so a dropped/invented/re-labeled pair on
+    // the MLlib side fails here exactly as it would fail the gate.
+    // (2 OR-amplified tables miss a true pair with prob ≈ (1−j)²; on the
+    // seeded corpus agreement is exact at all three SFs — measured
+    // missed=0/extra=0 before the round-16 promotion.)
+    val row = SparkEntry.queries("q18_neardup_minhash")(spark, sf0001)
+      .collect().head
+    val relational = SparkEntry.queries("q31_ngram_jaccard")(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a % 2 == 0 && b % 2 == 0 && a < 2000 && b < 2000 }
+    assert(relational.nonEmpty, "vacuous fixture: no relational pairs in the slice")
+    assert(row.getAs[Long]("n_only_mllib") === 0L,
+      "MLlib found pairs the relational verify rejects")
+    assert(row.getAs[Long]("n_only_relational") === 0L,
+      "MLlib missed oracled pairs")
+    assert(row.getAs[Long]("n_pairs") === relational.length.toLong)
+    assert(row.getAs[Long]("n_relational") === relational.length.toLong)
+    assert(row.getAs[Long]("pair_checksum") ===
+      relational.map { case (a, b) => a * 1000003L + b }.sum)
   }
 
   test("skew-safe distinct count equals countDistinct") {

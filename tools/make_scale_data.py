@@ -104,14 +104,19 @@ def replicate_embeddings(sf_dir: str, out_dir: str, n: int) -> int:
     vecs = t["embedding"].to_pylist()
     dim = len(vecs[0])
     if n > dim:
-        raise ValueError(
-            f"N={n} copies need distinct rotations but dim={dim} only offers {dim}")
+        # rotations wrap past dim: copies k and k+dim share a rotation,
+        # so cross-copy embedding twins exist and embedding-neardup
+        # probes (q57-class) are INVALID on this dir. Probes that don't
+        # read embeddings (the q192/q145/q160 CF/containment trio) are
+        # unaffected — warn instead of refusing (r16, the 100x sweep).
+        print(f"WARNING: N={n} > dim={dim} — rotations wrap (k % dim); "
+              f"embedding-neardup probes are invalid on this dir")
     copies = []
     for k in range(n):
         c = t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
                          pc.add(t["vec_id"], k * off))
-        if k > 0:
-            r = k
+        if k % dim > 0:
+            r = k % dim
             rotated = [v[r:] + v[:r] for v in vecs]
             c = c.set_column(c.schema.get_field_index("embedding"), "embedding",
                              pa.array(rotated, type=t["embedding"].type))
