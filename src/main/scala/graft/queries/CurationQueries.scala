@@ -246,13 +246,18 @@ object CurationQueries {
     * ranked relation (`d`) and the greedy packing walk as a recursive
     * CTE over it (`walk`) — one definition, three consumers (the q138
     * one-text rule applied to a CTE chain). */
+  // `d AS MATERIALIZED` (r16, the q133 rule): DuckDB inlines a plain
+  // CTE into each recursive-walk iteration, re-deriving the md5 keys
+  // and rank window once per step — q245/q249's sf0.1 oracles ran
+  // ~10 s each, 20× the materialized form (0.5 s). Same fix on q78's
+  // walk and q252's staged relation (423 s → 1.6 s there).
   private[queries] val PackWalkCte: String =
     s"""WITH RECURSIVE k AS (SELECT doc_id,
          |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
          |      AS BIGINT) AS shuffle_key,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw
          |  FROM documents),
-         |d AS (SELECT doc_id, raw, least(raw, $PackTokenBudget) AS len,
+         |d AS MATERIALIZED (SELECT doc_id, raw, least(raw, $PackTokenBudget) AS len,
          |    shuffle_key % 8 AS shard,
          |    row_number() OVER (PARTITION BY shuffle_key % 8
          |      ORDER BY shuffle_key, doc_id) AS rn
@@ -1720,7 +1725,7 @@ object CurationQueries {
          |FROM asg s LEFT JOIN best t ON s.vec_id = t.vec_id
          |ORDER BY s.vec_id""".stripMargin,
     "q78_greedy_packing" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars,
+      s"""WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, lang, n_chars,
          |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
          |  FROM documents),
          |p AS (
@@ -2062,7 +2067,7 @@ object CurationQueries {
          |    CAST(('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 14))
          |      AS BIGINT) AS shuffle_key
          |  FROM documents),
-         |de AS (SELECT c.doc_id, c.n_pii,
+         |de AS MATERIALIZED (SELECT c.doc_id, c.n_pii,
          |    least(CAST(len(string_split(c.clean_text, ' ')) AS BIGINT),
          |      $PackTokenBudget) AS len,
          |    k.shuffle_key % 8 AS shard,
