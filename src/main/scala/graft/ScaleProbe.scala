@@ -25,9 +25,17 @@ object ScaleProbe {
         "q72_bloom_incremental_dedup", "q73_bucketed_colocated_join",
         "q74_contamination_check")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // partitions decoupled from cores (r16): at 100× volume the
+    // cpus-sized shuffle fan-out puts ~100× rows in every task — the
+    // q145/q160 screens spilled and went super-linear purely from
+    // per-task footprint. A real cluster sizes partitions to DATA
+    // (spark.sql.files.maxPartitionBytes / AQE target size), so the
+    // probe must be able to as well or it measures the harness, not
+    // the operator.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

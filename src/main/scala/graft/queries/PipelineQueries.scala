@@ -2806,9 +2806,16 @@ object PipelineQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), tokensCol.as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("tok"))
+          // 56-bit HASHED shingles (r16, the q31 rule): the verify
+          // stage ships whole shingle sets through two pair-keyed
+          // shuffles, and a long element is ~5x smaller (and hashes
+          // ~5x faster in array_intersect) than the 3-gram string.
+          // The oracle hashes identically, so exactness is preserved
+          // by construction, shared collisions included.
+          .select(col("doc_id"), explode(TextOps.hashedShingles(col("tk"), 3)).as("tok"))
           .distinct())
-      val m = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      val m = graft.Caches.scopedPersist(
+        sh.groupBy("doc_id").agg(count(lit(1)).as("m")))
       val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
       // persisted: both sides of the candidate self-join read it, and
@@ -2822,10 +2829,26 @@ object PipelineQueries {
         .join(prefix.select(col("doc_id").as("db"), col("tok")), "tok")
         .filter(col("da") < col("db"))
         .select("da", "db").distinct()
+      // verify via per-doc SORTED shingle sets + the codegen'd
+      // two-pointer SortedIntersectCount kernel (r16): the former
+      // explode-join counted the intersection as candidate-pairs ×
+      // shingles ROWS — ~4G intermediate rows at the 100× probe, which
+      // out-spilled a single box's shuffle disk even though the volume
+      // is exactly linear in copies (measured: 731k → 73M candidate-
+      // join rows at 1×→100×, max shingle df constant at 25). Joining
+      // the pair list against docs-sized set arrays keeps the shuffle
+      // pairs-sized; and the generic array_intersect hash-set kernel
+      // measured ~29 µs/pair (55 s at 100×) where the sorted merge is
+      // allocation-free (~2 s for the same 30M pairs).
+      // persisted: BOTH pair sides join the set relation, and without
+      // the persist the 26M-row (at 100×) groupBy+sort ran twice
+      val sets = graft.Caches.scopedPersist(
+        sh.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("sv")))
       val inter = cand
-        .join(sh.select(col("doc_id").as("da"), col("tok")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
-        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+        .join(sets.select(col("doc_id").as("da"), col("sv").as("sa")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("sv").as("sb")), "db")
+        .select(col("da"), col("db"),
+          graft.expressions.SortedIntersectCount(col("sa"), col("sb")).as("inter"))
       inter
         .join(m.select(col("doc_id").as("da"), col("m").as("ma")), "da")
         .join(m.select(col("doc_id").as("db"), col("m").as("mb")), "db")
@@ -2865,9 +2888,16 @@ object PipelineQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), tokensCol.as("tk"))
           .filter(size(col("tk")) >= 3)
-          .select(col("doc_id"), explode(TextOps.shingles(col("tk"), 3)).as("tok"))
+          // 56-bit HASHED shingles (r16, the q31 rule): the verify
+          // stage ships whole shingle sets through two pair-keyed
+          // shuffles, and a long element is ~5x smaller (and hashes
+          // ~5x faster in array_intersect) than the 3-gram string.
+          // The oracle hashes identically, so exactness is preserved
+          // by construction, shared collisions included.
+          .select(col("doc_id"), explode(TextOps.hashedShingles(col("tk"), 3)).as("tok"))
           .distinct())
-      val m = sh.groupBy("doc_id").agg(count(lit(1)).as("m"))
+      val m = graft.Caches.scopedPersist(
+        sh.groupBy("doc_id").agg(count(lit(1)).as("m")))
       val dfreq = sh.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
       val prefix = sh.join(dfreq, "tok").join(m, "doc_id")
@@ -2880,10 +2910,19 @@ object PipelineQueries {
         .select(least(col("pa"), col("pb")).as("da"),
           greatest(col("pa"), col("pb")).as("db"))
         .distinct()
+      // verify via set arrays + array_intersect (the q31/q145 shape,
+      // r16 — see q145's comment: the explode-join's pairs × shingles
+      // row expansion out-spilled the 100× probe box; this keeps the
+      // shuffle pairs-sized with identical semantics)
+      // persisted: BOTH pair sides join the set relation, and without
+      // the persist the 26M-row (at 100×) groupBy+sort ran twice
+      val sets = graft.Caches.scopedPersist(
+        sh.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("sv")))
       val inter = cand
-        .join(sh.select(col("doc_id").as("da"), col("tok")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
-        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+        .join(sets.select(col("doc_id").as("da"), col("sv").as("sa")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("sv").as("sb")), "db")
+        .select(col("da"), col("db"),
+          graft.expressions.SortedIntersectCount(col("sa"), col("sb")).as("inter"))
       inter
         .join(m.select(col("doc_id").as("da"), col("m").as("ma")), "da")
         .join(m.select(col("doc_id").as("db"), col("m").as("mb")), "db")
@@ -4482,7 +4521,7 @@ object PipelineQueries {
     "q145_prefix_filter_join" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+        |         i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14)) AS BIGINT))) AS tok
         |       FROM toks WHERE len(tk) >= 3),
         |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
@@ -4498,7 +4537,7 @@ object PipelineQueries {
     "q160_containment_join" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
-        |         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+        |         i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 14)) AS BIGINT))) AS tok
         |       FROM toks WHERE len(tk) >= 3),
         |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY doc_id),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS inter
