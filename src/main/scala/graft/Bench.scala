@@ -480,9 +480,14 @@ object Bench {
     // tainted window must not clobber the sf0.1 baseline — and a run
     // that itself flags disjoint bands must not either, or a real
     // regression would self-ratchet into the baseline and every later
-    // run would adjudicate against the regressed numbers (r15 review);
-    // a flagged-but-adjudicated-benign drift is refreshed by DELETING
-    // the file and re-running clean, a deliberate human act.
+    // run would adjudicate against the regressed numbers (r15 review).
+    // ADJUDICATED risers (AdjudicatedVariance, currently q205) are the
+    // exception: they no longer block the refresh, so a clean run whose
+    // only drift is q205 re-bases q205's band automatically — that's
+    // the point of adjudication (its band moves with the host window,
+    // and pinning it would make every later run re-flag it). The
+    // delete-the-file-and-rerun procedure remains the path for
+    // NON-adjudicated drifts a human judges benign (ADVICE r16 #4).
     // ...and only a run whose rep count matches-or-exceeds the committed
     // baseline's may overwrite it (ADVICE r15 #5): a reps=1 run writes
     // degenerate min==max bands that make the next honest run's

@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst |A ∩ B| over two SORTED-ascending, duplicate-free
   * `array<long>` columns — the verify kernel of the set-similarity
@@ -29,6 +30,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_count"
+
+  /** Misuse fails at ANALYSIS, not silently at runtime: applied to
+    * anything but `array<long>` the merge walk would read garbage via
+    * `ArrayData.getLong`. Sortedness/distinctness stay a documented
+    * contract (unverifiable per-row without defeating the point).
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

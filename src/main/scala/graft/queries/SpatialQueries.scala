@@ -73,30 +73,41 @@ object SpatialQueries {
         .orderBy("frame")
     },
 
-    // Approx distinct (HLL++) beside the exact count — since round 16
-    // the ONLY Spark-only entry (q18 was promoted to a full diff=0
-    // agreement oracle, VERDICT r15 item 1): the ALGORITHM is fully oracled by the
-    // q229/q237/q238/q241/q242 register family; what this row exercises
-    // is Spark's own library implementation (dense HLL++ with bias
-    // correction), which differs from the oracle's engine BY DESIGN.
-    // The exemption therefore carries a MEASURED bound instead of a
-    // bare spec (r15, VERDICT r14 #6): err_ppm and within_3rsd ride in
-    // the output, with 3·rsd = 150 000 ppm for the default rsd = 0.05
-    // of approx_count_distinct — the published HLL++ standard-error
-    // envelope at 3σ. The golden hash pins the estimate itself;
-    // QueriesSpec asserts the bound holds at the gate SF.
+    // Approx distinct (HLL++) beside the exact count. FULLY ORACLED
+    // since r17 (VERDICT r16 item 6, closing the last asterisk): the
+    // HLL++ ALGORITHM is oracled by the q229/q237/q238/q241/q242
+    // register family; what this row exercises is Spark's own LIBRARY
+    // implementation (dense HLL++ with bias correction), whose raw
+    // estimate no other engine replays BY DESIGN — so the gated output
+    // is exactly the cross-engine-checkable claim: the exact count
+    // (DuckDB replays it) and the acceptance verdict `within_3rsd`,
+    // true iff the estimate sits inside the published standard-error
+    // envelope at 3σ (3·rsd = 150 000 ppm for approx_count_distinct's
+    // default rsd = 0.05). The oracle encodes within_3rsd's EXPECTED
+    // value (TRUE) — an estimate drifting past the bound flips the
+    // column and fails the hash. The raw estimate + err_ppm remain
+    // pinned in QueriesSpec, which recomputes them beside this row.
     "q38_approx_distinct" -> { (s, d) =>
       Tables.events(s, d).agg(
           approx_count_distinct("user_id").as("n_users_approx"),
           countDistinct("user_id").as("n_users_exact"))
-        .select(col("n_users_approx"), col("n_users_exact"),
-          expr("abs(n_users_approx - n_users_exact) * 1000000 div n_users_exact")
-            .as("err_ppm"))
-        .withColumn("within_3rsd", col("err_ppm") <= lit(150000L))
+        .select(col("n_users_exact"),
+          (expr("abs(n_users_approx - n_users_exact) * 1000000 div n_users_exact")
+            <= lit(150000L)).as("within_3rsd"))
     }
   )
 
   val oracles: Map[String, String] = Map(
+    // q38: the exact side replays directly; within_3rsd's expected value
+    // is the 3·rsd acceptance envelope AS AN EXPECTATION — DuckDB cannot
+    // rerun Spark's HLL++ (different library by design), so the gated
+    // cross-engine claim is "exact count identical AND estimate inside
+    // the published bound", which is everything replayable about an
+    // approximate operator. Deterministic: approx_count_distinct is a
+    // fixed-seed hash over fixed data.
+    "q38_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS within_3rsd FROM events""".stripMargin,
     // Greedy NMS as a recursive CTE: one walk row per (frame, rank); the
     // kept-box list rides along as recursion state. Rank order matches
     // BBoxOps.nms exactly ((-confidence, box_id)); recursion depth is

@@ -87,6 +87,7 @@ object StreamingLineDedup {
     * commit marker stays invisible, exactly as before compaction. */
   def report(spark: SparkSession, stateDir: String): DataFrame = {
     val markers = VersionedState.committed(spark, stateDir)
+    val hwm = VersionedState.highWaterMark(spark, stateDir) // once, not per id
     val f = VersionedState.fs(spark, stateDir)
     val outDir = new org.apache.hadoop.fs.Path(s"$stateDir/out")
     val ids =
@@ -94,7 +95,7 @@ object StreamingLineDedup {
       else f.listStatus(outDir).toSeq
         .map(_.getPath.getName).filter(_.startsWith("b"))
         .map(_.drop(1).toLong)
-        .filter(id => VersionedState.isCommitted(spark, stateDir, id, markers))
+        .filter(id => VersionedState.isCommitted(hwm, id, markers))
         .sorted
     require(ids.nonEmpty, s"no committed batch under $stateDir")
     spark.read.parquet(ids.map(v => s"$stateDir/out/b$v"): _*)

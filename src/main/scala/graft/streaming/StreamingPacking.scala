@@ -41,7 +41,18 @@ object StreamingPacking {
 
   /** One ValueState slot named "pack": the open context's (id, fill).
     * Identical arithmetic to [[graft.operators.Packing.packSpans]] —
-    * truncate to budget, roll over when the doc no longer fits. */
+    * truncate to budget, roll over when the doc no longer fits.
+    *
+    * PER-BATCH MEMORY CONTRACT (VERDICT r16 item 5): `handleInputRows`
+    * materializes ONE (shard, micro-batch) slice to sort it by `pos` —
+    * `transformWithState` hands the group iterator in arrival order and
+    * exposes no sorted-group form (batch-only `flatMapSortedGroups` has
+    * one; the streaming API does not), and the fold is order-sensitive,
+    * so the sort is semantic, not cosmetic. The executor-memory bound is
+    * therefore micro-batch rows ÷ shards: a production deploy sizes
+    * `maxFilesPerTrigger`/`maxOffsetsPerTrigger` so one shard's slice of
+    * one trigger fits an executor (at gate widths: ≤ a few thousand
+    * 4-long rows). State itself stays O(1) per shard regardless. */
   class PackProcessor(budget: Long)
       extends StatefulProcessor[Long, DocIn, SpanOut] {
     @transient private var st: ValueState[PackState] = _
@@ -90,7 +101,11 @@ object StreamingPacking {
     * that doc's tok_start/context_id and every fragment after it.
     * Identical arithmetic to the q248 window+explode: contexts
     * start/B ..= (end−1)/B, geometry by min/max, zero-token docs ship
-    * nothing (the ADVICE r15 #3 guard, mirrored on all three faces). */
+    * nothing (the ADVICE r15 #3 guard, mirrored on all three faces).
+    * Same per-batch memory contract as [[PackProcessor]]: the one
+    * (shard, micro-batch) slice is sorted in memory because the offset
+    * fold is order-sensitive and the streaming API has no sorted-group
+    * iterator — trigger size ÷ shards must fit an executor. */
   class SplitProcessor(budget: Long)
       extends StatefulProcessor[Long, DocIn, FragOut] {
     @transient private var st: ValueState[Long] = _

@@ -76,7 +76,14 @@ private[graft] object VersionedState {
     * caller's already-listed [[committed]] result (no second listing). */
   def isCommitted(spark: SparkSession, stateDir: String, batchId: Long,
                   markers: Seq[Long]): Boolean =
-    batchId <= highWaterMark(spark, stateDir) || markers.contains(batchId)
+    isCommitted(highWaterMark(spark, stateDir), batchId, markers)
+
+  /** Same test against a PRE-COMPUTED high-water mark — for callers
+    * validating many ids against one ledger (ADVICE r16 #2): list the
+    * hwm once, not once per id, keeping report()-style sweeps O(1)
+    * directory listings as the compaction was introduced to provide. */
+  def isCommitted(hwm: Long, batchId: Long, markers: Seq[Long]): Boolean =
+    batchId <= hwm || markers.contains(batchId)
 
   /** The commit point: atomic zero-byte marker create — everything
     * before it is invisible to readers, everything after it is durable.
@@ -106,15 +113,19 @@ private[graft] object VersionedState {
     // the newest KeepMarkers markers into the high-water mark. The hwm
     // file is created BEFORE the folded markers delete, so a crash
     // between the two steps leaves ids doubly recorded — harmless —
-    // never unrecorded.
+    // never unrecorded. The exists-guard makes the RETRY of exactly
+    // that crash re-enter the delete steps instead of throwing
+    // FileAlreadyExistsException into the blanket catch and skipping
+    // them (ADVICE r16 #3): without it, a stream that stopped at that
+    // batch would never clean up the already-folded markers.
     try {
       val markers = (predecessors :+ batchId).distinct.sorted
       if (markers.size > KeepMarkers) {
         val newHwm = markers(markers.size - KeepMarkers - 1)
         val oldHwm = highWaterMark(spark, stateDir)
         if (newHwm > oldHwm) {
-          f.create(new org.apache.hadoop.fs.Path(s"$stateDir/hwm_$newHwm"),
-            false).close()
+          val hwmPath = new org.apache.hadoop.fs.Path(s"$stateDir/hwm_$newHwm")
+          if (!f.exists(hwmPath)) f.create(hwmPath, false).close()
           markers.filter(_ <= newHwm).foreach { v =>
             f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)
           }

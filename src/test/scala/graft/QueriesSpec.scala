@@ -16,16 +16,25 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("q38: Spark's HLL++ estimate sits inside the published 3·rsd envelope") {
-    // the Spark-only exemption's MEASURED bound (r15, VERDICT r14 #6):
-    // the algorithm is oracled via q229/q241; this pins the LIBRARY
-    // implementation to its published accuracy (rsd = 0.05 default →
-    // 3σ = 150 000 ppm) at the gate fixture's cardinality
+    // q38's gated output is (n_users_exact, within_3rsd) since r17 —
+    // fully oracle-replayable (VERDICT r16 item 6). The RAW estimate and
+    // err_ppm live here instead: recomputed beside the gated row, pinning
+    // the LIBRARY implementation to its published accuracy (rsd = 0.05
+    // default → 3σ = 150 000 ppm) at the gate fixture's cardinality.
     val r = SparkEntry.queries("q38_approx_distinct")(spark, sf0001).collect()
     try {
       assert(r.length === 1)
       val row = r.head
+      val est = Tables.events(spark, sf0001)
+        .agg(approx_count_distinct("user_id").as("approx"),
+          countDistinct("user_id").as("exact"))
+        .collect().head
+      val errPpm = math.abs(est.getAs[Long]("approx") - est.getAs[Long]("exact")) *
+        1000000L / est.getAs[Long]("exact")
+      assert(errPpm <= 150000L, s"HLL++ err_ppm=$errPpm exceeds 150000")
       assert(row.getAs[Boolean]("within_3rsd"),
-        s"HLL++ err_ppm=${row.getAs[Long]("err_ppm")} exceeds 150000")
+        "gated within_3rsd disagrees with the recomputed bound")
+      assert(row.getAs[Long]("n_users_exact") === est.getAs[Long]("exact"))
     } finally Caches.releaseScoped()
   }
 

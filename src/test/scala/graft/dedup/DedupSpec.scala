@@ -51,9 +51,14 @@ class DedupSpec extends SparkSpec {
     // (2 OR-amplified tables miss a true pair with prob ≈ (1−j)²; on the
     // seeded corpus agreement is exact at all three SFs — measured
     // missed=0/extra=0 before the round-16 promotion.)
+    // r17 boundary alignment (ADVICE r16 #1): the gate arms filter at
+    // the STRICT threshold j > 0.5 (= approxSimilarityJoin's dist < 0.5),
+    // so this spec's independent expected-set derivation does too —
+    // q31's own output keeps the inclusive >= 0.5 it is oracled at.
     val row = SparkEntry.queries("q18_neardup_minhash")(spark, sf0001)
       .collect().head
     val relational = SparkEntry.queries("q31_ngram_jaccard")(spark, sf0001)
+      .filter(col("jaccard") > 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
       .filter { case (a, b) => a % 2 == 0 && b % 2 == 0 && a < 2000 && b < 2000 }
     assert(relational.nonEmpty, "vacuous fixture: no relational pairs in the slice")
