@@ -25,12 +25,16 @@ object Bench {
     * separate the bench's OWN 32-thread bursts from contamination — an
     * empirically clean run (start 0.73, zero external processes) ends
     * its 90-query tail at 1-min loadavg ~5, so a loadavg bound there
-    * taints every honest run. The EXTERNAL CPU SHARE (whole-system CPU
-    * minus this JVM's CPU, both from the platform MXBean) is ~0 on a
-    * quiet host regardless of self-load and rises exactly when another
+    * taints every honest run. The EXTERNAL CPU SHARE is ~0 on a quiet
+    * host regardless of self-load and rises exactly when another
     * process competes for the cores that swing the numbers. A kept
     * window is hot when not-us CPU exceeds this fraction of all cores
-    * (0.10 = ~3 of 32 cores — the same order as the loadavg-3 rule). */
+    * (0.10 = ~3 of 32 cores — the same order as the loadavg-3 rule).
+    * Since r17 "not us" means other processes' USER-space ticks (from
+    * /proc on Linux; MXBean system-minus-self elsewhere): the MXBean
+    * difference counted kernel writeback kworkers flushing the bench's
+    * OWN RocksDB checkpoints as contention and self-tainted the
+    * streaming reps — see the signal-fix comment at the sampler. */
   val MaxExternalBusy = 0.10
 
   /** True when a measurement window's external CPU share violates the
@@ -54,6 +58,34 @@ object Bench {
   def isBandTainted(totalMin: Double, totalMax: Double): Boolean =
     totalMin > 0 && totalMax / totalMin > MaxBandRatio
 
+  /** r17 band-rule input fix (VERDICT r16 item 2): the rule above was
+    * fed `sum(per-query min)` vs `sum(per-query max)` — extremes picked
+    * INDEPENDENTLY per query, so 252 queries' uncorrelated jitter
+    * accumulates O(n) into the band while any actual rep's total only
+    * wobbles O(√n). That made `tainted` the steady state as the surface
+    * grew (r15: 1.59 busy; r16: 1.40 driver / 1.49 judge on an
+    * idle-at-start host) — a structural artifact of the aggregation,
+    * not of the host. The honest "did the reps run under one set of
+    * conditions" statistic is the spread of ACTUAL per-rep totals
+    * (rep r's time summed across queries), and because each query's
+    * rep 1 also carries its one-time Catalyst analysis + codegen (plan
+    * caches are per-query, scoped data caches are released per rep),
+    * rep 1 is systematically high for an honest reason — so the rule
+    * rates the WARM reps (2..n). Contamination sensitivity is kept:
+    * a burst shorter than a query's rep window inflates specific rep
+    * indexes of the affected queries and moves exactly one warm total
+    * (the r10 scenario, ~2×, still fires at 1.5), while a blanket
+    * slowdown spanning the whole run is what the loadavg/external-CPU
+    * samplers catch. Needs reps >= 3 (two warm totals); below that the
+    * legacy sum-of-extremes rule stays in force. The legacy band stays
+    * ON the record either way — only the taint INPUT changed. */
+  def isBandTainted(repTotals: Seq[Double], legacyMin: Double,
+                    legacyMax: Double): Boolean = {
+    val warm = repTotals.drop(1).filter(_ > 0)
+    if (warm.size >= 2) warm.max / warm.min > MaxBandRatio
+    else isBandTainted(legacyMin, legacyMax)
+  }
+
   /** Whole-run taint verdict (VERDICT r7 item 1, wired into the stamp in
     * round 9 — ADVICE r8 found the r8 version dead code): the record is
     * tainted when the idle start window was hot (loadavg rule), when the
@@ -66,13 +98,14 @@ object Bench {
                 anyKeptRepHot: Boolean): Boolean =
     isTainted(loadStart) || isHotWindow(endExternalBusy) || anyKeptRepHot
 
-  /** Whole-run verdict including the band rule (round 11): the three
-    * sampled signals OR the variance signal they cannot fake. */
+  /** Whole-run verdict including the band rule (round 11; rep-total
+    * input since r17): the three sampled signals OR the variance signal
+    * they cannot fake. */
   def isTainted(loadStart: Double, endExternalBusy: Double,
-                anyKeptRepHot: Boolean,
+                anyKeptRepHot: Boolean, repTotals: Seq[Double],
                 totalMin: Double, totalMax: Double): Boolean =
     isTainted(loadStart, endExternalBusy, anyKeptRepHot) ||
-      isBandTainted(totalMin, totalMax)
+      isBandTainted(repTotals, totalMin, totalMax)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,10 +179,43 @@ object Bench {
     // run → the record carries `"available": false` so a reader knows
     // the external-CPU taint rule never actually ran.
     var extValidSamples = 0L
-    // CPU share of everything that is NOT this JVM, over the interval
-    // since the previous call (the MXBean computes tick deltas between
-    // calls — one call per window boundary tiles the run exactly)
-    def externalBusy(): Double = osBeanOpt match {
+    // r17 signal fix (VERDICT r16 item 2, second cause): the MXBean
+    // form (system CPU minus this JVM's CPU) counts KERNEL THREADS as
+    // external — and the RocksDB micro-batch queries' own checkpoint
+    // fsync/writeback runs in kworkers, so q212-style reps self-stamped
+    // 12–14% "external" CPU on an otherwise idle host, exhausted the
+    // retry budget, and set kept_hot: the bench tainted itself for its
+    // own I/O (the r16 driver record's load max_mid 13.6 with zero
+    // user-space contenders is the same signature — loadavg counts
+    // D-state fsync threads). Contention means ANOTHER PROCESS'S CPU,
+    // and competing processes (a concurrent verify/compile/driver) burn
+    // USER time — so on Linux the signal is now user+nice ticks of the
+    // whole system minus this process's utime, over total ticks, from
+    // /proc. Kernel writeback has no user time and vanishes; a real
+    // contender is caught exactly as before. Falls back to the MXBean
+    // difference where /proc is absent; the record says which signal
+    // ran ("signal": "proc_user" | "mxbean" | "none").
+    val procStatAvailable = new java.io.File("/proc/stat").exists &&
+      new java.io.File("/proc/self/stat").exists
+    def procTicks(): Option[(Long, Long, Long)] = try {
+      val cpuSrc = scala.io.Source.fromFile("/proc/stat")
+      val cpuLine = try cpuSrc.getLines().next() finally cpuSrc.close()
+      val v = cpuLine.trim.split("\\s+")
+      if (v(0) != "cpu") None
+      else {
+        val t = v.drop(1).map(_.toLong)
+        val sysUser = t(0) + t(1) // user + nice
+        val total = t.sum        // incl. idle/iowait = tick capacity
+        val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+        val selfStat = try selfSrc.mkString finally selfSrc.close()
+        // fields after the ')' of comm start at state (field 3);
+        // utime is overall field 14 → index 11 here
+        val f = selfStat.substring(selfStat.lastIndexOf(')') + 2).split("\\s+")
+        Some((sysUser, total, f(11).toLong))
+      }
+    } catch { case _: Exception => None }
+    var prevProc: Option[(Long, Long, Long)] = None
+    def mxbeanExternal(): Double = osBeanOpt match {
       case Some(osBean) =>
         val sysLoad = osBean.getCpuLoad
         val selfLoad = osBean.getProcessCpuLoad
@@ -157,7 +223,26 @@ object Bench {
         else { extValidSamples += 1; math.max(0.0, sysLoad - selfLoad) }
       case None => 0.0
     }
-    externalBusy() // prime the MXBean's tick counters
+    // CPU share of everything that is NOT this process, over the
+    // interval since the previous call (tick deltas between calls — one
+    // call per window boundary tiles the run exactly)
+    def externalBusy(): Double =
+      if (procStatAvailable) procTicks() match {
+        case Some((su, tot, ut)) =>
+          val out = prevProc match {
+            case Some((psu, ptot, put)) if tot > ptot =>
+              extValidSamples += 1
+              math.max(0.0, (su - psu - (ut - put)).toDouble / (tot - ptot))
+            case _ => 0.0
+          }
+          prevProc = Some((su, tot, ut))
+          out
+        case None => mxbeanExternal()
+      } else mxbeanExternal()
+    val extSignal =
+      if (procStatAvailable) "proc_user"
+      else if (osBeanOpt.isDefined) "mxbean" else "none"
+    externalBusy() // prime the tick counters
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -422,6 +507,13 @@ object Bench {
     val total = sharedOk + ok.map { case (_, ts) => median(ts) }.sum
     val totalMin = sharedOk + ok.map(_._2.min).sum
     val totalMax = sharedOk + ok.map(_._2.max).sum
+    // ACTUAL per-rep totals (r17, VERDICT r16 item 2): rep index r's
+    // time summed across the ok queries — the statistic the band taint
+    // rates (warm reps only; see isBandTainted's scaladoc). Shared
+    // builds run once, not per rep, so they are excluded here; the
+    // legacy min/max band above keeps them for cross-round continuity.
+    val repTotals: Seq[Double] =
+      (0 until reps).map(r => ok.map(_._2(r)).sum)
     val failed = med.values.count(_ < 0) + (if (sharedBuild < 0) 1 else 0)
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val loadEnd = loadAvg()
@@ -429,12 +521,17 @@ object Bench {
     // the stamp is computed AFTER the run so it reflects the whole
     // window — an end-hot or mid-hot run can no longer go on record as
     // clean (the BENCH_r07/r08 failure mode)
-    val tainted = isTainted(loadStart, extEnd, anyKeptRepHot, totalMin, totalMax)
-    if (isBandTainted(totalMin, totalMax))
+    val tainted = isTainted(loadStart, extEnd, anyKeptRepHot, repTotals,
+      totalMin, totalMax)
+    if (isBandTainted(repTotals, totalMin, totalMax)) {
+      val warm = repTotals.drop(1).filter(_ > 0)
+      val (bLo, bHi) =
+        if (warm.size >= 2) (warm.min, warm.max) else (totalMin, totalMax)
       System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench] WARNING: band %.1f-%.1f s (ratio %.2f > %.1f) - reps did not run under one set of conditions; record stamped tainted",
-        Double.box(totalMin), Double.box(totalMax),
-        Double.box(totalMax / totalMin), Double.box(MaxBandRatio)))
+        "[bench] WARNING: warm rep totals %.1f-%.1f s (ratio %.2f > %.1f) - reps did not run under one set of conditions; record stamped tainted",
+        Double.box(bLo), Double.box(bHi),
+        Double.box(bHi / bLo), Double.box(MaxBandRatio)))
+    }
     // zero valid MXBean samples over the whole run = the external-CPU
     // rule was inoperative (unsupported platform/JVM); say so on the
     // record rather than letting `tainted: false` imply it ran
@@ -457,7 +554,16 @@ object Bench {
     // n_suspect is only meaningful against a baseline; baseline=false
     // says "no previous clean bands for this sf" rather than "0 risers"
     val suspectBaseline = prevBands.nonEmpty
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsJson,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
+    // the r17 band diagnostics (VERDICT r16 item 2), both lines:
+    // rep_totals are the ACTUAL per-rep sweep times the taint now rates
+    // (first entry = rep 1, systematically high: per-query plan compile);
+    // band_top names the 8 queries with the widest rep spread, so a
+    // fired band rule is attributable from the committed record alone.
+    val repTotalsJson = repTotals.map(ms).mkString("[", ",", "]")
+    val bandTop = ok.map { case (n, ts) => shortName(n) -> (ts.max - ts.min) }
+      .sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"rep_totals":$repTotalsJson,"band_top":$bandTop,"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsJson,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"signal":"$extSignal","end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
     // The driver persists only the LAST ~2000 chars of stdout. At 124
     // queries the full line above outgrew that window and BENCH_r10 went
     // on record with "parsed": null — no total at all (VERDICT r10 item
@@ -473,7 +579,7 @@ object Bench {
     // 20 capped names ≈ 140 chars, safely inside the tail window even
     // on a hot host; n_suspect still carries the true count.
     val suspectsCompact = suspects.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsCompact,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"rep_totals":$repTotalsJson,"band_top":$bandTop,"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsCompact,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"signal":"$extSignal","end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
     // refresh the committed adjudication baseline: only a CLEAN,
     // zero-failure, ZERO-SUSPECT run at the driver's bench SF may become
     // the next round's reference bands. A local sf0.001 iteration or a

@@ -63,12 +63,38 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.isBandTainted(-1.0, 100.0))
   }
 
-  test("the 5-arg whole-run verdict composes the sampled rules with the band rule") {
-    assert(!Bench.isTainted(2.0, 0.05, false, 60.0, 80.0), "clean everywhere: untainted")
-    assert(Bench.isTainted(2.79, 0.0, false, 112.0, 197.0),
-      "the exact BENCH_r10 stamp inputs now taint: samplers clean, band wide")
-    assert(Bench.isTainted(5.0, 0.0, false, 60.0, 61.0), "hot start still taints on its own")
-    assert(Bench.isTainted(2.0, 0.4, false, 60.0, 61.0), "hot end still taints on its own")
-    assert(Bench.isTainted(2.0, 0.0, true, 60.0, 61.0), "kept-hot rep still taints on its own")
+  test("the rep-total band rule (r17) rates warm reps, not summed extremes") {
+    // 252 queries' independent jitter used to accumulate O(n) into the
+    // summed-extremes band (r16: 1.40-1.49 on idle hosts) while actual
+    // rep sweeps agreed within a few percent — the rule now reads the
+    // real per-rep totals, warm reps only (rep 1 carries per-query plan
+    // compile and is high for an honest reason).
+    assert(!Bench.isBandTainted(Seq(240.0, 200.0, 205.0), 162.0, 227.6),
+      "idle-host shape: wide summed-extremes band, tight warm reps - clean")
+    assert(Bench.isBandTainted(Seq(240.0, 130.0, 200.0), 100.0, 101.0),
+      "one warm rep sweep 1.54x the other = conditions changed mid-run")
+    assert(!Bench.isBandTainted(Seq(300.0, 200.0, 201.0), 100.0, 300.0),
+      "rep 1 alone being high never taints (plan-compile cost is honest)")
+    assert(!Bench.isBandTainted(Seq(200.0, 100.0, 149.9), 100.0, 100.0))
+    assert(Bench.isBandTainted(Seq(200.0, 100.0, 150.1), 100.0, 100.0),
+      "boundary: strictly-greater-than 1.5 on warm max/min")
+    // fewer than two warm reps: falls back to the legacy min/max rule
+    assert(Bench.isBandTainted(Seq(100.0), 112.0, 197.0),
+      "reps=1 keeps the legacy rule (the r10 band still taints)")
+    assert(!Bench.isBandTainted(Seq(100.0, 110.0), 60.0, 80.0),
+      "reps=2 has one warm rep: legacy rule, clean band stays clean")
+  }
+
+  test("the 6-arg whole-run verdict composes the sampled rules with the band rule") {
+    assert(!Bench.isTainted(2.0, 0.05, false, Seq(70.0, 60.0, 62.0), 60.0, 80.0),
+      "clean everywhere: untainted")
+    assert(Bench.isTainted(2.79, 0.0, false, Seq(150.0, 110.0, 190.0), 112.0, 197.0),
+      "the BENCH_r10 scenario still taints: samplers clean, warm reps disagree 1.7x")
+    assert(Bench.isTainted(5.0, 0.0, false, Seq(61.0, 60.0, 61.0), 60.0, 61.0),
+      "hot start still taints on its own")
+    assert(Bench.isTainted(2.0, 0.4, false, Seq(61.0, 60.0, 61.0), 60.0, 61.0),
+      "hot end still taints on its own")
+    assert(Bench.isTainted(2.0, 0.0, true, Seq(61.0, 60.0, 61.0), 60.0, 61.0),
+      "kept-hot rep still taints on its own")
   }
 }
