@@ -145,6 +145,21 @@ object CurationQueries {
     * legitimate two-doc echoes). */
   private[graft] val LineDupMinDocs = 3L
 
+  /** q253 verdict thresholds — fixture-calibrated (the LineChunkTokens
+    * stance) so BOTH keep/drop branches fire at every gate SF; a real
+    * web-crawl deploy would use the published Gopher values (dup-line
+    * 0.30, top-2-gram 0.18, no run rule) against real line grain. */
+  private val RepTopBigramMaxPpm = 160000L
+  private val RepDupLineMaxPpm = 30000L
+  private val RepMaxRun = 3L
+
+  /** q254 RAG chunk geometry: C tokens per chunk, stride S < C (overlap
+    * C−S). 32/24 exercises 1–4 chunks/doc on the fixture's ≤100-token
+    * docs; production retrieval exports run the same closed form at
+    * 512/384. */
+  private val RagChunkTokens = 32L
+  private val RagChunkStride = 24L
+
   /** The q226 chunk relation, shared with the q246 incremental engine:
     * one row per consecutive [[LineChunkTokens]]-token window of each
     * doc — (doc_id, ci, chunk, h) with h the 56-bit md5 dup-hash. */
@@ -1643,6 +1658,110 @@ object CurationQueries {
           greatest(col("n_chars").cast("double"),
             coalesce(col("tau"), lit(0.0d))).as("est_weight"))
         .orderBy("doc_id")
+    },
+
+    // REPETITION-RULES QUALITY GATE (q253, r17) — the Gopher/MassiveText
+    // repetition family beside q27's ratio heuristics and q98's
+    // classifier: WITHIN-document repetition is its own failure mode
+    // (boilerplate loops, generation artifacts, scraped nav bars) that
+    // cross-doc dedup never sees. Three diagnostics per doc, all exact
+    // integers (ppm — the q229 stance: no float whose rounding could
+    // differ across engines):
+    //   dup_line_ppm / dup_line_char_ppm — duplicate-"line" fraction by
+    //     count and by characters, at the q226 4-token chunk grain (the
+    //     corpus is newline-free; LineChunkTokens plays the line);
+    //   top_bigram_ppm — tokens covered by the single most frequent
+    //     bigram (tie-broken by count DESC then bigram ASC, pinned in
+    //     both engines);
+    //   max_run — longest same-token run (lag→change-flag→prefix-sum
+    //     run-length encoding, two doc-keyed windows).
+    // Verdict thresholds are fixture-calibrated (the LineChunkTokens
+    // rule) so BOTH branches fire at every gate SF — measured keeps/
+    // drops 473/27 (sf0.001), 470/30 (sf0.01), 4735/265 (sf0.1).
+    // 100 TB shape: one explode + two windows + three aggs, ALL keyed
+    // by doc_id — per-doc work, partial-aggregated, no cross-doc join
+    // anywhere; the widest shuffle row is one (doc, bigram) count.
+    "q253_repetition_rules" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tk = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      val n = tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      // within-doc duplicate chunks at the q226 grain
+      val cc = lineChunks(docs)
+        .withColumn("l", length(col("chunk")).cast("long"))
+        .groupBy("doc_id", "chunk", "l").agg(count(lit(1)).as("c"))
+      val dl = cc.groupBy("doc_id").agg(
+        expr("(sum(c) - count(1)) * 1000000 div sum(c)").as("dup_line_ppm"),
+        expr("(sum(c * l) - sum(l)) * 1000000 div sum(c * l)")
+          .as("dup_line_char_ppm"))
+      // most frequent bigram; the sequence() guard keeps Spark off its
+      // DESCENDING sequence(1,0) corner for 1-token docs (DuckDB's
+      // generate_series is empty there — the left join below aligns)
+      val bgc = tk.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      val top = bgc.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("c").desc, col("bg").asc)))
+        .filter(col("rn") === 1).select(col("doc_id"), col("bg"), col("c"))
+      // longest same-token run: change flags -> prefix-sum group ids
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = tk.select(col("doc_id"), posexplode(col("tk")))
+        .withColumnRenamed("col", "tok")
+      val mr = toks
+        .withColumn("chg",
+          when(col("tok") === lag("tok", 1).over(w), 0L).otherwise(1L))
+        .withColumn("grp", sum(col("chg")).over(w))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("rl"))
+        .groupBy("doc_id").agg(max(col("rl")).as("max_run"))
+      n.join(dl, "doc_id").join(mr, "doc_id").join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          col("dup_line_ppm"), col("dup_line_char_ppm"),
+          coalesce(col("bg"), lit("")).as("top_bigram"),
+          coalesce(expr("c * 2 * 1000000 div n_tokens"), lit(0L))
+            .as("top_bigram_ppm"),
+          col("max_run"))
+        .withColumn("keep",
+          col("top_bigram_ppm") <= RepTopBigramMaxPpm &&
+            col("max_run") <= RepMaxRun &&
+            col("dup_line_ppm") <= RepDupLineMaxPpm)
+        .orderBy("doc_id")
+    },
+
+    // OVERLAPPING CHUNK EXPORT (q254, r17) — the RAG/retrieval-ingest
+    // face of the export family: where q248 tiles tokens disjointly for
+    // pretraining, a retrieval index wants OVERLAPPING windows so no
+    // answer span straddles a chunk boundary unseen. Pure closed-form
+    // geometry (the q248 rule — no fold): chunk i of a doc with n
+    // tokens covers [i·S, min(i·S + C, n)) for i = 0..ceil(max(n−C,0)/S),
+    // so S < C guarantees full coverage and the per-doc audit columns
+    // make it checkable — overlap_tokens = Σ chunk lengths − n (every
+    // token counted once per extra chunk covering it). Gate geometry
+    // C=32/S=24 exercises 1–4 chunks/doc on the fixture (max doc 100
+    // tokens); a production export's 512/384 changes two constants.
+    // 100 TB shape: one projection + one bounded explode (output-sized),
+    // two windowless integer expressions, one doc-keyed window for the
+    // audit — no shuffle beyond the window's doc_id key.
+    "q254_overlap_chunks" -> { (s, d) =>
+      val C = RagChunkTokens
+      val S = RagChunkStride
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("n_chunks",
+          expr(s"(greatest(n - $C, 0) + $S - 1) div $S + 1"))
+        .select(col("doc_id"), col("n"), col("n_chunks"),
+          explode(expr("sequence(0L, n_chunks - 1)")).as("ci"))
+        .select(col("doc_id"), col("ci").as("chunk_id"),
+          (col("ci") * S).as("tok_start"),
+          least(col("ci") * S + C, col("n")).as("tok_end"),
+          col("n").as("n_doc_tokens"), col("n_chunks"))
+        .withColumn("n_chunk_tokens", col("tok_end") - col("tok_start"))
+        .withColumn("overlap_tokens",
+          sum(col("n_chunk_tokens")).over(Window.partitionBy("doc_id"))
+            - col("n_doc_tokens"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
 
@@ -1681,6 +1800,68 @@ object CurationQueries {
   private val PiiPhone = graft.operators.TextCuration.PiiPhone
 
   val oracles: Map[String, String] = Map(
+    // q253: the identical integer-ppm arithmetic — chunk grain shared
+    // with the q226 oracle text's derivation, bigrams by 1-based list
+    // indexing (element_at ≡ t[i]), run lengths by the same lag→flag→
+    // prefix-sum windows; the top-bigram tie-break (c DESC, bg ASC) is
+    // pinned on both sides.
+    "q253_repetition_rules" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tk),
+         |ch AS (SELECT doc_id, array_to_string(t[ci*4+1:ci*4+4], ' ') AS chunk FROM
+         |       (SELECT doc_id, t, unnest(generate_series(0, (len(t)-1)//4)) AS ci FROM tk)),
+         |cc AS (SELECT doc_id, chunk, length(chunk) AS l, count(*) AS c
+         |       FROM ch GROUP BY 1, 2, 3),
+         |dl AS (SELECT doc_id,
+         |         (sum(c) - count(*)) * 1000000 // sum(c) AS dup_line_ppm,
+         |         (sum(c*l) - sum(l)) * 1000000 // sum(c*l) AS dup_line_char_ppm
+         |       FROM cc GROUP BY 1),
+         |bgl AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |          i -> t[i] || ' ' || t[i+1])) AS bg FROM tk),
+         |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgl GROUP BY 1, 2),
+         |top AS (SELECT doc_id, bg, c FROM (SELECT doc_id, bg, c, row_number()
+         |          OVER (PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn FROM bgc)
+         |        WHERE rn = 1),
+         |tok AS (SELECT doc_id, i AS pos, t[i] AS tok FROM
+         |        (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tk)),
+         |runs AS (SELECT doc_id, grp, count(*) AS rl FROM (
+         |    SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |    FROM (SELECT doc_id, pos, CASE WHEN tok = lag(tok)
+         |            OVER (PARTITION BY doc_id ORDER BY pos) THEN 0 ELSE 1 END AS chg
+         |          FROM tok)) GROUP BY 1, 2),
+         |mr AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM runs GROUP BY 1)
+         |SELECT n.doc_id, n.n_tokens,
+         |  CAST(dl.dup_line_ppm AS BIGINT) AS dup_line_ppm,
+         |  CAST(dl.dup_line_char_ppm AS BIGINT) AS dup_line_char_ppm,
+         |  coalesce(top.bg, '') AS top_bigram,
+         |  CAST(coalesce(top.c * 2 * 1000000 // n.n_tokens, 0) AS BIGINT) AS top_bigram_ppm,
+         |  mr.max_run,
+         |  (coalesce(top.c * 2 * 1000000 // n.n_tokens, 0) <= $RepTopBigramMaxPpm
+         |    AND mr.max_run <= $RepMaxRun
+         |    AND dl.dup_line_ppm <= $RepDupLineMaxPpm) AS keep
+         |FROM n JOIN dl USING (doc_id) JOIN mr USING (doc_id)
+         |  LEFT JOIN top USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q254: the closed form replayed verbatim — integer ceil-div chunk
+    // count, per-chunk geometry by min(), audit by one doc-keyed window.
+    "q254_overlap_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+         |c AS (SELECT doc_id, n,
+         |        (greatest(n - $RagChunkTokens, 0) + $RagChunkStride - 1)
+         |          // $RagChunkStride + 1 AS n_chunks FROM tk),
+         |e AS (SELECT doc_id, n, n_chunks,
+         |        unnest(generate_series(0, n_chunks - 1)) AS ci FROM c)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+         |  CAST(ci * $RagChunkStride AS BIGINT) AS tok_start,
+         |  CAST(least(ci * $RagChunkStride + $RagChunkTokens, n) AS BIGINT) AS tok_end,
+         |  CAST(n AS BIGINT) AS n_doc_tokens,
+         |  CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(least(ci * $RagChunkStride + $RagChunkTokens, n)
+         |    - ci * $RagChunkStride AS BIGINT) AS n_chunk_tokens,
+         |  CAST(sum(least(ci * $RagChunkStride + $RagChunkTokens, n)
+         |      - ci * $RagChunkStride) OVER (PARTITION BY doc_id)
+         |    - n AS BIGINT) AS overlap_tokens
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     "q75_duplicated_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sp AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 2),
