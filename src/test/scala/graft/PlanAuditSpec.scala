@@ -1145,6 +1145,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q253: repetition rules are per-doc — partial-agg'd counts, no cartesian, no fold") {
+    val p = formatted("q253_repetition_rules")
+    assert(p.contains("partial_count"),
+      "the (doc, bigram)/(doc, chunk) counts must map-side combine — " +
+        "shipping raw exploded tokens to the reducer is the scale bug")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("MapGroups"), "windows + aggs only; no sequential fold")
+  }
+
+  test("q254: overlap chunking is closed-form — explode + window, no fold, no join") {
+    val p = formatted("q254_overlap_chunks")
+    assert(p.contains("Generate"), "the chunk range must explode in-plan")
+    assert(!p.contains("MapGroups"),
+      "chunk geometry is arithmetic on (n, ci) — a fold here is a regression")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
   test("q141: the bloom probe screens the fact side inside the plan") {
     val qe = SparkEntry.queries("q141_bloom_pruned_join")(spark, sf0001)
       .queryExecution
