@@ -147,8 +147,13 @@ object JoinQueries {
     // min-support floor (pair seen ≥ 2×) keeps one-off noise out of
     // the neighbor lists — and it FIRES at every SF.
     "q192_item_similarity" -> { (s, d) =>
-      val bb = graft.Caches.scopedPersist(incidence(s, d))
-      itemNeighbors(bb)
+      // r17 (guide §5 — caching only pays when reused): the incidence
+      // has exactly ONE consumer here (the cap aggregation inside
+      // itemNeighbors), so persisting it bought nothing and cost a full
+      // extra evaluation plus the MEMORY_AND_DISK write (~1.5 s of the
+      // query's ~6.5 s, measured by the r17 stage profile). q198 keeps
+      // its `ti` persist — that one feeds four consumers.
+      itemNeighbors(incidence(s, d))
         .select(col("part_a"), col("rk"), col("part_b"), col("c_ab"), col("sim"))
         .orderBy("part_a", "rk")
     },

@@ -1024,12 +1024,21 @@ object PipelineQueries {
     // engines. The oracle replays Gram, both iterations, both
     // quantizations, and the quotient.
     "q165_top_principal_component" -> { (s, d) =>
+      // r17 (guide §1.2 — don't compute what you throw away): the Gram
+      // matrix is SYMMETRIC, g(i,j) = g(j,i) exactly (the per-row
+      // product CAST(v[i]*v[j] AS DECIMAL) is commutative and the
+      // decimal sum is order-independent-exact), so the corpus-sized
+      // explode emits the upper TRIANGLE (2080 structs/row, like q124)
+      // instead of all 64×64 = 4096, and the full matrix is the
+      // triangle unioned with its mirrored off-diagonal — a 2016-row
+      // projection over the persisted triangle, paid once against
+      // halving the generated/aggregated row volume.
       val pairs = expr(
         "flatten(transform(sequence(0, 63), i -> " +
-          "transform(sequence(0, 63), j -> " +
+          "transform(sequence(i, 63), j -> " +
           "struct(i AS i, j AS j, " +
           "CAST(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE) AS DECIMAL(38,10)) AS p))))")
-      val gram = graft.Caches.scopedPersist(
+      val tri = graft.Caches.scopedPersist(
         Tables.embeddings(s, d)
           .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
           .select(col("embedding").as("v"))
@@ -1038,6 +1047,8 @@ object PipelineQueries {
           // |g| ≤ n·max², 4 integer digits at the gate SFs — (18,10)
           // keeps every product/sum below exact-DECIMAL overflow
           .agg(sum(col("e.p")).cast("decimal(18,10)").as("g")))
+      val gram = tri.unionByName(tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
       // every ratio operand is truncated to a BIGINT first: a WIDE
       // decimal → double cast double-rounds in DuckDB (value · 10⁻ˢᶜᵃˡᵉ,
       // two roundings) and diverged from Java's correctly-rounded cast
@@ -2987,13 +2998,23 @@ object PipelineQueries {
     // oracle replays every round, so the gate proves round n+1 consumes
     // round n's survivors.
     "q144_kcore_keywords" -> { (s, d) =>
-      val toks = graft.Caches.scopedPersist(
-        Tables.documents(s, d).select(tokensCol.as("tk")))
-      val pairs = toks.select(explode(TextOps.shingles(col("tk"), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      val toks = Tables.documents(s, d).select(tokensCol.as("tk"))
+      // r17 (guide §2.3 — shuffle fewer/narrower bytes): the bigram
+      // count groups by the adjacent TOKEN PAIR instead of the joined
+      // "wa wb" string. Tokens contain no spaces (split on " "), so the
+      // pair ↔ string mapping is bijective and the per-group counts are
+      // identical — but the old shape built every bigram string with
+      // concat_ws only to split it back apart two operators later. The
+      // corpus-sized single-consumer persist of the token arrays also
+      // goes: it bought nothing downstream (one reader) and cost a
+      // MEMORY_AND_DISK materialization of the whole tokenized corpus.
+      val n1 = size(col("tk")) - 1
+      val pairs = toks.select(explode(arrays_zip(
+          slice(col("tk"), lit(1), n1).as("wa"),
+          slice(col("tk"), lit(2), n1).as("wb"))).as("bg"))
+        .groupBy(col("bg.wa").as("wa"), col("bg.wb").as("wb"))
+        .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= PmiMinPair)
-        .select(element_at(split(col("bigram"), " "), 1).as("wa"),
-          element_at(split(col("bigram"), " "), 2).as("wb"))
         .filter(col("wa") =!= col("wb"))
       // the edge relation is VOCABULARY-bounded (frequent bigrams after
       // the ≥3 cut — thousands of rows at any corpus scale, never

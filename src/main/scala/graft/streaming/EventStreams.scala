@@ -96,8 +96,17 @@ object EventStreams {
     * (not object-init) so a typo'd value surfaces as a named
     * IllegalArgumentException at the first stream start — an eager field
     * would wrap it in ExceptionInInitializerError and poison every later
-    * EventStreams touch with a message-less NoClassDefFoundError. */
-  def StreamShufflePartitions: Int = partsOverride.getOrElse(envStreamParts)
+    * EventStreams touch with a message-less NoClassDefFoundError.
+    *
+    * Since r17 the un-overridden width is DERIVED per run from the
+    * stream's input volume ([[derivedParts]]) instead of a constant —
+    * the optimization-guide rule that partitioning must be
+    * scale-adaptive rather than tuned to either local mode or one
+    * cluster. This getter (the probe/spec surface) reports
+    * override/env/default; the derivation applies inside
+    * [[drainToFilesCounting]], where the stream's sources are known. */
+  def StreamShufflePartitions: Int =
+    partsOverride.orElse(envStreamParts).getOrElse(DefaultStreamParts)
   /** Probe/test hook ([[graft.StreamPartProbe]] sweeps this). */
   def StreamShufflePartitions_=(v: Int): Unit = { partsOverride = Some(v) }
   /** Clears any probe override so the env/default read applies again —
@@ -106,14 +115,77 @@ object EventStreams {
     * the rest of the JVM. */
   def resetStreamShufflePartitions(): Unit = { partsOverride = None }
   @volatile private var partsOverride: Option[Int] = None
-  private lazy val envStreamParts: Int = {
-    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
-    val parsed = raw.toIntOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"SPARK_GRAFT_STREAM_PARTS must be a positive int, got '$raw'"))
-    require(parsed > 0, s"SPARK_GRAFT_STREAM_PARTS must be > 0, got $parsed")
-    parsed
+  /** Fallback width when neither an override nor the env nor a
+    * derivable input size is present. */
+  private val DefaultStreamParts = 8
+  private lazy val envStreamParts: Option[Int] = {
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map { raw =>
+      val parsed = raw.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_PARTS must be a positive int, got '$raw'"))
+      require(parsed > 0, s"SPARK_GRAFT_STREAM_PARTS must be > 0, got $parsed")
+      parsed
+    }
   }
+
+  /** Input-volume target per state partition for the DERIVED width
+    * below — every partition is a per-batch state-store commit (delta
+    * file + fsync per store, ×4 stores for a stream-stream join), so
+    * width is pure fixed cost until state actually fills it. 32 MB of
+    * source input per partition keeps the gate corpora at the 2-wide
+    * floor (events.parquet at sf0.1 is 2 MB) while a 100× corpus
+    * derives ~7 and a TB-scale one derives hundreds — the same knob a
+    * cluster deployment sizes UP for TB state, reached by data volume
+    * instead of a constant. Measured at sf0.1 (StreamPartProbe sweep,
+    * r17): width 8 → 2 is q71 3.76 → 2.31 s and −8…−38% across the
+    * whole streamed family, with zero result change (every query-path
+    * stream re-sorts after the drain). */
+  private val BytesPerStatePartition: Long = 32L << 20
+
+  /** Scale-ADAPTIVE state width (r17, optimization guide §2.2/§6): the
+    * total on-disk size of the stream's FILE sources, divided by
+    * [[BytesPerStatePartition]], floored at 2 (so the seam semantics
+    * the specs pin — cross-partition merges, multi-store commits —
+    * always exercise real fan-out). Returns None for non-file sources
+    * (RTSP, DSv2 probes), which fall back to [[DefaultStreamParts]].
+    * Precedence: probe override > SPARK_GRAFT_STREAM_PARTS > derived >
+    * default — a cluster run pins the env and never pays the listing. */
+  private def derivedParts(df: DataFrame): Option[Int] = try {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val sizes = df.queryExecution.analyzed.collect {
+      case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+        val ds = sr.dataSource
+        val glob = ds.options.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("pathGlobFilter") => v
+        }
+        val paths =
+          if (ds.paths.nonEmpty) ds.paths
+          else ds.options.collectFirst {
+            case (k, v) if k.equalsIgnoreCase("path") => v
+          }.toSeq
+        paths.map { p =>
+          val base = new org.apache.hadoop.fs.Path(p)
+          val fs = base.getFileSystem(conf)
+          glob match {
+            case Some(g) =>
+              fs.globStatus(new org.apache.hadoop.fs.Path(base, g))
+                .map(_.getLen).sum
+            case None => fs.getContentSummary(base).getLength
+          }
+        }
+    }.flatten
+    if (sizes.isEmpty) None
+    else {
+      val total = sizes.sum
+      Some(math.max(2L,
+        (total + BytesPerStatePartition - 1) / BytesPerStatePartition).toInt)
+    }
+  } catch { case _: Exception => None }
+
+  /** The width a given stream should run at — see [[derivedParts]]. */
+  private def widthFor(df: DataFrame): Int =
+    partsOverride.orElse(envStreamParts)
+      .orElse(derivedParts(df)).getOrElse(DefaultStreamParts)
 
   /** [[drainToFiles]] plus the number of input rows the stateful operators
     * dropped as later than the watermark. The count comes from the
@@ -150,7 +222,7 @@ object EventStreams {
     val dropped =
       try {
         spark.conf.set(retentionKey, "100000")
-        spark.conf.set(partsKey, StreamShufflePartitions.toString)
+        spark.conf.set(partsKey, widthFor(df).toString)
         val query = df.writeStream.outputMode(mode)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.write.mode(writeMode).parquet(dir)
