@@ -242,6 +242,24 @@ object Bench {
     val extSignal =
       if (procStatAvailable) "proc_user"
       else if (osBeanOpt.isDefined) "mxbean" else "none"
+    // r18 (VERDICT r17 item 5): the proc_user signal is BLIND to
+    // kernel-side contention by design (the r17 32c record printed
+    // external 0.0 while 26 queries ran 5–42× their bands). Record the
+    // whole-run KERNEL tick share (system+irq+softirq over all ticks,
+    // self included — the bench's own syscalls/writeback land here too,
+    // which is exactly why this is REPORT-ONLY and never a taint or
+    // retry input): a reader adjudicating a suspect family can now see
+    // whether the window was kernel-busy without re-running anything.
+    def kernelTicks(): Option[(Long, Long)] = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val v = line.trim.split("\\s+")
+      if (v(0) != "cpu") None
+      else {
+        val t = v.drop(1).map(_.toLong)
+        Some((t(2) + t(5) + t(6), t.sum)) // system + irq + softirq
+      }
+    } catch { case _: Exception => None }
     externalBusy() // prime the tick counters
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -299,6 +317,7 @@ object Bench {
     // would leave the rerun with zero retries — re-arm it per attempt
     retriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "12").toInt
     val wallStart = System.nanoTime()
+    val kernelStart = kernelTicks()
     def timed(f: => Unit): Double = {
       externalBusy() // close the preceding window; this build starts fresh
       val t0 = System.nanoTime()
@@ -518,6 +537,13 @@ object Bench {
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val loadEnd = loadAvg()
     val extEnd = externalBusy()
+    // whole-run kernel-tick share (report-only — see kernelTicks above);
+    // -1 when /proc is absent or the counters did not advance
+    val kernelRun = (kernelStart, kernelTicks()) match {
+      case (Some((k0, t0)), Some((k1, t1))) if t1 > t0 =>
+        (k1 - k0).toDouble / (t1 - t0)
+      case _ => -1.0
+    }
     // the stamp is computed AFTER the run so it reflects the whole
     // window — an end-hot or mid-hot run can no longer go on record as
     // clean (the BENCH_r07/r08 failure mode)
@@ -563,7 +589,7 @@ object Bench {
     val bandTop = ok.map { case (n, ts) => shortName(n) -> (ts.max - ts.min) }
       .sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"rep_totals":$repTotalsJson,"band_top":$bandTop,"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsJson,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"signal":"$extSignal","end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"shared_build_parts":{"dedup_trio":${ms(sharedTrio)},"dense_ids":${ms(sharedDense)},"bucketed_layout":${ms(sharedBuckets)},"partitioned_layout":${ms(sharedParts)},"ivf_index":${ms(sharedIvf)},"pq_index":${ms(sharedPq)},"zorder_layout":${ms(sharedZorder)}},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"rep_totals":$repTotalsJson,"band_top":$bandTop,"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsJson,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"signal":"$extSignal","end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)},"kernel_run":${ms(kernelRun)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"queries":${fmt(med)},"query_bands":${fmtBands(runs)},"sf":"$sfDir"}""")
     // The driver persists only the LAST ~2000 chars of stdout. At 124
     // queries the full line above outgrew that window and BENCH_r10 went
     // on record with "parsed": null — no total at all (VERDICT r10 item
@@ -579,7 +605,7 @@ object Bench {
     // 20 capped names ≈ 140 chars, safely inside the tail window even
     // on a hot host; n_suspect still carries the true count.
     val suspectsCompact = suspects.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"rep_totals":$repTotalsJson,"band_top":$bandTop,"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsCompact,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"signal":"$extSignal","end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"median_def":"midpoint_even","attempt":$attempt,"load_wait_sec":$waited,"shared_build":${ms(sharedBuild)},"n_queries":${runs.size},"band":{"min":${ms(totalMin)},"max":${ms(totalMax)}},"rep_totals":$repTotalsJson,"band_top":$bandTop,"failed":$failed,"tainted":$tainted,"kept_hot":$anyKeptRepHot,"n_suspect":${suspects.size},"suspect_baseline":$suspectBaseline,"suspects":$suspectsCompact,"suspects_adjudicated":$adjudicatedJson,"external_busy":{"available":$extAvailable,"signal":"$extSignal","end":${ms(extEnd)},"max_kept":${ms(maxKeptExternal)},"kernel_run":${ms(kernelRun)}},"load_avg":{"start":${ms(loadStart)},"end":${ms(loadEnd)},"max_mid":${ms(maxMidLoad)}},"wall_sec":${ms(wallSec)},"sf":"$sfDir"}""")
     // refresh the committed adjudication baseline: only a CLEAN,
     // zero-failure, ZERO-SUSPECT run at the driver's bench SF may become
     // the next round's reference bands. A local sf0.001 iteration or a

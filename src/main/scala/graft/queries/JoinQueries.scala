@@ -151,8 +151,9 @@ object JoinQueries {
       // has exactly ONE consumer here (the cap aggregation inside
       // itemNeighbors), so persisting it bought nothing and cost a full
       // extra evaluation plus the MEMORY_AND_DISK write (~1.5 s of the
-      // query's ~6.5 s, measured by the r17 stage profile). q198 keeps
-      // its `ti` persist — that one feeds four consumers.
+      // query's ~6.5 s, measured by the r17 stage profile). q198's
+      // train/test membership table stays persisted — it feeds four
+      // consumers (see the `split` relation there).
       itemNeighbors(incidence(s, d))
         .select(col("part_a"), col("rk"), col("part_b"), col("c_ab"), col("sim"))
         .orderBy("part_a", "rk")
@@ -176,11 +177,21 @@ object JoinQueries {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
-      val jj = graft.Caches.scopedPersist(j)
-      val ti = graft.Caches.scopedPersist(
-        jj.filter(col("day") < SplitDay).select("ck", "pk").distinct())
-      val te = graft.Caches.scopedPersist(
-        jj.filter(col("day") >= SplitDay).select("ck", "pk").distinct())
+      // r18 (VERDICT r17 item 2, guide §2.4 — remove shuffles outright):
+      // ti/te used to be TWO full distinct shuffles over a persisted
+      // incidence-with-day relation (three corpus-sized persists: jj, ti,
+      // te). One partial-agg'd groupBy(ck, pk) pass computes BOTH
+      // memberships — (ck,pk) ∈ train iff any purchase day < SplitDay
+      // (min(day) < split), ∈ test iff any day ≥ (max(day) ≥ split) — so
+      // the order join's output crosses the wire once and the single
+      // persisted relation is distinct-sized, not lineitem-sized. ti/te
+      // are projections over that one cache (ti's four downstream
+      // consumers all read it).
+      val split = graft.Caches.scopedPersist(
+        j.groupBy("ck", "pk")
+          .agg(min(col("day")).as("d_min"), max(col("day")).as("d_max")))
+      val ti = split.filter(col("d_min") < SplitDay).select("ck", "pk")
+      val te = split.filter(col("d_max") >= SplitDay).select("ck", "pk")
       val nb = itemNeighbors(ti).select(col("part_a"), col("part_b"))
       val cand = ti.join(nb, col("pk") === col("part_a"))
         .select(col("ck"), col("part_b").as("pk")).distinct()
@@ -247,12 +258,23 @@ object JoinQueries {
         .select(col("ck"), explode(col("keep")).as("e"))
         .select(col("ck"), col("e._2").as("pk")))
     val marg = capped.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    // r18 (VERDICT r17 item 2, guide §2.3 — narrower shuffle keys): the
+    // pair count, the chain's heaviest shuffle (C(64,2)-bounded rows per
+    // customer), groups on ONE packed 64-bit key instead of two long
+    // columns. pk is a positive 32-bit part id (l_partkey), so
+    // (pk_a << 32) + pk_b is bijective and the post-agg unpack
+    // reconstructs the exact (part_a, part_b) longs — half the group-key
+    // bytes through the exchange and one-column hashing/comparison in
+    // the partial and final aggregates. Measured by the r17 stage
+    // profile (packed vs two-column pair count) before landing.
     val lower = capped.as("x")
       .join(capped.as("y"),
         col("x.ck") === col("y.ck") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+      .groupBy((shiftleft(col("x.pk"), 32) + col("y.pk")).as("ab"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 2L)
+      .select(shiftright(col("ab"), 32).as("part_a"),
+        col("ab").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"), col("c_ab"))
     val pairs = lower.unionByName(lower.select(
       col("part_b").as("part_a"), col("part_a").as("part_b"), col("c_ab")))
     val scored = pairs

@@ -76,7 +76,8 @@ object EventStreams {
     * probe reads ([[graft.StreamProbe]], VERDICT r3 item 7). Captured
     * from the same synchronous progress buffer the drop count uses. */
   final case class StreamRunStats(batches: Int, stateRowsMax: Long,
-                                  stateRowsEnd: Long, dropped: Long)
+                                  stateRowsEnd: Long, dropped: Long,
+                                  width: Int = 0)
   @volatile var lastRunStats: Option[StreamRunStats] = None
 
   /** State-partition width for the query-path streams. A streaming
@@ -167,9 +168,22 @@ object EventStreams {
           val base = new org.apache.hadoop.fs.Path(p)
           val fs = base.getFileSystem(conf)
           glob match {
+            // ADVICE r17: globStatus only matches DIRECT children and
+            // returns a directory's own entry length (~KB) for a
+            // multi-part dataset directory, while pathGlobFilter matches
+            // LEAF files recursively — so the old form collapsed the
+            // derived width to the floor at exactly the multi-file scale
+            // the feature targets. Mirror the source: list leaf files
+            // recursively and sum the ones whose NAME matches the glob.
             case Some(g) =>
-              fs.globStatus(new org.apache.hadoop.fs.Path(base, g))
-                .map(_.getLen).sum
+              val filter = new org.apache.hadoop.fs.GlobFilter(g)
+              val it = fs.listFiles(base, true)
+              var total = 0L
+              while (it.hasNext) {
+                val st = it.next()
+                if (filter.accept(st.getPath)) total += st.getLen
+              }
+              total
             case None => fs.getContentSummary(base).getLength
           }
         }
@@ -187,6 +201,33 @@ object EventStreams {
     partsOverride.orElse(envStreamParts)
       .orElse(derivedParts(df)).getOrElse(DefaultStreamParts)
 
+  /** Runs `body` with the session's `spark.sql.shuffle.partitions`
+    * scoped to [[widthFor]] of `df` — the shared width helper (VERDICT
+    * r17 item 3) for the streamed faces that run their OWN
+    * `writeStream` (transformWithState / mapGroupsWithState /
+    * foreachBatch replays) instead of draining through
+    * [[drainToFilesCounting]]. Those faces otherwise inherit the
+    * session's BATCH width (32 at driver settings) as their state-store
+    * partition count, paying a per-micro-batch commit per store per
+    * partition that the derived width already proved unnecessary at the
+    * gate SFs. The width must be set BEFORE `start()` — a stateful
+    * operator's partition count is fixed at first query start and
+    * recorded in the checkpoint — and the previous session width is
+    * restored even when `body` throws, so batch queries never keep
+    * running at stream width. */
+  def withStreamWidth[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    try {
+      spark.conf.set(partsKey, widthFor(df).toString)
+      body
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+  }
+
   /** [[drainToFiles]] plus the number of input rows the stateful operators
     * dropped as later than the watermark. The count comes from the
     * engine's own `numRowsDroppedByWatermark` metric — an `Observation`
@@ -198,8 +239,12 @@ object EventStreams {
     * synchronous progress buffer is race-free, unlike a listener whose
     * events arrive on an async bus).
     *
-    * Runs the stream at [[StreamShufflePartitions]]; the session's batch
-    * width is restored afterwards (micro-batch planning reads the conf at
+    * Runs the stream at [[widthFor]] (probe override > env > width
+    * DERIVED from the stream's file-source bytes > default — note the
+    * [[StreamShufflePartitions]] getter reports only override/env/
+    * default; the per-run EFFECTIVE width is recorded on
+    * [[lastRunStats]].width, ADVICE r17); the session's batch width is
+    * restored afterwards (micro-batch planning reads the conf at
     * start(), so the scoped set binds only this query's state layout). */
   def drainToFilesCounting(df: DataFrame, mode: String): (DataFrame, Long) = {
     // update-mode would silently duplicate keys through an append parquet
@@ -219,10 +264,11 @@ object EventStreams {
     // throws, the session must not be left buffering 100k progress
     // objects per stream — or running batch queries at the streaming
     // state width — for the rest of a harness run
+    val effectiveWidth = widthFor(df)
     val dropped =
       try {
         spark.conf.set(retentionKey, "100000")
-        spark.conf.set(partsKey, widthFor(df).toString)
+        spark.conf.set(partsKey, effectiveWidth.toString)
         val query = df.writeStream.outputMode(mode)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.write.mode(writeMode).parquet(dir)
@@ -247,7 +293,8 @@ object EventStreams {
             if (perBatch.isEmpty) 0L
             else perBatch.map(_.map(_.numRowsTotal).sum).max,
           stateRowsEnd = perBatch.lastOption.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
-          dropped = ops.map(_.numRowsDroppedByWatermark).sum))
+          dropped = ops.map(_.numRowsDroppedByWatermark).sum,
+          width = effectiveWidth))
         ops.map(_.numRowsDroppedByWatermark).sum
       } finally {
         prevRetention match {

@@ -134,15 +134,20 @@ object KappaBackfill {
           state.update(next)
           UserUpdate(user, next.n, next.cents)
       }
-    val q = updates.writeStream
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", ck)
-      .foreachBatch { (b: Dataset[UserUpdate], _: Long) =>
-        b.write.mode("append").parquet(out)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // r18 (VERDICT r17 item 3): run the replay stream at the shared
+    // derived state width instead of the session's batch width — every
+    // state partition is a per-micro-batch store commit.
+    EventStreams.withStreamWidth(updates.toDF()) {
+      val q = updates.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: Dataset[UserUpdate], _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
     val streamed = spark.read.parquet(out)
       .groupBy("user_id")

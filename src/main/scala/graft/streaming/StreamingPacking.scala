@@ -198,15 +198,20 @@ object StreamingPacking {
     val prev = spark.conf.getOption(ProviderKey)
     try {
       spark.conf.set(ProviderKey, RocksDbProvider)
-      val q = transform(src).writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ck)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(out)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // r18 (VERDICT r17 item 3): derived state width — each partition
+      // is a per-micro-batch RocksDB commit, so session batch width
+      // (32 at driver settings) is pure fixed cost here.
+      EventStreams.withStreamWidth(src.toDF()) {
+        val q = transform(src).writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(ProviderKey, v)

@@ -148,27 +148,32 @@ object TtlStateExpiry {
       // its clock SHOULD keep running; the latch is the harness-side
       // analog of "the day's ingest is done".)
       val done = new java.util.concurrent.CountDownLatch(1)
-      val q = profiled(spark, src, ttl)
-        .writeStream
-        .outputMode(OutputMode.Append())
-        .option("checkpointLocation", ck)
-        .foreachBatch { (b: DataFrame, batchId: Long) =>
-          b.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(out)
-          // the determinism lever: the NEXT batch's processing-time
-          // timestamp is taken after this hook returns, so sleeping
-          // past the TTL here proves every entry this batch wrote will
-          // be expired by the time the next batch reads state
-          if (batchId == 0) Thread.sleep(gapMs)
-          if (batchId >= 1) done.countDown()
-          ()
-        }
-        .start()
-      try {
-        if (!done.await(300, java.util.concurrent.TimeUnit.SECONDS))
-          throw new IllegalStateException(
-            "TTL replay: the second data batch did not complete within 300 s")
-      } finally q.stop()
+      // r18 (VERDICT r17 item 3): derived state width — each partition
+      // is a per-micro-batch RocksDB commit, so session batch width
+      // (32 at driver settings) is pure fixed cost here.
+      EventStreams.withStreamWidth(src.toDF()) {
+        val q = profiled(spark, src, ttl)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            b.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+            // the determinism lever: the NEXT batch's processing-time
+            // timestamp is taken after this hook returns, so sleeping
+            // past the TTL here proves every entry this batch wrote will
+            // be expired by the time the next batch reads state
+            if (batchId == 0) Thread.sleep(gapMs)
+            if (batchId >= 1) done.countDown()
+            ()
+          }
+          .start()
+        try {
+          if (!done.await(300, java.util.concurrent.TimeUnit.SECONDS))
+            throw new IllegalStateException(
+              "TTL replay: the second data batch did not complete within 300 s")
+        } finally q.stop()
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(ProviderKey, v)
