@@ -267,14 +267,14 @@ object JoinQueries {
     // bytes through the exchange and one-column hashing/comparison in
     // the partial and final aggregates. Measured by the r17 stage
     // profile (packed vs two-column pair count) before landing.
-    val lower = capped.as("x")
+    val lower = graft.Caches.scopedPersist(capped.as("x")
       .join(capped.as("y"),
         col("x.ck") === col("y.ck") && col("x.pk") < col("y.pk"))
       .groupBy((shiftleft(col("x.pk"), 32) + col("y.pk")).as("ab"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 2L)
       .select(shiftright(col("ab"), 32).as("part_a"),
-        col("ab").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"), col("c_ab"))
+        col("ab").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"), col("c_ab")))
     val pairs = lower.unionByName(lower.select(
       col("part_b").as("part_a"), col("part_a").as("part_b"), col("c_ab")))
     val scored = pairs
